@@ -1,0 +1,49 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over the driver testdata layout
+  * (`TESTDATA.md`: one parquet file per table under an sf dir).
+  *
+  * The reference's sources (SURVEY.md §2.1) map here as:
+  *  - S1 Kafka stream scan  → batch analog [[table]](events); streaming
+  *    form lives in [[graft.stream.EngagementPipeline]].
+  *  - S2 JDBC dim snapshot  → [[dim]] (small table, intended for
+  *    `broadcast()` at the join site — the engine-native form of the
+  *    reference's in-JVM hash cache, EngagementProcessor.scala:72-99).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright. Read it as raw nanos (legacy conf, set before the
+    * scan is planned) and convert to a microsecond TimestampType column —
+    * truncation toward zero matches DuckDB's ns→wall-clock rendering at
+    * the second/minute granularity every declared query buckets on. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L)
+          .cast(org.apache.spark.sql.types.LongType)))
+  }
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "supplier")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Dimension-table read: project only needed columns so the parquet
+    * scan prunes (reference selects 3 of 6 dim columns,
+    * EngagementProcessor.scala:83-85). */
+  def dim(spark: SparkSession, sfDir: String, name: String, cols: String*): DataFrame = {
+    val t = table(spark, sfDir, name)
+    if (cols.isEmpty) t else t.select(cols.head, cols.tail: _*)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util._
+
+/** Aggregations & windows A1–A10 (SURVEY.md §2.4) — the analytics core
+  * the reference hand-rolls in its Redis sink
+  * (EngagementRedisSink.scala:126-201) and ops monitor (monitor.py).
+  *
+  * Design deviations from the reference, both deliberate (§7.4):
+  *  - Event-time (`ts`) everywhere instead of the reference's wall-clock
+  *    bucketing (EngagementRedisSink.scala:132) — deterministic and
+  *    oracle-checkable; the streaming pipeline adds watermarks on the
+  *    same expressions.
+  *  - The 10-minute sliding rollup keeps the reference's two-level shape
+  *    (minute pre-agg → last-10-buckets sum, EngagementRedisSink.scala:160-184)
+  *    as a window function over the minute aggregate — far less state
+  *    than re-aggregating raw events per overlapping window, which is
+  *    what makes it hold up at 100 TB.
+  */
+object Aggregates {
+
+  /** A1/A2 — tumbling 1-minute per-type COUNT + SUM
+    * (EngagementRedisSink.scala:132-144). Two-level aggregation: this is
+    * the shared pre-aggregate the sliding window and top-K build on. */
+  def minuteAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(minuteBucket(col("ts")).as("minute"), col("event_type"))
+      .agg(count(lit(1)).as("access_count"), dsum(col("value")).as("sum_value"))
+
+  /** A4 — sliding 10-minute / 1-minute-hop rollup over the minute
+    * pre-agg: ROWS 9 PRECEDING per type, ordered by bucket. */
+  def sliding10m(minutes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-9, 0)
+    minutes
+      .withColumn("count_10m", sum(col("access_count")).over(w))
+      .withColumn("sum_10m", sum(col("sum_value").cast("decimal(28,6)")).over(w).cast("double"))
+  }
+
+  /** A5 — ratio-of-aggregates average: Σ metric ÷ ALL-access count
+    * (null-metric rows count in the denominator; guard ≥1 — exactly
+    * EngagementRedisSink.scala:189-192, NOT Spark `avg`). */
+  def avgRatio(derived: DataFrame): DataFrame =
+    derived.groupBy(col("event_type"))
+      .agg(dsum(col("eng_pct")).as("sum_pct"), count(lit(1)).as("access_count"))
+      .withColumn("avg_engagement",
+        roundTo(coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)), 4))
+
+  /** A6 — top-K by score with deterministic tie-break on the group key. */
+  def topK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored.orderBy(col(scoreCol).desc, col("event_type").asc).limit(k)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: tumbling 1-minute grouped COUNT.
+    "q_tumbling_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(minuteBucket(col("ts")).as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("access_count"))
+        .orderBy("minute", "event_type")),
+
+    // A2: tumbling 1-minute grouped SUM (exact, order-independent).
+    "q_tumbling_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(minuteBucket(col("ts")).as("minute"), col("event_type"))
+        .agg(dsum(col("value")).as("sum_value"))
+        .orderBy("minute", "event_type")),
+
+    // A3: retention window — batch analog of the 900 s state TTL,
+    // anchored at max(ts) for determinism (no wall clock).
+    "q_retention_filter" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(col("ts")).as("max_ts"))
+      ev.crossJoin(broadcast(anchor))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 15 MINUTES"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("recent_count"))
+        .orderBy("event_type")
+    }),
+
+    // A4: sliding 10-min/1-min two-level rollup.
+    "q_sliding_10m" -> ((s, dir) =>
+      sliding10m(minuteAgg(Tables.events(s, dir)))
+        .select(col("minute"), col("event_type"), col("access_count"),
+          col("count_10m"), col("sum_10m"))
+        .orderBy("minute", "event_type")),
+
+    // A5: ratio-of-aggregates AVG (denominator = all accesses).
+    "q_avg_ratio" -> ((s, dir) =>
+      avgRatio(Transforms.derivedEvents(s, dir))
+        .select(col("event_type"), col("sum_pct"), col("access_count"), col("avg_engagement"))
+        .orderBy("event_type")),
+
+    // A6a: top-3 types by average engagement.
+    "q_topk_engagement" -> ((s, dir) =>
+      topK(avgRatio(Transforms.derivedEvents(s, dir)), "avg_engagement", 3)
+        .select(col("event_type"), col("avg_engagement"))),
+
+    // A6b: top-5 types by access count.
+    "q_topk_access" -> ((s, dir) => {
+      val counts = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("access_count"))
+      counts.orderBy(col("access_count").desc, col("event_type").asc).limit(5)
+    }),
+
+    // A7: global COUNT(*) reconciliation across "stores" (monitor.py) —
+    // one lazy plan (union of scalar aggregates), no driver-side actions.
+    "q_count_total" -> ((s, dir) => {
+      def c(name: String) = Tables.table(s, dir, name)
+        .agg(count(lit(1)).as("n")).select(lit(name).as("store"), col("n"))
+      c("events").unionAll(c("lineitem")).unionAll(c("orders")).orderBy("store")
+    }),
+
+    // A8: per-minute rate derivation via lag() — (count−prev)/Δt,
+    // clamped ≥0 like monitor.py:224-229.
+    "q_rate_lag" -> ((s, dir) => {
+      val perMin = Tables.events(s, dir)
+        .groupBy(minuteBucket(col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("minute"))
+      perMin
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("rate_per_sec",
+          when(col("prev_n").isNotNull,
+            greatest((col("n") - col("prev_n")) / 60.0, lit(0.0))))
+        .orderBy("minute")
+    }),
+
+    // A9: lag/anti-measure — full count minus a sampled "store" count.
+    "q_lag_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val full = ev.groupBy(col("event_type")).agg(count(lit(1)).as("pg_count"))
+      val sampled = ev.filter(pmod(col("event_id"), lit(100)) < 10)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("bq_count"))
+      full.join(sampled, Seq("event_type"), "left")
+        .withColumn("bq_count", coalesce(col("bq_count"), lit(0L)))
+        .withColumn("lag", col("pg_count") - col("bq_count"))
+        .orderBy("event_type")
+    }),
+
+    // K4 analog: daily-partition rollup (search sink's daily index roll).
+    "q_daily_partition" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayBucket(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("day", "event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tumbling_count" ->
+      s"""SELECT ${minuteBucketSql("ts")} AS minute, event_type,
+         |  count(*) AS access_count
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tumbling_sum" ->
+      s"""SELECT ${minuteBucketSql("ts")} AS minute, event_type,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_retention_filter" ->
+      """SELECT event_type, count(*) AS recent_count FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 15 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sliding_10m" ->
+      s"""WITH m AS (
+         |  SELECT ${minuteBucketSql("ts")} AS minute, event_type,
+         |    count(*) AS access_count, ${dsumSql("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2)
+         |SELECT minute, event_type, access_count,
+         |  CAST(sum(access_count) OVER w AS BIGINT) AS count_10m,
+         |  CAST(sum(CAST(sum_value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_10m
+         |FROM m
+         |WINDOW w AS (PARTITION BY event_type ORDER BY minute
+         |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY minute, event_type""".stripMargin,
+
+    "q_avg_ratio" ->
+      s"""WITH d AS (
+         |  SELECT e.event_type,
+         |    CASE WHEN e.event_type <> 'click' AND c.c_acctbal > 0
+         |         THEN ${roundToSql("e.value / c.c_acctbal * 100.0", 2)} END AS eng_pct
+         |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+         |SELECT event_type, ${dsumSql("eng_pct")} AS sum_pct,
+         |  count(*) AS access_count,
+         |  ${roundToSql(s"COALESCE(${dsumSql("eng_pct")}, 0.0) / GREATEST(count(*), 1)", 4)} AS avg_engagement
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_engagement" ->
+      s"""WITH d AS (
+         |  SELECT e.event_type,
+         |    CASE WHEN e.event_type <> 'click' AND c.c_acctbal > 0
+         |         THEN ${roundToSql("e.value / c.c_acctbal * 100.0", 2)} END AS eng_pct
+         |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey),
+         |r AS (
+         |  SELECT event_type,
+         |    ${roundToSql(s"COALESCE(${dsumSql("eng_pct")}, 0.0) / GREATEST(count(*), 1)", 4)} AS avg_engagement
+         |  FROM d GROUP BY 1)
+         |SELECT event_type, avg_engagement FROM r
+         |ORDER BY avg_engagement DESC, event_type ASC LIMIT 3""".stripMargin,
+
+    "q_topk_access" ->
+      """SELECT event_type, count(*) AS access_count FROM events
+        |GROUP BY 1 ORDER BY access_count DESC, event_type ASC LIMIT 5""".stripMargin,
+
+    "q_count_total" ->
+      """SELECT 'events' AS store, count(*) AS n FROM events
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |ORDER BY store""".stripMargin,
+
+    "q_rate_lag" ->
+      s"""WITH m AS (
+         |  SELECT ${minuteBucketSql("ts")} AS minute, count(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT minute, n, lag(n, 1) OVER (ORDER BY minute) AS prev_n,
+         |  CASE WHEN lag(n, 1) OVER (ORDER BY minute) IS NOT NULL
+         |       THEN GREATEST((n - lag(n, 1) OVER (ORDER BY minute)) / 60.0, 0.0) END
+         |    AS rate_per_sec
+         |FROM m ORDER BY minute""".stripMargin,
+
+    "q_lag_diff" ->
+      """WITH f AS (SELECT event_type, count(*) AS pg_count FROM events GROUP BY 1),
+        |s AS (SELECT event_type, count(*) AS bq_count FROM events
+        |      WHERE event_id % 100 < 10 GROUP BY 1)
+        |SELECT f.event_type, f.pg_count, COALESCE(s.bq_count, 0) AS bq_count,
+        |  f.pg_count - COALESCE(s.bq_count, 0) AS lag
+        |FROM f LEFT JOIN s ON f.event_type = s.event_type
+        |ORDER BY f.event_type""".stripMargin,
+
+    "q_daily_partition" ->
+      s"""SELECT ${dayBucketSql("ts")} AS day, event_type, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

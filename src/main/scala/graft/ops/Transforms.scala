@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.schemas.Schemas
+import Util._
+
+/** Row transforms T1–T7 (SURVEY.md §2.2): parse / filter / enrich /
+  * derive / sample / serialize.
+  *
+  * Each transform is a pure `DataFrame => DataFrame` so the batch
+  * queries (checked against the DuckDB oracle) and the Structured
+  * Streaming pipeline ([[graft.stream.EngagementPipeline]]) share the
+  * exact same column expressions (SURVEY.md §7.0).
+  *
+  * Reference-shaped forms (Debezium envelope, content dim) take schema
+  * from [[Schemas]]; the declared queries run the same operators over
+  * the driver testdata shapes (FIXTURES.md §B).
+  */
+object Transforms {
+
+  // ------------------------------------------------------------------
+  // Reference-shaped transforms (used by the streaming pipeline + tests)
+  // ------------------------------------------------------------------
+
+  /** T1 — JSON parse with drop-on-failure semantics
+    * (EngagementProcessor.scala:21-37): PERMISSIVE `from_json` yields a
+    * null struct on malformed input; the null-filter reproduces the
+    * reference's flatMap-drop. Unknown fields are ignored by from_json,
+    * matching `@JsonIgnoreProperties(ignoreUnknown=true)`. */
+  def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol).cast("string"), Schemas.debeziumEnvelope).as("env"))
+      .filter(col("env.payload").isNotNull)
+      .select(col("env.payload.*"))
+
+  /** T2 — CDC-op predicate: keep snapshot reads + inserts only
+    * (EngagementProcessor.scala:107). */
+  def filterOps(df: DataFrame): DataFrame =
+    df.filter(col("__op").isin("r", "c"))
+
+  /** T3 — dimension enrichment: broadcast LEFT join, the engine-native
+    * form of the reference's replicated in-JVM hash cache
+    * (EngagementProcessor.scala:72-99, README.md:30-38). Dim misses keep
+    * the row with null dim columns (§1.4). */
+  def enrich(events: DataFrame, contentDim: DataFrame): DataFrame =
+    events.join(
+      broadcast(contentDim.select(
+        col("id").as("content_dim_id"),
+        col("content_type"),
+        col("length_seconds"))),
+      events("content_id") === col("content_dim_id"), "left")
+      .drop("content_dim_id")
+
+  /** T4 — derived metric columns (EngagementProcessor.scala:109-116):
+    * engagement_seconds = duration_ms/1000; engagement_pct only when
+    * duration, dim row, and length>0 are all present (null otherwise —
+    * null-preserving arithmetic gives the for-comprehension semantics
+    * for free). Rounding matches `Math.round(x*100)/100.0`. */
+  def deriveMetrics(df: DataFrame): DataFrame =
+    df.withColumn("engagement_seconds", col("duration_ms") / 1000.0)
+      .withColumn("engagement_pct",
+        when(col("duration_ms").isNotNull && col("length_seconds") > 0,
+          roundTo(col("duration_ms") / 1000.0 / col("length_seconds") * 100.0, 2)))
+
+  /** T5 — deterministic Bernoulli-style sample (rate per cent). The
+    * reference uses `Random.nextInt(100) < rate`
+    * (EngagementProcessor.scala:187-188); a keyed modulus keeps the same
+    * selectivity while being oracle-reproducible (SURVEY.md §7.4-6). */
+  def sampleDet(df: DataFrame, idCol: String, ratePct: Int): DataFrame =
+    df.filter(pmod(col(idCol), lit(100)) < ratePct)
+
+  // ------------------------------------------------------------------
+  // Declared queries over driver testdata (events/customer analogs)
+  // ------------------------------------------------------------------
+
+  /** Testdata analog of the enrichment join: events.user_id → customer
+    * (c_mktsegment plays content_type, c_acctbal plays length_seconds). */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.dim(spark, dir, "customer", "c_custkey", "c_mktsegment", "c_acctbal")
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"), "left")
+  }
+
+  /** T4 analog on testdata: seconds + pct with the reference's null
+    * semantics ('click' plays the no-duration event class; §1.4). */
+  def derivedEvents(spark: SparkSession, dir: String): DataFrame =
+    enrichedEvents(spark, dir)
+      .withColumn("eng_seconds", col("value") / 1000.0)
+      .withColumn("eng_pct",
+        when(col("event_type") =!= "click" && col("c_acctbal") > 0,
+          roundTo(col("value") / col("c_acctbal") * 100.0, 2)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: JSON field extraction from the props payload blob.
+    "q_json_parse" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")),
+
+    // T2: predicate filter (CDC-op analog: keep two of five event classes).
+    "q_filter_ops" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
+    // T3: broadcast LEFT dim join.
+    "q_enrich_join" -> ((s, dir) =>
+      enrichedEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy("event_id")),
+
+    // T4: derived metric projection with null semantics.
+    "q_derive_metrics" -> ((s, dir) =>
+      derivedEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("eng_seconds"), col("eng_pct"))
+        .orderBy("event_id")),
+
+    // T5: deterministic 1% sample.
+    "q_sample_det" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(100)) < 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    // T6/T7: per-sink serialization projection — second-truncated
+    // timestamp, fixed-format metric, pipe-joined line.
+    "q_serialize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          concat_ws("|",
+            col("event_id"), col("event_type"), col("user_id"),
+            secondString(col("ts")),
+            format_string("%.2f", col("value"))).as("line"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_filter_ops" ->
+      """SELECT event_id, event_type, user_id, value FROM events
+        |WHERE event_type IN ('view','click') ORDER BY event_id""".stripMargin,
+
+    "q_enrich_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_acctbal
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_derive_metrics" ->
+      s"""SELECT e.event_id, e.event_type, e.value / 1000.0 AS eng_seconds,
+         |  CASE WHEN e.event_type <> 'click' AND c.c_acctbal > 0
+         |       THEN ${roundToSql("e.value / c.c_acctbal * 100.0", 2)} END AS eng_pct
+         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         |ORDER BY e.event_id""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 100 < 1 ORDER BY event_id""".stripMargin,
+
+    "q_serialize" ->
+      s"""SELECT event_id,
+         |  concat_ws('|', CAST(event_id AS VARCHAR), event_type,
+         |    CAST(user_id AS VARCHAR), ${secondStringSql("ts")},
+         |    printf('%.2f', value)) AS line
+         |FROM events ORDER BY event_id""".stripMargin
+  )
+}

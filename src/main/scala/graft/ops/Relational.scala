@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util._
+
+/** Relational operator coverage beyond the reference's single lookup
+  * join (SURVEY.md §2.6): multi-way joins, semi/anti joins, rollup,
+  * ranking windows, set operations, distinct aggregation, sort/limit.
+  * The reference gets none of these; a user switching to this engine
+  * gets them Catalyst-native. Join strategy notes per query:
+  *  - dims (region/nation/customer at these SFs) are broadcast —
+  *    BroadcastHashJoin, no shuffle of the fact side;
+  *  - fact⨝fact (lineitem⨝orders) shuffles on the join key once and
+  *    AQE handles skew at scale.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: the headline scan+agg.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Broadcast dim join: revenue per market segment.
+    "q_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.dim(s, dir, "customer", "c_custkey", "c_mktsegment")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // 5-way join through the dim chain: revenue per nation.
+    // lineitem⨝orders shuffles once on orderkey; customer/nation/region
+    // all broadcast.
+    "q_multi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.dim(s, dir, "orders", "o_orderkey", "o_custkey")
+      val c = Tables.dim(s, dir, "customer", "c_custkey", "c_nationkey")
+      val n = Tables.dim(s, dir, "nation", "n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.dim(s, dir, "region", "r_regionkey", "r_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi join (EXISTS): customers having ≥1 high-value order.
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ROLLUP grouping-set aggregation; NULL grouping rows surfaced as
+    // 'ALL' so ordering/hashing is engine-neutral.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Ranking window: top-2 orders per customer by totalprice
+    // (deterministic tie-break on o_orderkey).
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Set operations: customer keys vs order-placing keys.
+    "q_set_ops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      def one(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+      one("except", c.except(o))
+        .unionAll(one("intersect", c.intersect(o)))
+        .unionAll(one("union", c.union(o).distinct()))
+        .orderBy("op")
+    }),
+
+    // Exact distinct aggregation (reference couldn't: fresh UUID per
+    // event — SURVEY.md §2.6; testdata user_id repeats, so it's real).
+    "q_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Global sort + limit.
+    "q_sort_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_join_agg" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_orders,
+         |  ${dsumSql("o.o_totalprice")} AS revenue
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multi_join" ->
+      s"""SELECT r.r_name, n.n_name,
+         |  ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'except' AS op, count(*) AS n FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL SELECT 'intersect', count(*) FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL SELECT 'union', count(*) FROM
+        |  (SELECT DISTINCT k FROM (SELECT c_custkey AS k FROM customer
+        |                           UNION ALL SELECT o_custkey FROM orders))
+        |ORDER BY op""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+  )
+}

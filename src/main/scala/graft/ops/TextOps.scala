@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util._
+
+/** Text-analysis & deduplication operators for a training-data pipeline
+  * (builder-prompt north star; SURVEY.md §7.2-6): exact dedup,
+  * MinHash+LSH near-dup, n-gram Jaccard ground truth, fingerprinting,
+  * token counting, quality scoring, language ID.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is a hash groupBy on a 128-bit digest — one shuffle of
+  *    (digest, doc_id), never of the text body;
+  *  - MinHash+LSH turns the O(n²) pair space into per-band hash joins:
+  *    shuffle keys are (band_id, band_signature), candidates verified
+  *    exactly afterwards — the standard web-scale dedup shape;
+  *  - the exact Jaccard query is the *oracle ground truth* for LSH and
+  *    is lang-blocked; at scale you run the LSH path, not this one.
+  *
+  * All hashes are md5-prefix based (`conv(substr(md5(x),1,15),16,10)`)
+  * — 60-bit values with an exact DuckDB spelling
+  * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), so even the MinHash
+  * pipeline is oracle-checked end to end.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased text (empty → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(text)), "\\s+"))
+
+  def tokensSql(text: String): String =
+    s"CASE WHEN length(trim($text)) = 0 THEN [] " +
+      s"ELSE string_split_regex(trim(lower($text)), '\\s+') END"
+
+  /** Canonical whitespace-normalized form used for exact dedup and
+    * fingerprinting. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  def normTextSql(text: String): String =
+    s"regexp_replace(trim(lower($text)), '\\s+', ' ', 'g')"
+
+  /** 60-bit deterministic string hash with an exact DuckDB equivalent. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Word 3-gram shingle set (distinct), the unit of near-dup detection.
+    * Documents with <3 tokens get their whole text as one shingle. */
+  def shingles(toks: Column): Column =
+    when(size(toks) < 3, array_distinct(array(concat_ws(" ", toks))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+
+  def shinglesSql(w: String): String =
+    s"CASE WHEN len($w) < 3 THEN [array_to_string($w, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(1, len($w) - 1), " +
+      s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) END"
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** MinHash signature: k independent 60-bit min-hashes of the shingle
+    * set (seeded by index; md5-based so the oracle can reproduce it). */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => hash60(concat(s, lit("#"), seed)))))
+
+  def minhashSigSql(sh: String, k: Int): String =
+    s"list_transform(range(0, $k), seed -> " +
+      s"list_min(list_transform($sh, s -> ${hash60Sql("s || '#' || seed")})))"
+
+  /** Language-ID marker lexicons (tiny stopword heuristic — SURVEY.md
+    * §7.2-6 "n-gram heuristic"). Deterministic and SQL-expressible. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def markerHitsSql(toks: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($lst, t)))"
+  }
+
+  /** English stopwords for the quality-score ratio. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "is", "are", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on the normalized-text digest; keeper =
+    // min doc_id (deterministic). Scales as a single digest shuffle.
+    "q_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(md5(normText(col("text"))).as("text_hash"), col("doc_id"))
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")),
+
+    // Document fingerprinting: 128-bit digest + 60-bit int fingerprint.
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(normText(col("text"))).as("fp_md5"),
+          hash60(normText(col("text"))).as("fp60"))
+        .orderBy("doc_id")),
+
+    // Token counting (whitespace tokenizer).
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // Corpus stats rollup per (lang, source).
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          roundTo(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
+        .orderBy("lang", "source")),
+
+    // Per-document quality scoring: length, punctuation density,
+    // stopword ratio, mean token length → weighted score.
+    "q_text_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+      val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(toks).as("n_tokens"),
+          punct.cast("long").as("n_punct"),
+          roundTo(stopHits / greatest(nTok, lit(1.0)), 4).as("stopword_ratio"),
+          roundTo((length(col("text")) - (nTok - 1)) / greatest(nTok, lit(1.0)), 4)
+            .as("mean_token_len"),
+          roundTo(
+            least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4
+              + least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3
+              + least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3,
+            4).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic language ID: argmax of marker-lexicon hit counts,
+    // 'und' when nothing matches; deterministic tie-break by lang code.
+    "q_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val scored = langMarkers.foldLeft(Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))) {
+        case (df, (lang, words)) => df.withColumn(s"hits_$lang", markerHits(col("toks"), words))
+      }
+      val best = langMarkers.map { case (lang, _) =>
+        struct(col(s"hits_$lang").as("hits"), lit(lang).as("lang"))
+      }
+      // array_max on (hits, lang) structs: max hits, tie → max lang code;
+      // to tie-break ASC on lang we compare against reversed-code order.
+      val pick = scored.withColumn("best",
+        aggregate(
+          array(best: _*),
+          struct(lit(-1).as("hits"), lit("zzz").as("lang")),
+          (acc, x) => when(x.getField("hits") > acc.getField("hits") ||
+            (x.getField("hits") === acc.getField("hits") &&
+              x.getField("lang") < acc.getField("lang")), x).otherwise(acc)))
+      pick.select(col("doc_id"),
+          when(col("best.hits") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
+          col("best.hits").as("marker_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (ground truth for LSH):
+    // lang-blocked pair space, 3-gram shingles, j ≥ 0.5.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), shingles(tokens(col("text"))).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, verified
+    // with exact Jaccard — the scale path: pair space comes from band
+    // hash joins, not a cross join.
+    "q_minhash_dedup" -> ((s, dir) => {
+      val k = 16; val bands = 4; val rows = 4
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+        .withColumn("sig", minhashSig(col("sh"), k))
+      // explode into (band_id, band_key) buckets
+      val banded = d.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string")), ","))))
+        .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+      val a = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("band_id").as("band_id_b"), col("band_key").as("band_key_b"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("band_id") === col("band_id_b") &&
+          col("band_key") === col("band_key_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val toksSql = tokensSql("text")
+    Map(
+      "q_dedup_exact" ->
+        s"""SELECT md5(${normTextSql("text")}) AS text_hash,
+           |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_fingerprint" ->
+        s"""SELECT doc_id, md5(${normTextSql("text")}) AS fp_md5,
+           |  ${hash60Sql(normTextSql("text"))} AS fp60
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_token_count" ->
+        s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_stats" ->
+        s"""WITH t AS (SELECT lang, source, n_chars,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  ${roundToSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 2)} AS avg_chars
+           |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_text_quality" -> {
+        val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, n_chars, text, $toksSql AS toks,
+           |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id, n_chars, text, n_punct,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    CAST(len(list_filter(toks, t -> list_contains($stopLst, t))) AS DOUBLE) AS stop_hits,
+           |    CAST(len(toks) AS DOUBLE) AS n_tok_d
+           |  FROM t)
+           |SELECT doc_id, n_chars, n_tokens, n_punct,
+           |  ${roundToSql("stop_hits / GREATEST(n_tok_d, 1.0)", 4)} AS stopword_ratio,
+           |  ${roundToSql("(length(text) - (n_tok_d - 1)) / GREATEST(n_tok_d, 1.0)", 4)} AS mean_token_len,
+           |  ${roundToSql(
+              "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
+              " + LEAST(stop_hits / GREATEST(n_tok_d, 1.0) * 5.0, 1.0) * 0.3" +
+              " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score
+           |FROM u ORDER BY doc_id""".stripMargin
+      },
+
+      "q_lang_id" -> {
+        val hitCols = langMarkers.map { case (lang, words) =>
+          s"${markerHitsSql("toks", words)} AS hits_$lang" }.mkString(",\n    ")
+        val structs = langMarkers.map { case (lang, _) =>
+          s"{'hits': hits_$lang, 'lang': '$lang'}" }.mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |h AS (SELECT doc_id,
+           |    $hitCols
+           |  FROM t),
+           |p AS (SELECT doc_id,
+           |    reduce($structs,
+           |      (acc, x) -> CASE WHEN x.hits > acc.hits OR
+           |        (x.hits = acc.hits AND x.lang < acc.lang) THEN x ELSE acc END) AS best
+           |  FROM h)
+           |SELECT doc_id,
+           |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           |  CAST(best.hits AS INTEGER) AS marker_hits
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+
+      "q_ngram_jaccard" ->
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    ${shinglesSql(s"($toksSql)")} AS sh FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  ${roundToSql(jaccardSql("a.sh", "b.sh"), 4)} AS jaccard
+           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5
+           |ORDER BY 1, 2""".stripMargin,
+
+      "q_minhash_dedup" ->
+        s"""WITH d AS (SELECT doc_id, ${shinglesSql(s"($toksSql)")} AS sh FROM documents),
+           |sig AS (SELECT doc_id, sh, ${minhashSigSql("sh", 16)} AS sig FROM d),
+           |banded AS (
+           |  SELECT doc_id, sh, b.band_id,
+           |    array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',') AS band_key
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, ${roundToSql(jaccardSql("sh_a", "sh_b"), 4)} AS jaccard
+           |FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
+           |ORDER BY 1, 2""".stripMargin
+    )
+  }
+}

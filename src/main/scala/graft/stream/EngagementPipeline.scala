@@ -1,0 +1,124 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.{Transforms, Util}
+
+/** Structured Streaming assembly of the reference's whole job graph
+  * (EngagementProcessor.scala:140-227), Spark-first:
+  *
+  *   source (kafka | file | memory, Debezium-envelope JSON strings)
+  *     → T1 parse (PERMISSIVE from_json, drop-on-malformed)
+  *     → T2 CDC-op filter (keep r|c)
+  *     → T3 broadcast-left enrich against the content dim
+  *     → T4 derived metrics
+  *     → event-time watermark (15 min ≡ the reference's 900 s state TTL,
+  *       EngagementRedisSink.scala:22 — but watermark-driven, so state
+  *       is bounded and late data is handled deterministically, which
+  *       the reference's wall-clock bucketing is not; SURVEY.md §7.4-1)
+  *     → 1-minute tumbling (count, sum(engagement_pct)) per content_type
+  *     → foreachBatch fan-out: persist once, write three targets
+  *       (warehouse append / daily-partitioned search analog / top-K
+  *       analytics overwrite), replacing the reference's three
+  *       independent buffered sinks (EngagementProcessor.scala:197-213)
+  *       WITHOUT its drop-newest load shedding (SURVEY.md §2.7) —
+  *       backpressure here is maxOffsetsPerTrigger + checkpointing,
+  *       giving at-least-once (exactly-once to file sinks).
+  *
+  * Every transform is the same `DataFrame => DataFrame` the batch
+  * queries use, so the DuckDB-oracle-checked semantics carry over.
+  */
+object EngagementPipeline {
+
+  /** Parse → filter → enrich → derive, reference-shaped columns.
+    * Works on any DataFrame with a string `value` column (kafka body,
+    * file line, MemoryStream). */
+  def transform(raw: DataFrame, contentDim: DataFrame): DataFrame = {
+    val parsed = Transforms.parseEnvelope(raw)
+    val filtered = Transforms.filterOps(parsed)
+    val enriched = Transforms.enrich(filtered, contentDim)
+    Transforms.deriveMetrics(enriched)
+      .withColumn("event_time", to_timestamp(col("event_ts")))
+      .withColumn("processing_time", current_timestamp())
+  }
+
+  /** A1/A2 windowed aggregation with watermark-bounded state. */
+  def windowedAgg(derived: DataFrame): DataFrame =
+    derived
+      .withWatermark("event_time", "15 minutes")
+      .groupBy(window(col("event_time"), "1 minute"),
+        coalesce(col("content_type"), lit("unknown")).as("content_type"))
+      .agg(count(lit(1)).as("access_count"),
+        Util.dsum(col("engagement_pct")).as("sum_pct"))
+
+  /** Kafka source for the reference's topic
+    * (EngagementProcessor.scala:154-176). Batch-size/flush-interval
+    * tuning maps to maxOffsetsPerTrigger + trigger interval. */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+      topic: String = "streaming.public.engagement_events",
+      maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** File-drop source with the same envelope contract (one JSON string
+    * per line) — lets the whole pipeline run without Kafka. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "value")
+
+  /** Three-sink fan-out in one pass per micro-batch: the batch is
+    * persisted once and written to all targets, then unpersisted —
+    * the Spark-native form of the reference's shared-upstream fan-out
+    * (EngagementProcessor.scala:197-213). */
+  def fanOutBatch(warehouseDir: String, searchDir: String, analyticsDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      // K3 warehouse append (BigQuery analog): plain append, partitioned
+      // nowhere — compaction is the warehouse's job.
+      batch.drop("raw_payload").write.mode("append").parquet(warehouseDir)
+      // K4 search-index analog: daily index roll ≡ date partition
+      // (ElasticsearchSink.scala:184-185).
+      batch.withColumn("event_date", to_date(col("event_time")))
+        .write.mode("append").partitionBy("event_date").parquet(searchDir)
+      // K2 analytics (Redis analog): top-K per content_type by summed
+      // engagement, recomputed per batch, overwrite-latest.
+      val topk = batch
+        .groupBy(coalesce(col("content_type"), lit("unknown")).as("content_type"))
+        .agg(count(lit(1)).as("access_count"),
+          Util.dsum(col("engagement_pct")).as("sum_pct"))
+        .withColumn("avg_engagement",
+          coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
+        .orderBy(col("avg_engagement").desc, col("content_type").asc)
+        .limit(5)
+      topk.write.mode("overwrite").parquet(analyticsDir)
+    } finally batch.unpersist()
+  }
+
+  /** Full pipeline wiring: source → transform → fan-out sinks. */
+  def start(raw: DataFrame, contentDim: DataFrame, outRoot: String,
+      checkpoint: String, triggerMs: Long = 1000L): StreamingQuery = {
+    val derived = transform(raw, contentDim)
+    derived.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch(fanOutBatch(
+        s"$outRoot/warehouse", s"$outRoot/search", s"$outRoot/analytics") _)
+      .start()
+  }
+
+  /** Windowed-aggregate stream to an in-memory table (for tests and the
+    * console monitor analog — K5). */
+  def startAggToMemory(raw: DataFrame, contentDim: DataFrame,
+      queryName: String): StreamingQuery =
+    windowedAgg(transform(raw, contentDim)).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.EngagementPipeline
+
+/** End-to-end Structured Streaming pipeline on MemoryStream fixtures:
+  * the reference's dataflow (parse → filter → enrich → derive →
+  * window agg → fan-out) driven synchronously (SURVEY.md §5-streaming). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def env(id: Long, contentId: String, eventType: String,
+      durationMs: Option[Int], op: String, minute: Int): String = {
+    val dur = durationMs.map(_.toString).getOrElse("null")
+    f"""{"payload": {"id": $id, "content_id": "$contentId", "user_id": "u$id", "event_type": "$eventType", "event_ts": "2024-01-01T00:$minute%02d:10Z", "duration_ms": $dur, "device": "ios", "raw_payload": "{}", "__op": "$op", "__table": "engagement_events", "__db": "streaming_db", "__ts_ms": 1704067200000}}"""
+  }
+
+  private lazy val contentDim = Seq(
+    ("c1", "s1", "t", "video", Some(600), "2023-01-01T00:00:00Z"),
+    ("c2", "s2", "t", "podcast", Some(1200), "2023-01-01T00:00:00Z")
+  ).toDF("id", "slug", "title", "content_type", "length_seconds", "publish_ts")
+
+  test("streaming windowed agg matches batch semantics incl. dim-miss routing") {
+    val input = MemoryStream[String]
+    val q = EngagementPipeline.startAggToMemory(
+      input.toDF().withColumnRenamed("value", "value"), contentDim, "agg_out")
+    try {
+      input.addData(
+        env(1, "c1", "play", Some(30000), "c", 0),   // video, 5.0 pct
+        env(2, "c1", "play", Some(60000), "c", 0),   // video, 10.0 pct
+        env(3, "c2", "click", None, "c", 0),          // podcast, null pct
+        env(4, "cMISS", "play", Some(1000), "c", 0),  // unknown bucket
+        env(5, "c1", "play", Some(30000), "u", 0),    // dropped: op=u
+        env(6, "c1", "play", Some(6000), "c", 1))     // minute 1
+      q.processAllAvailable()
+      val out = spark.table("agg_out")
+        .select(date_format($"window.start", "HH:mm").as("m"),
+          $"content_type", $"access_count", $"sum_pct")
+        .as[(String, String, Long, Option[Double])].collect().toSet
+      assert(out === Set(
+        ("00:00", "video", 2L, Some(15.0)),
+        ("00:00", "podcast", 1L, None),
+        ("00:00", "unknown", 1L, None),
+        ("00:01", "video", 1L, Some(1.0))))
+    } finally q.stop()
+  }
+
+  test("fan-out writes warehouse, daily-partitioned search, and top-K analytics") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    val input = MemoryStream[String]
+    val q = EngagementPipeline.start(
+      input.toDF(), contentDim, root, s"$root/ckpt", triggerMs = 100L)
+    try {
+      input.addData(
+        env(1, "c1", "play", Some(30000), "c", 0),
+        env(2, "c2", "play", Some(120000), "c", 0),
+        env(3, "cMISS", "click", None, "c", 0))
+      q.processAllAvailable()
+      val wh = spark.read.parquet(s"$root/warehouse")
+      assert(wh.count() === 3)
+      val search = spark.read.parquet(s"$root/search")
+      assert(search.count() === 3)
+      assert(search.columns.contains("event_date"))
+      // daily partition dirs exist (K4 daily-roll analog)
+      val partDirs = new java.io.File(s"$root/search").listFiles()
+        .filter(_.getName.startsWith("event_date="))
+      assert(partDirs.nonEmpty)
+      val topk = spark.read.parquet(s"$root/analytics")
+      val top = topk.orderBy($"avg_engagement".desc).head()
+      assert(top.getAs[String]("content_type") === "podcast") // 10% beats 5%
+      assert(topk.filter($"content_type" === "unknown").count() === 1)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint does not duplicate warehouse rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val input = MemoryStream[String]
+    val q1 = EngagementPipeline.start(
+      input.toDF(), contentDim, root, s"$root/ckpt", triggerMs = 100L)
+    input.addData(env(1, "c1", "play", Some(30000), "c", 0))
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(s"$root/warehouse").count()
+    // restart on the same checkpoint; add one more event
+    val q2 = EngagementPipeline.start(
+      input.toDF(), contentDim, root, s"$root/ckpt", triggerMs = 100L)
+    try {
+      input.addData(env(2, "c1", "play", Some(30000), "c", 1))
+      q2.processAllAvailable()
+      val n2 = spark.read.parquet(s"$root/warehouse").count()
+      assert(n1 === 1L && n2 === 2L) // no replay duplication
+    } finally q2.stop()
+  }
+}

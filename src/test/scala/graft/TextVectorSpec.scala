@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** Text-dedup and vector-similarity operator properties. */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.01")
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "Hello   World", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "different doc", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("dedup_fixture")
+    val r = docs
+      .select(md5(TextOps.normText($"text")).as("h"), $"doc_id")
+      .groupBy($"h").agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[Long]("keep") -> x.getAs[Long]("n")).toMap
+    assert(r === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles: <3 tokens yields whole text, >=3 yields n-2 distinct grams") {
+    val r = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+      .select($"id", TextOps.shingles(TextOps.tokens($"text")).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L) === Seq("a b"))
+    assert(r(2L) === Seq("a b c", "b c d"))
+  }
+
+  test("jaccard is 1 for identical sets, 0 for disjoint") {
+    val df = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("z"))).toDF("a", "b")
+      .select(TextOps.jaccard($"a", $"b").as("j")).as[Double].collect()
+    assert(df.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("minhash LSH candidates contain every high-jaccard pair (recall)") {
+    // LSH with 4 bands x 4 rows catches j>=0.5 pairs w.h.p.; on this
+    // dataset the exact ground-truth pairs must all be found.
+    val truth = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q_minhash_dedup")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(lsh), s"missed: ${truth.diff(lsh)}")
+  }
+
+  test("cosine: orthogonal=0, identical=1, halved magnitude still 1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(2f, 4f), Seq(1f, 2f))).toDF("a", "b")
+      .select(graft.ops.Util.roundTo(VectorOps.cosine($"a", $"b"), 9).as("c"))
+      .as[Double].collect()
+    assert(df.toSeq === Seq(0.0, 1.0, 1.0))
+  }
+
+  test("similarity topk returns k descending unique ids") {
+    val r = SparkEntry.queries("q_similarity_topk")(spark, dir).collect()
+    assert(r.length === 10)
+    val sims = r.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length === 10)
+  }
+
+  test("lang id picks marker-majority language deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the dog is a pet", "x", "s", 1L),
+      (2L, "el perro la casa que es", "x", "s", 1L),
+      (3L, "zzz qqq www", "x", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("documents_fixture")
+    // run the same expression chain as q_lang_id over the fixture
+    val toks = TextOps.tokens($"text")
+    val scored = TextOps.langMarkers.foldLeft(docs.select($"doc_id", toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"hits_$lang", size(filter($"toks", t => t.isInCollection(words))))
+    }
+    val best = TextOps.langMarkers.map { case (lang, _) =>
+      struct(col(s"hits_$lang").as("hits"), lit(lang).as("lang")) }
+    val r = scored.withColumn("best",
+        aggregate(array(best: _*), struct(lit(-1).as("hits"), lit("zzz").as("lang")),
+          (acc, x) => when(x.getField("hits") > acc.getField("hits") ||
+            (x.getField("hits") === acc.getField("hits") &&
+              x.getField("lang") < acc.getField("lang")), x).otherwise(acc)))
+      .select($"doc_id",
+        when($"best.hits" > 0, $"best.lang").otherwise(lit("und")).as("pred"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === "en")
+    assert(r(2L) === "es")
+    assert(r(3L) === "und")
+  }
+}

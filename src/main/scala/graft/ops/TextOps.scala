@@ -74,15 +74,31 @@ object TextOps {
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"(len($a) + len($b) - len(list_intersect($a, $b)))"
 
-  /** MinHash signature: k independent 60-bit min-hashes of the shingle
-    * set (seeded by index; md5-based so the oracle can reproduce it). */
-  def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => hash60(concat(s, lit("#"), seed)))))
+  /** MinHash via affine permutations: ONE md5 per shingle, then k
+    * cheap `(a_i·h + b_i) mod p` permutations (p = 2³¹−1). 16× less
+    * hashing than per-seed md5 — at 100 TB the md5 is the hot loop.
+    * `h % p < 2³¹` and `a < 2³¹` keep `a·h+b` inside a 63-bit long. */
+  val MinhashP: Long = 2147483647L
+  def minhashCoefA(i: Int): Long = (1000003L * (i + 1) + 12345L) % MinhashP
+  def minhashCoefB(i: Int): Long = (998244353L * (i + 1) + 777L) % MinhashP
 
-  def minhashSigSql(sh: String, k: Int): String =
-    s"list_transform(range(0, $k), seed -> " +
-      s"list_min(list_transform($sh, s -> ${hash60Sql("s || '#' || seed")})))"
+  /** Per-shingle base hashes, reduced mod p. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => hash60(s) % MinhashP)
+
+  def shingleHashesSql(sh: String): String =
+    s"list_transform($sh, s -> ${hash60Sql("s")} % $MinhashP)"
+
+  /** k-permutation signature over the pre-computed base hashes. */
+  def minhashSig(hs: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hs,
+        h => (h * minhashCoefA(i) + minhashCoefB(i)) % MinhashP))): _*)
+
+  def minhashSigSql(hs: String, k: Int): String =
+    (0 until k).map(i =>
+      s"list_min(list_transform($hs, h -> (h * ${minhashCoefA(i)} + ${minhashCoefB(i)}) % $MinhashP))")
+      .mkString("[", ", ", "]")
 
   /** Language-ID marker lexicons (tiny stopword heuristic — SURVEY.md
     * §7.2-6 "n-gram heuristic"). Deterministic and SQL-expressible. */
@@ -188,15 +204,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram Jaccard near-dup pairs (ground truth for LSH):
-    // lang-blocked pair space, 3-gram shingles, j ≥ 0.5.
+    // Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
+    // INVERTED-INDEX join, not a cross join: explode shingles, hash-join
+    // docs sharing a shingle, count commons per pair. Shuffle volume is
+    // O(total shingle occurrences), so the pair space never materializes
+    // — this is the formulation that survives 100 TB.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), shingles(tokens(col("text"))).as("sh"))
-      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // Perf notes (measured at sf0.1): (1) tokens/shingles MUST be
+      // materialized as real columns — captured inside a transform()
+      // lambda they re-evaluate per element (26× slowdown); (2) join on
+      // the 60-bit shingle hash, not the shingle string (7× faster,
+      // same result — both engines hash identically); (3) the hash
+      // array must be INLINE in the explode — exploding a
+      // Project-materialized array column is 20× slower (11 s vs 0.6 s)
+      // than computing it inside the Generate.
+      val base = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("lang"), shingles(col("toks")).as("sh"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+      val ex = base.select(col("doc_id"), col("lang"),
+        explode(shingleHashes(col("sh"))).as("h"))
+      val common = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -207,23 +244,31 @@ object TextOps {
     // hash joins, not a cross join.
     "q_minhash_dedup" -> ((s, dir) => {
       val k = 16; val bands = 4; val rows = 4
+      // toks/sh/hsh materialized as columns (not captured in lambdas) —
+      // see q_ngram_jaccard perf notes. Candidates come from band-bucket
+      // hash joins on (band_id, band_key); exact verification joins the
+      // hashed shingle sets back in and intersects longs, not strings.
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-        .withColumn("sig", minhashSig(col("sh"), k))
-      // explode into (band_id, band_key) buckets
-      val banded = d.select(col("doc_id"), col("sh"),
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), shingles(col("toks")).as("sh"))
+        .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
+        .withColumn("sig", minhashSig(col("hsh"), k))
+      val banded = d.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
             v => v.cast("string")), ","))))
         .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-      val a = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = banded.select(col("band_id").as("band_id_b"), col("band_key").as("band_key_b"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("band_id") === col("band_id_b") &&
-          col("band_key") === col("band_key_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      val sets = d.select(col("doc_id"), col("hsh"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("h_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("h_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
+        .withColumn("jaccard", col("inter") / (size(col("h_a")) + size(col("h_b")) - col("inter")))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -300,27 +345,43 @@ object TextOps {
 
       "q_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, lang,
-           |    ${shinglesSql(s"($toksSql)")} AS sh FROM documents)
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  ${roundToSql(jaccardSql("a.sh", "b.sh"), 4)} AS jaccard
-           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5
+           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+           |ex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM d),
+           |sz AS (SELECT doc_id, len(hsh) AS sz FROM d),
+           |c AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           |  FROM ex a JOIN ex b
+           |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT c.id_a, c.id_b,
+           |  ${roundToSql("CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common)", 4)} AS jaccard
+           |FROM c JOIN sz sa ON c.id_a = sa.doc_id
+           |       JOIN sz sb ON c.id_b = sb.doc_id
+           |WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.5
            |ORDER BY 1, 2""".stripMargin,
 
       "q_minhash_dedup" ->
-        s"""WITH d AS (SELECT doc_id, ${shinglesSql(s"($toksSql)")} AS sh FROM documents),
-           |sig AS (SELECT doc_id, sh, ${minhashSigSql("sh", 16)} AS sig FROM d),
+        s"""WITH d AS (SELECT doc_id,
+           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+           |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", 16)} AS sig FROM d),
            |banded AS (
-           |  SELECT doc_id, sh, b.band_id,
+           |  SELECT doc_id, b.band_id,
            |    array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',') AS band_key
            |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b),
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM banded a JOIN banded b
            |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, ${roundToSql(jaccardSql("sh_a", "sh_b"), 4)} AS jaccard
-           |FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
+           |   AND a.doc_id < b.doc_id),
+           |v AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE) AS inter,
+           |    len(da.hsh) AS sz_a, len(db.hsh) AS sz_b
+           |  FROM cand c JOIN d da ON c.id_a = da.doc_id
+           |              JOIN d db ON c.id_b = db.doc_id)
+           |SELECT id_a, id_b,
+           |  ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS jaccard
+           |FROM v WHERE inter / (sz_a + sz_b - inter) >= 0.5
            |ORDER BY 1, 2""".stripMargin
     )
   }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.shims
+
+/** Column-API surface for the engine's native Catalyst expressions,
+  * plus SQL registration so `spark.sql` users get them too. */
+package object functions {
+
+  /** 64-bit SimHash fingerprint of a token array. */
+  def simhash64(tokens: Column): Column =
+    shims.column(SimHash64(shims.expression(tokens)))
+
+  /** Codegen'd cosine similarity of two float vectors. */
+  def cosine_sim(a: Column, b: Column): Column =
+    shims.column(CosineSim(shims.expression(a), shims.expression(b)))
+
+  /** Register the native functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+  }
+}

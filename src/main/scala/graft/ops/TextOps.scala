@@ -272,6 +272,38 @@ object TextOps {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash fingerprints via the native codegen'd expression
+    // (graft.functions.SimHash64). Murmur3-based — no DuckDB
+    // equivalent, so this is a rows-only query (no oracle entry).
+    "q_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), graft.functions.simhash64(col("toks")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs: 4×16-bit band join over the fingerprints
+    // (near-dups agree on ≥1 band w.h.p.), verified by Hamming
+    // distance ≤ 8. Candidate generation is a hash join on (band_id,
+    // band_bits) — no pair-space scan, same scale shape as MinHash-LSH.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), graft.functions.simhash64(col("toks")).as("simhash"))
+      val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_bits")
+      banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_bits") === col("b.band_bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
     })
   )
 

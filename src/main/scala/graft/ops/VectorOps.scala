@@ -23,7 +23,10 @@ import Util._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product of two float arrays, in double.
+    * (Reference formulation; the declared queries use the native
+    * [[graft.functions.CosineSim]] expression, which runs the same op
+    * sequence as a codegen'd primitive loop.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -53,7 +56,7 @@ object VectorOps {
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          roundTo(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -66,7 +69,7 @@ object VectorOps {
       val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("label"),
-          roundTo(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+          roundTo(graft.functions.cosine_sim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
     }),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine_sim, registerAll, simhash64}
+import graft.ops.TextOps
+
+/** Native Catalyst expression behavior: SimHash64 + CosineSim. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64: identical token arrays give identical fingerprints") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "toks")
+      .select($"id", simhash64($"toks").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(df(1L) === df(2L))
+    assert(df(1L) !== df(3L))
+  }
+
+  test("simhash64: near-dup token streams land within a small Hamming ball") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val mutated = base.updated(30, "CHANGED")
+    val r = Seq((1L, base), (2L, mutated)).toDF("id", "toks")
+      .select($"id", simhash64($"toks").as("h")).as[(Long, Long)].collect().toMap
+    val hamming = java.lang.Long.bitCount(r(1L) ^ r(2L))
+    assert(hamming <= 16, s"hamming=$hamming too large for a 1-token edit")
+  }
+
+  test("simhash64: codegen and interpreted paths agree") {
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val viaDf = Seq(Tuple1(toks)).toDF("toks")
+      .select(simhash64($"toks")).as[Long].head()
+    // interpreted path: direct eval on a GenericArrayData
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val direct = graft.functions.SimHashUtil.simhash64(arr)
+    assert(viaDf === direct)
+  }
+
+  test("simhash64 null semantics: null array -> null, null elements skipped") {
+    val df = Seq((1L, Option(Seq(Option("a"), None, Option("b")))), (2L, None))
+      .toDF("id", "toks")
+      .select($"id", simhash64($"toks").as("h"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(2L).isEmpty)
+    val clean = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(simhash64($"toks")).as[Long].head()
+    assert(rows(1L).contains(clean))
+  }
+
+  test("cosine_sim matches the higher-order-function fold bit-exactly") {
+    val e = graft.io.Tables.embeddings(spark, sf("sf0.01")).limit(200)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"ia" < $"ib").limit(500)
+    val diff = pairs.select(
+        cosine_sim($"ea", $"eb").as("native"),
+        graft.ops.VectorOps.cosine($"ea", $"eb").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff === 0)
+  }
+
+  test("native functions registered for SQL use") {
+    registerAll(spark)
+    Seq((Seq("a", "b"), Seq(1f, 2f), Seq(2f, 4f))).toDF("t", "x", "y")
+      .createOrReplaceTempView("fn_fixture")
+    val r = spark.sql(
+      "SELECT simhash64(t) AS h, cosine_sim(x, y) AS c FROM fn_fixture").head()
+    assert(r.getAs[Long]("h") !== 0L)
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+  }
+
+  test("simhash pairs query finds the jaccard near-dups") {
+    val truth = SparkEntry.queries("q_ngram_jaccard")(spark, sf("sf0.01"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = SparkEntry.queries("q_simhash_pairs")(spark, sf("sf0.01"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simhash(hamming<=8) should recover the strong near-dups
+    assert(truth.intersect(sh).size >= truth.size / 2,
+      s"simhash recovered ${truth.intersect(sh).size} of ${truth.size}")
+  }
+}

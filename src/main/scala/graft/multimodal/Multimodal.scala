@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling for a training-data pipeline (builder
+  * prompt north star): image/audio/video as opaque `binary` columns
+  * with typed metadata, decode / feature-extract / frame-sample as
+  * distributed operators.
+  *
+  * The actual byte decoding is STUBBED ([[StubDecoder]] — this
+  * container has no image/audio codecs), but everything Spark-side is
+  * real and tested: the schema, the binary payload column, the
+  * per-partition decoder lifecycle (`mapPartitions` with one decoder
+  * instance per partition — the pattern a JNI/FFmpeg decoder needs),
+  * the typed output encoding, and the frame-sampling explode. Swapping
+  * in a real decoder changes one class.
+  *
+  * Scale notes: payloads never pass through a shuffle — features are
+  * extracted map-side and only the (small) feature rows move; frame
+  * sampling bounds output via `maxFrames`.
+  */
+object Multimodal {
+
+  /** One media row: payload plus the metadata a real ingest would carry. */
+  case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      source: String, declared_ms: Option[Int])
+
+  /** Decoded per-item features (real decoder: dimensions, duration,
+    * embeddings; stub: deterministic byte-derived values). */
+  case class MediaFeatures(
+      media_id: Long, kind: String, byte_len: Long,
+      width: Int, height: Int, duration_ms: Long, n_frames: Int,
+      byte_entropy: Double)
+
+  /** A sampled frame reference (real decoder: pixels; stub: offsets). */
+  case class FrameSample(media_id: Long, frame_idx: Int, byte_offset: Long)
+
+  /** Decoder contract — one instance per partition, may hold native
+    * resources. */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit
+    def decode(row: MediaRow): MediaFeatures
+    def close(): Unit
+  }
+
+  /** Deterministic fake decoder: features derived from the payload
+    * bytes only (length, simple byte statistics). A real implementation
+    * (JavaCV/FFmpeg/ImageIO) replaces this class; the pipeline around
+    * it is unchanged. */
+  class StubDecoder extends MediaDecoder {
+    private var opened = false
+    override def open(): Unit = { opened = true }
+    override def close(): Unit = { opened = false }
+    override def decode(row: MediaRow): MediaFeatures = {
+      require(opened, "decoder used before open() — partition lifecycle bug")
+      val bytes = row.payload
+      val n = bytes.length.toLong
+      // byte histogram → entropy (deterministic, decoder-ish work)
+      val hist = new Array[Long](256)
+      bytes.foreach(b => hist(b & 0xff) += 1)
+      val entropy = if (n == 0) 0.0 else {
+        var e = 0.0
+        hist.foreach { c =>
+          if (c > 0) { val p = c.toDouble / n; e -= p * math.log(p) / math.log(2) }
+        }
+        e
+      }
+      val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
+      MediaFeatures(
+        media_id = row.media_id, kind = row.kind, byte_len = n,
+        width = (h % 1920).toInt + 1, height = (h / 1920 % 1080).toInt + 1,
+        duration_ms = row.declared_ms.map(_.toLong).getOrElse(n / 10),
+        n_frames = (n / 1000).toInt + 1,
+        byte_entropy = math.floor(entropy * 10000 + 0.5) / 10000)
+    }
+  }
+
+  /** Fixture: wrap the documents table as media rows (text bytes as the
+    * opaque payload) — exercises the identical plumbing a real binary
+    * ingest would use. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("source"),
+        when(pmod(col("doc_id"), lit(5)) === 0, (col("n_chars") * 10).cast("int"))
+          .otherwise(lit(null)).as("declared_ms"))
+      .as[MediaRow]
+  }
+
+  /** Distributed feature extraction: one decoder per partition,
+    * open/close around the partition iterator (the lifecycle a native
+    * decoder requires), features emitted lazily. */
+  def extractFeatures(media: Dataset[MediaRow],
+      mkDecoder: () => MediaDecoder = () => new StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = mkDecoder()
+      dec.open()
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
+        def next(): MediaFeatures = dec.decode(it.next())
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: up to `maxFrames` evenly-spaced
+    * frame references per item. Pure column ops (sequence + explode) —
+    * no payload bytes move. */
+  def sampleFrames(features: Dataset[MediaFeatures], maxFrames: Int): Dataset[FrameSample] = {
+    import features.sparkSession.implicits._
+    val step = greatest((col("n_frames") / maxFrames).cast("int"), lit(1))
+    features.filter(col("kind") === "video")
+      .select(col("media_id"), col("byte_len"),
+        posexplode(sequence(lit(0), least(col("n_frames") - 1, lit(maxFrames - 1)))))
+      .select(col("media_id"), col("col").as("frame_idx"),
+        (col("col").cast("long") * 1000L).as("byte_offset"))
+      .as[FrameSample]
+  }
+}

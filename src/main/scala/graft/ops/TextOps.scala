@@ -274,6 +274,19 @@ object TextOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal metadata projection over the binary payload column
+    // (graft.multimodal): byte length, content digest, kind routing,
+    // declared-duration passthrough. The stubbed decoder's featurization
+    // is covered by MultimodalSpec; this query checks the Spark-side
+    // schema/plumbing against the oracle.
+    "q_multimodal_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.mediaFromDocuments(s, dir).toDF()
+        .select(col("media_id"), col("kind"),
+          octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("declared_ms"))
+        .orderBy("media_id")),
+
     // SimHash fingerprints via the native codegen'd expression
     // (graft.functions.SimHash64). Murmur3-based — no DuckDB
     // equivalent, so this is a rows-only query (no oracle entry).
@@ -374,6 +387,14 @@ object TextOps {
            |  CAST(best.hits AS INTEGER) AS marker_hits
            |FROM p ORDER BY doc_id""".stripMargin
       },
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id AS media_id,
+          |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+          |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+          |  md5(text) AS payload_md5,
+          |  CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars * 10 AS INTEGER) END AS declared_ms
+          |FROM documents ORDER BY media_id""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, lang,

@@ -46,7 +46,62 @@ object VectorOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Deterministic pseudo-random hyperplane weights for sign-LSH,
+    * derived from md5 so the DuckDB oracle reproduces them exactly:
+    * w(j,i) = (hash60("hp<j>_<i>") % 2001 − 1000) / 1000 ∈ [−1, 1]. */
+  def hyperplane(j: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).toArray.map { i =>
+      val hex = md.digest(s"hp${j}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  def hyperplaneSql(j: Int): String =
+    s"list_transform(range(0, 64), i -> " +
+      s"(CAST(('0x' || substr(md5('hp$j' || '_' || i), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
+
+  /** Sequential-fold dot product against a literal hyperplane. */
+  private def planeDot(emb: Column, w: Array[Double]): Column =
+    aggregate(zip_with(emb, lit(w), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8-bit sign-LSH bucket id of an embedding. */
+  def lshBucket(emb: Column, nBits: Int, dims: Int): Column =
+    (0 until nBits).map(j =>
+      when(planeDot(emb, hyperplane(j, dims)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def lshBucketSql(emb: String, nBits: Int): String =
+    (0 until nBits).map(j =>
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"i -> CAST($emb[i] AS DOUBLE) * (${hyperplaneSql(j)})[i])), (x, y) -> x + y) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Approximate nearest neighbors via sign-LSH: bucket every vector
+    // with 8 deterministic hyperplanes, search only the query's bucket,
+    // rank by exact cosine. Candidate generation is a hash join on the
+    // bucket id — the corpus is never scanned per query at scale.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
+        lshBucket(col("embedding"), 8, 64).as("bucket"))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+      // multi-probe: also search buckets one sign-flip away (at scale:
+      // enumerate the 9 probe bucket ids and hash-join on them)
+      bucketed.join(broadcast(q),
+          bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("bucket"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // Brute-force cosine top-10 against a fixed query vector
     // (vec_id = 0): broadcast the query row, single corpus pass.
     "q_similarity_topk" -> ((s, dir) => {
@@ -93,6 +148,18 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    CAST(${lshBucketSql("embedding", 8)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, b.bucket,
+         |  ${roundToSql(cosineSql("b.embedding", "q.q_emb"), 6)} AS cos_sim
+         |FROM b, q
+         |WHERE bit_count(xor(b.bucket, q.q_bucket)) <= 1 AND b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 5""".stripMargin,
+
     "q_similarity_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaDecoder, MediaFeatures, MediaRow}
+
+/** Multimodal plumbing: per-partition decoder lifecycle, deterministic
+  * stub features, frame sampling bounds. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("media fixture has binary payloads and kind routing") {
+    val m = Multimodal.mediaFromDocuments(spark, dir)
+    val kinds = m.toDF().groupBy($"kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+    val row = m.head()
+    assert(row.payload.nonEmpty)
+  }
+
+  test("feature extraction is deterministic and complete") {
+    val m = Multimodal.mediaFromDocuments(spark, dir)
+    val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    assert(f1.length === m.count())
+    assert(f1.map(_.byte_entropy).toSeq === f2.map(_.byte_entropy).toSeq)
+    assert(f1.forall(f => f.width >= 1 && f.width <= 1920))
+    assert(f1.forall(f => f.byte_len > 0))
+    // declared_ms passthrough for doc_id % 5 == 0
+    val withDecl = f1.filter(_.media_id % 5 == 0)
+    assert(withDecl.nonEmpty && withDecl.forall(f => f.duration_ms % 10 == 0))
+  }
+
+  test("decoder open/close lifecycle runs once per partition") {
+    val m = Multimodal.mediaFromDocuments(spark, dir).repartition(3)
+    val counts = spark.sparkContext.longAccumulator("opens")
+    class CountingDecoder extends Multimodal.StubDecoder {
+      override def open(): Unit = { counts.add(1); super.open() }
+    }
+    Multimodal.extractFeatures(m, () => new CountingDecoder).count()
+    assert(counts.value === 3)
+  }
+
+  test("frame sampling caps frames and only emits video rows") {
+    val m = Multimodal.mediaFromDocuments(spark, dir)
+    val f = Multimodal.extractFeatures(m)
+    val frames = Multimodal.sampleFrames(f, maxFrames = 4)
+    val nVideo = f.filter(_.kind == "video").count()
+    assert(frames.count() > 0)
+    val perItem = frames.groupBy($"media_id").count()
+    assert(perItem.filter($"count" > 4).count() === 0)
+    assert(perItem.count() === nVideo)
+    assert(frames.filter($"frame_idx" >= 4).count() === 0)
+  }
+}

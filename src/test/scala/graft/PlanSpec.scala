@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties (pruning,
+  * pushdown, broadcast strategy, codegen) that make these queries
+  * viable at 100 TB. A change that silently reads all columns, drops a
+  * pushed filter, or turns a broadcast join into a cartesian product
+  * fails here, not in production. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.01")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg scan prunes to the 5 referenced lineitem columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unreferenced column read from parquet")
+    assert(!p.contains("l_partkey"), "unreferenced column read from parquet")
+  }
+
+  test("q_filter_ops pushes the event_type predicate into the parquet scan") {
+    val p = plan("q_filter_ops")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"predicate not pushed:\n${p.take(2000)}")
+    // the ts nanos conversion must not widen the scan
+    assert(!p.contains("ts:"), "ts column read though unused")
+  }
+
+  test("q_enrich_join is a broadcast LEFT join, never a shuffle join") {
+    val p = plan("q_enrich_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftOuter"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_multi_join broadcasts every dimension (no fact-side shuffle before agg)") {
+    val p = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_similarity_topk broadcasts the query vector and take-orders the top-k") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k should be TakeOrdered, not a global sort")
+  }
+
+  test("q_sort_limit uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg aggregates inside WholeStageCodegen with partial aggregation") {
+    val qe = SparkEntry.queries("q1_agg")(spark, dir).queryExecution
+    qe.toRdd.count()  // materialize AQE stages so codegen markers appear
+    val p = qe.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in this rendering
+    assert(p.contains("WholeStageCodegen") || p.contains("*("))
+    assert(p.contains("HashAggregate"))
+    // partial + final pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_ngram_jaccard joins on the hashed shingle key (long), not strings") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), "pair space must not materialize")
+  }
+}

@@ -46,4 +46,19 @@ object Tables {
     val t = table(spark, sfDir, name)
     if (cols.isEmpty) t else t.select(cols.head, cols.tail: _*)
   }
+
+  /** S2 — JDBC dimension snapshot (reference: one-shot `SELECT id::text,
+    * content_type, length_seconds FROM content` into a driver-side map,
+    * EngagementProcessor.scala:72-99). Engine-native form: a pruned JDBC
+    * read the caller wraps in `broadcast()` at the join site. `dbtable`
+    * as a projection subquery pushes the column pruning into the
+    * database. */
+  def jdbcDim(spark: SparkSession, url: String, table: String,
+      cols: Seq[String], props: Map[String, String] = Map.empty): DataFrame = {
+    val projected = s"(SELECT ${cols.mkString(", ")} FROM $table) AS dim_snapshot"
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", projected)
+    props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
 }

@@ -112,6 +112,27 @@ object EngagementPipeline {
       .start()
   }
 
+  /** K5/T5/T6 — sampled console monitor: deterministic 1%-style sample
+    * (id-keyed, not rand(): EngagementProcessor.scala:187-188 via
+    * SURVEY.md §7.4-6), human-formatted line, console sink. */
+  def consoleMonitor(raw: DataFrame, contentDim: DataFrame,
+      ratePct: Int = 1): StreamingQuery =
+    Transforms.sampleDet(transform(raw, contentDim), "id", ratePct)
+      .select(format_string("[monitor] id=%d type=%s content=%s pct=%s",
+        col("id"), col("event_type"),
+        coalesce(col("content_type"), lit("unknown")),
+        coalesce(col("engagement_pct").cast("string"), lit("-"))).as("line"))
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+
+  /** A10 — per-trigger progress metrics (rate/lag derivation source):
+    * the engine-native replacement for the reference's Kafka
+    * consumer-group offset probe (monitor.py:138-159). */
+  def progressSummary(q: StreamingQuery): Option[(Long, Double, Double)] =
+    Option(q.lastProgress).map { p =>
+      (p.batchId, p.inputRowsPerSecond, p.processedRowsPerSecond)
+    }
+
   /** Windowed-aggregate stream to an in-memory table (for tests and the
     * console monitor analog — K5). */
   def startAggToMemory(raw: DataFrame, contentDim: DataFrame,

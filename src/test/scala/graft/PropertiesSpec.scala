@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{TextOps, Util}
+
+/** Property-style invariants over generated inputs (ScalaCheck Gen for
+  * data, one batched Spark pass per property — SURVEY.md §5). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    Iterator.from(0).map(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i))
+    ).flatten.take(n).toSeq
+
+  test("roundTo(x, 2) stays within half-ulp-of-cent of x and is idempotent") {
+    val xs = samples(Gen.chooseNum(-1e6, 1e6), 300)
+    val rows = xs.toDF("x")
+      .select($"x", Util.roundTo($"x", 2).as("r"),
+        Util.roundTo(Util.roundTo($"x", 2), 2).as("rr"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (x, r, rr) =>
+      assert(math.abs(r - x) <= 0.005 + 1e-9, s"x=$x r=$r")
+      assert(r === rr, s"not idempotent at $x")
+    }
+  }
+
+  test("minhash signature of a union is the element-wise min of signatures") {
+    val tokGen = Gen.listOfN(30, Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty))
+    val pairs = samples(Gen.zip(tokGen, tokGen), 25)
+    val df = pairs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a, b, (a ++ b).distinct)
+    }.toDF("id", "a", "b", "u")
+    val sig = (c: String) => TextOps.minhashSig(
+      TextOps.shingleHashes(array_distinct(col(c))), 8)
+    val rows = df.select(sig("a").as("sa"), sig("b").as("sb"), sig("u").as("su"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (sa, sb, su) =>
+      val expect = sa.zip(sb).map { case (x, y) => math.min(x, y) }
+      assert(su === expect)
+    }
+  }
+
+  test("simhash is permutation-invariant (bag semantics)") {
+    val tokGen = Gen.listOfN(20, Gen.identifier.map(_.take(8)))
+    val lists = samples(tokGen, 25).filter(_.nonEmpty)
+    val df = lists.zipWithIndex.flatMap { case (l, i) =>
+      Seq((i.toLong, 0, l), (i.toLong, 1, scala.util.Random.shuffle(l)))
+    }.toDF("id", "variant", "toks")
+      .select($"id", $"variant", graft.functions.simhash64($"toks").as("h"))
+    val byId = df.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).values
+    byId.foreach { vs =>
+      assert(vs.map(_._3).distinct.length === 1,
+        s"permutation changed simhash for id ${vs.head._1}")
+    }
+  }
+
+  test("deterministic sample partitions ids exactly by modulus") {
+    val rates = Seq(0, 1, 17, 50, 100)
+    val ids = samples(Gen.chooseNum(0L, 1000000L), 500).distinct
+    val df = ids.toDF("event_id")
+    rates.foreach { r =>
+      val got = graft.ops.Transforms.sampleDet(df, "event_id", r).count()
+      val expect = ids.count(_ % 100 < r)
+      assert(got === expect, s"rate=$r")
+    }
+  }
+
+  test("jaccard is bounded, reflexive, and symmetric on generated sets") {
+    val setGen = Gen.listOfN(15, Gen.chooseNum(1, 40).map(i => s"t$i")).map(_.distinct)
+    val pairs = samples(Gen.zip(setGen, setGen), 30)
+      .filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        TextOps.jaccard($"a", $"b").as("jab"),
+        TextOps.jaccard($"b", $"a").as("jba"),
+        TextOps.jaccard($"a", $"a").as("jaa"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (jab, jba, jaa) =>
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab === jba)
+      assert(jaa === 1.0)
+    }
+  }
+
+  test("sliding-10 rollup telescopes: window sum differences equal dropped minute") {
+    // build a dense synthetic minute series and check
+    // count_10m(t) - count_10m(t-1) == n(t) - n(t-10)
+    val ns = samples(Gen.chooseNum(1, 50), 120)
+    val minutes = ns.zipWithIndex.map { case (n, i) =>
+      (f"2024-01-01 ${i / 60}%02d:${i % 60}%02d", "t", n.toLong, 0.0)
+    }
+    val df = minutes.toDF("minute", "event_type", "access_count", "sum_value")
+    val slid = graft.ops.Aggregates.sliding10m(df)
+      .select($"minute", $"count_10m").as[(String, Long)].collect().sortBy(_._1)
+    val arr = ns.map(_.toLong)
+    slid.zipWithIndex.drop(10).take(50).foreach { case ((_, c10), i) =>
+      val prev = slid(i - 1)._2
+      assert(c10 - prev === arr(i) - arr(i - 10))
+    }
+  }
+}

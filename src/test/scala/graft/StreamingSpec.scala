@@ -74,6 +74,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("console monitor samples deterministically; progress metrics surface") {
+    val input = MemoryStream[String]
+    val q = EngagementPipeline.consoleMonitor(input.toDF(), contentDim, ratePct = 50)
+    try {
+      input.addData((1 to 20).map(i =>
+        env(i, "c1", "play", Some(10000), "c", 0)): _*)
+      q.processAllAvailable()
+      val prog = EngagementPipeline.progressSummary(q)
+      assert(prog.nonEmpty)
+      assert(prog.get._1 >= 0L) // batchId
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate warehouse rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val input = MemoryStream[String]

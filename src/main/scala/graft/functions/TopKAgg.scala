@@ -1,0 +1,144 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aggregation buffer: bounded top-k set of (score, key) pairs.
+  * Kept as a simple sorted array — k is small (≤ 100s), merges are
+  * k-way bounded, no allocation churn beyond the arrays. Ordering:
+  * higher score first, then key ascending (deterministic ties). */
+final class TopKBuffer(val k: Int) {
+  var scores: Array[Double] = new Array[Double](0)
+  var keys: Array[UTF8String] = new Array[UTF8String](0)
+
+  private def beats(s: Double, key: UTF8String, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && key.compareTo(keys(i)) < 0)
+
+  def insert(s: Double, key: UTF8String): Unit = {
+    var pos = scores.length
+    var i = 0
+    var found = false
+    while (i < scores.length && !found) {
+      if (beats(s, key, i)) { pos = i; found = true }
+      i += 1
+    }
+    if (pos >= k) return
+    val n = math.min(scores.length + 1, k)
+    val ns = new Array[Double](n)
+    val nk = new Array[UTF8String](n)
+    System.arraycopy(scores, 0, ns, 0, pos)
+    System.arraycopy(keys, 0, nk, 0, pos)
+    ns(pos) = s
+    nk(pos) = key
+    val tail = n - pos - 1
+    if (tail > 0) {
+      System.arraycopy(scores, pos, ns, pos + 1, tail)
+      System.arraycopy(keys, pos, nk, pos + 1, tail)
+    }
+    scores = ns
+    keys = nk
+  }
+
+  def mergeFrom(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.scores.length) { insert(o.scores(i), o.keys(i)); i += 1 }
+  }
+}
+
+/** True top-K as a Catalyst `TypedImperativeAggregate` — the streaming
+  * form of the Redis sink's rebuilt sorted sets
+  * (EngagementRedisSink.scala:186-197). Unlike `orderBy().limit(k)`,
+  * this aggregates with O(k) state per group, merges partial buffers
+  * (map-side combine works), and therefore drops into
+  * `groupBy(window(...)).agg(...)` in Structured Streaming where a
+  * global sort is unusable.
+  *
+  * Input: (score double, key string). Output:
+  * `array<struct<score:double, key:string>>` ranked best-first with
+  * deterministic tie-break (score desc, key asc).
+  */
+case class TopKByScore(
+    scoreExpr: Expression, keyExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(scoreExpr, keyExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("key", StringType, nullable = false))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val key = keyExpr.eval(input)
+    if (s != null && key != null) {
+      // clone: the UTF8String points into the current (reused) row buffer
+      buf.insert(s.asInstanceOf[Double], key.asInstanceOf[UTF8String].clone())
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = new Array[Any](buf.scores.length)
+    var i = 0
+    while (i < rows.length) {
+      rows(i) = InternalRow(buf.scores(i), buf.keys(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.scores.length)
+    var i = 0
+    while (i < buf.scores.length) {
+      out.writeDouble(buf.scores(i))
+      val kb = buf.keys(i).getBytes
+      out.writeInt(kb.length)
+      out.write(kb)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new TopKBuffer(in.readInt())
+    val n = in.readInt()
+    buf.scores = new Array[Double](n)
+    buf.keys = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      buf.scores(i) = in.readDouble()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.keys(i) = UTF8String.fromBytes(kb)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), keyExpr = newChildren(1))
+  override def prettyName: String = "topk_by_score"
+}

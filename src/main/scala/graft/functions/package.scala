@@ -15,6 +15,13 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     shims.column(CosineSim(shims.expression(a), shims.expression(b)))
 
+  /** Bounded-state top-K aggregate: `array<struct<score,key>>` ranked
+    * best-first (score desc, key asc). Streaming-safe (O(k) state,
+    * partial-merge capable). */
+  def topk_by_score(score: Column, key: Column, k: Int): Column =
+    shims.column(TopKByScore(shims.expression(score), shims.expression(key), k)
+      .toAggregateExpression())
+
   /** Register the native functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

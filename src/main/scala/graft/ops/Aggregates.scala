@@ -141,6 +141,23 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // A6 as a true aggregate: bounded-state top-K via the native
+    // TypedImperativeAggregate (graft.functions.TopKByScore) — per
+    // event_type, the top-3 busiest minutes. Partial buffers merge
+    // map-side, so this drops into streaming groupBy unchanged.
+    "q_topk_agg" -> ((s, dir) => {
+      val minutes = Tables.events(s, dir)
+        .groupBy(minuteBucket(col("ts")).as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      minutes.groupBy(col("event_type"))
+        .agg(graft.functions.topk_by_score(
+          col("n").cast("double"), col("minute"), 3).as("topk"))
+        .select(col("event_type"), posexplode(col("topk")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").cast("long").as("n"), col("col.key").as("minute"))
+        .orderBy("event_type", "rank")
+    }),
+
     // K4 analog: daily-partition rollup (search sink's daily index roll).
     "q_daily_partition" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -230,6 +247,18 @@ object Aggregates {
         |  f.pg_count - COALESCE(s.bq_count, 0) AS lag
         |FROM f LEFT JOIN s ON f.event_type = s.event_type
         |ORDER BY f.event_type""".stripMargin,
+
+    "q_topk_agg" ->
+      s"""WITH m AS (
+         |  SELECT ${minuteBucketSql("ts")} AS minute, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, minute, n,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY n DESC, minute ASC) AS rank
+         |  FROM m)
+         |SELECT event_type, rank, n, minute FROM r
+         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "q_daily_partition" ->
       s"""SELECT ${dayBucketSql("ts")} AS day, event_type, count(*) AS n,

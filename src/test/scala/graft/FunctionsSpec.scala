@@ -72,6 +72,28 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
   }
 
+  test("topk_by_score matches orderBy().limit(k) incl. tie-breaks, across partitions") {
+    val df = (1 to 500).map(i => ((i % 37).toDouble, s"key$i")).toDF("score", "key")
+      .repartition(7)  // force partial-buffer merges
+    val agg = df.agg(graft.functions.topk_by_score($"score", $"key", 10).as("t"))
+      .select(explode($"t")).select($"col.score", $"col.key")
+      .as[(Double, String)].collect().toSeq
+    val expect = (1 to 500).map(i => ((i % 37).toDouble, s"key$i"))
+      .sortBy { case (s, k) => (-s, k) }.take(10)
+    assert(agg === expect)
+  }
+
+  test("topk_by_score survives serialize/deserialize round trip") {
+    val a = graft.functions.TopKByScore(null, null, 3)
+    val buf = a.createAggregationBuffer()
+    Seq((5.0, "b"), (7.0, "a"), (5.0, "a"), (1.0, "z")).foreach { case (s, k) =>
+      buf.insert(s, org.apache.spark.unsafe.types.UTF8String.fromString(k))
+    }
+    val back = a.deserialize(a.serialize(buf))
+    assert(back.scores.toSeq === Seq(7.0, 5.0, 5.0))
+    assert(back.keys.map(_.toString).toSeq === Seq("a", "a", "b"))
+  }
+
   test("simhash pairs query finds the jaccard near-dups") {
     val truth = SparkEntry.queries("q_ngram_jaccard")(spark, sf("sf0.01"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

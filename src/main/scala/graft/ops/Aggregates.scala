@@ -158,6 +158,31 @@ object Aggregates {
         .orderBy("event_type", "rank")
     }),
 
+    // Session windows (absent in the reference — §2.6; engine-native
+    // via session_window in streaming). Batch/oracle formulation: a new
+    // session starts after a >5 min gap per user; sessionized count +
+    // exact duration. Expressed as lag + running sum of session starts —
+    // the same two-level shape DuckDB can check.
+    "q_session_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sessions = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 300000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("duration_ms"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          max(col("duration_ms")).as("max_session_ms"))
+        .orderBy("user_id")
+    }),
+
     // K4 analog: daily-partition rollup (search sink's daily index roll).
     "q_daily_partition" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -259,6 +284,28 @@ object Aggregates {
          |  FROM m)
          |SELECT event_type, rank, n, minute FROM r
          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 300000 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS duration_ms
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(max(duration_ms) AS BIGINT) AS max_session_ms
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_daily_partition" ->
       s"""SELECT ${dayBucketSql("ts")} AS day, event_type, count(*) AS n,

@@ -128,7 +128,52 @@ object Relational {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .limit(10))
+        .limit(10)),
+
+    // CUBE grouping sets (all four combinations).
+    "q_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // Pivot (categorical spread to columns): events per type × device-
+    // class bucket. Spark .pivot with explicit values keeps the plan
+    // static; oracle spells the same CASE-sum columns.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", pmod(col("user_id"), lit(3)))
+        .groupBy(col("event_type"))
+        .pivot("bucket", Seq(0, 1, 2))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("0" -> "b0", "1" -> "b1", "2" -> "b2"))
+        .na.fill(0L, Seq("b0", "b1", "b2"))
+        .orderBy("event_type")),
+
+    // Scalar subquery: orders above the global average price.
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPrice = o.agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Approximate distinct (HLL++) next to the exact count — the
+    // sketch differs from DuckDB's, so assert only the exact columns
+    // in the oracle; the approx column is test-bounded instead.
+    "q_distinct_approx" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,6 +245,30 @@ object Relational {
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE user_id % 3 = 0) AS b0,
+        |  count(*) FILTER (WHERE user_id % 3 = 1) AS b1,
+        |  count(*) FILTER (WHERE user_id % 3 = 2) AS b2
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_subquery" ->
+      s"""SELECT o_orderstatus, count(*) AS n_above FROM orders
+         |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / count(*)
+         |                      FROM orders) * 1.5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -70,6 +70,17 @@ class AggregatesSpec extends SparkSpec {
     assert(total === expect)
   }
 
+  test("approx_count_distinct tracks exact within its rsd bound") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val r = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    val (exact, approx) = r
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("entry flagship returns top-3 rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 3)

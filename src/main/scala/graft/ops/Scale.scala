@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques the 100 TB deployment reaches for when AQE alone
+  * isn't enough: key salting for skewed joins, bucketed tables for
+  * co-located (shuffle-free) fact-fact joins.
+  *
+  * AQE's skew-join split (spark.sql.adaptive.skewJoin) is the first
+  * line of defense and needs no code. Salting is the explicit form for
+  * aggregations and for joins AQE can't split (e.g. under
+  * stream-static constraints): the hot side spreads each key across
+  * `saltBuckets` partitions, the small side replicates each row
+  * `saltBuckets` times.
+  */
+object Scale {
+
+  /** Skew-proof LEFT join of a (possibly hot-keyed) fact against a
+    * small dim: fact rows get a deterministic salt from a stable id
+    * column, dim rows are exploded once per salt value. Result equals
+    * `fact.join(dim, keys, "left")` row-for-row. */
+  def saltedLeftJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltIdCol: String, saltBuckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(col(saltIdCol), lit(saltBuckets)).cast("int"))
+    val dimExp = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(broadcast(dimExp),
+        salted(factKey) === dimExp(dimKey) &&
+          salted("__salt") === dimExp("__salt"), "left")
+      .drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for hot grouping keys: partial
+    * aggregate on (key, salt), then final merge on key. Equivalent to
+    * `df.groupBy(key).agg(count, sum)` but no single reducer ever sees
+    * a whole hot key. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      saltIdCol: String, saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(col(saltIdCol), lit(saltBuckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).cast("double").as("sum_value"))
+
+  /** Write a table bucketed+sorted by its join key: two tables bucketed
+    * the same way join with ZERO shuffle (SortMergeJoin reads co-located
+    * buckets). The 100 TB answer for recurring fact-fact joins. */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String,
+      nBuckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Scale
+
+/** Skew/bucketing techniques: result equivalence + plan shape. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.01")
+
+  test("salted left join is row-equivalent to the plain join") {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.dim(spark, dir, "customer", "c_custkey", "c_mktsegment")
+    val plain = ev.join(cust, ev("user_id") === cust("c_custkey"), "left")
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val salted = Scale.saltedLeftJoin(ev, cust, "user_id", "c_custkey",
+        "event_id", saltBuckets = 8)
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val ev = Tables.events(spark, dir)
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Scale.saltedCountSum(ev, "event_type", "value", "event_id", 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_test LOCATION '$wh/db'")
+    spark.sql("USE graft_test")
+    try {
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity")
+      val od = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice")
+      Scale.writeBucketed(li, "li_b", "l_orderkey", 8, s"$wh/li_b")
+      Scale.writeBucketed(od, "od_b", "o_orderkey", 8, s"$wh/od_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("od_b"), $"l_orderkey" === $"o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${p.take(1500)}")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS od_b")
+      spark.sql("USE default")
+    }
+  }
+}

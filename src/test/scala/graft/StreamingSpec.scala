@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark bounds state: events later than 15 min behind max are dropped") {
+    val input = MemoryStream[String]
+    val agg = EngagementPipeline.windowedAgg(
+      EngagementPipeline.transform(input.toDF(), contentDim))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: events at minute 0 and minute 30 -> watermark = 30-15 = 15
+      input.addData(env(1, "c1", "play", Some(30000), "c", 0),
+        env(2, "c1", "play", Some(30000), "c", 30))
+      q.processAllAvailable()
+      // batch 2: a late event at minute 5 (< watermark) must be dropped;
+      // one at minute 31 is accepted
+      input.addData(env(3, "c1", "play", Some(30000), "c", 5),
+        env(4, "c1", "play", Some(30000), "c", 31))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close all windows
+      input.addData(env(5, "c1", "play", Some(30000), "c", 59))
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .select(date_format($"window.start", "mm").as("m"), $"access_count")
+        .as[(String, Long)].collect().toMap
+      assert(out.get("00").contains(1L), s"got $out")  // late row NOT added
+      assert(out.get("30").contains(1L))
+      assert(out.get("31").contains(1L))
+    } finally q.stop()
+  }
+
   test("console monitor samples deterministically; progress metrics surface") {
     val input = MemoryStream[String]
     val q = EngagementPipeline.consoleMonitor(input.toDF(), contentDim, ratePct = 50)

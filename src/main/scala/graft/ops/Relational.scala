@@ -166,6 +166,24 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // AS-OF join via the custom operator (graft.plans.AsOfJoin:
+    // logical node → strategy → one-pass merge exec): each event
+    // matched to the user's most recent order at event time. Right
+    // side deduped per (key, time) for deterministic ties; DuckDB
+    // checks it with its native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val od = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.plans.AsOf.join(ev, od,
+          ev("user_id"), od("o_custkey"), ev("ts"), od("o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
     // Approximate distinct (HLL++) next to the exact count — the
     // sketch differs from DuckDB's, so assert only the exact columns
     // in the oracle; the approx column is test-bounded instead.
@@ -269,6 +287,16 @@ object Relational {
 
     "q_distinct_approx" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, od.o_orderkey, od.o_totalprice
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }

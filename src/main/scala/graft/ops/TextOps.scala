@@ -221,9 +221,19 @@ object TextOps {
       val base = Tables.documents(s, dir)
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), col("lang"), shingles(col("toks")).as("sh"))
-      val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+      // persist: the self-join + sizes consume this subtree 3×, and the
+      // shingle+md5 work dominates — cache the small exploded
+      // (id, lang, hash) table instead of recomputing it
       val ex = base.select(col("doc_id"), col("lang"),
         explode(shingleHashes(col("sh"))).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // sizes DERIVED FROM the exploded index (count per doc), never
+      // from a second text scan: deriving them as size(sh) lets the
+      // downstream jaccard filter's inferred isnotnull(sz) constraint
+      // push the whole tokenize+shingle expression into the scan filter
+      // — with tokens captured per-element in the lambda (the 26×
+      // pathology) — measured 10× on the full query
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val common = ex.as("a").join(ex.as("b"),
           col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))

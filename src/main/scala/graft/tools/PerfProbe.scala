@@ -63,6 +63,47 @@ object PerfProbe {
     time("B explode inline")(exB.queryExecution.toRdd.count())
     val declared = graft.SparkEntry.queries("q_ngram_jaccard")(spark, dir)
     time("declared q_ngram_jaccard")(declared.queryExecution.toRdd.count())
+    // stage decomposition of the declared query
+    locally {
+      val base = Tables.documents(spark, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), TextOps.shingles(col("toks")).as("sh"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+      val ex2 = base.select(col("doc_id"), col("lang"),
+        explode(TextOps.shingleHashes(col("sh"))).as("h"))
+      time("stage: sizes")(sizes.queryExecution.toRdd.count())
+      time("stage: ex")(ex2.queryExecution.toRdd.count())
+      val common = ex2.as("a").join(ex2.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      time("stage: common")(common.queryExecution.toRdd.count())
+      val withSizes = common
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      time("stage: common+sizes")(withSizes.queryExecution.toRdd.count())
+      val filtered = withSizes
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), graft.ops.Util.roundTo(col("jaccard"), 4).as("jaccard"))
+      time("stage: +filter+round")(filtered.queryExecution.toRdd.count())
+      time("stage: +orderBy")(filtered.orderBy("id_a", "id_b").queryExecution.toRdd.count())
+      val jac = col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))
+      time("variant: filter only")(
+        withSizes.filter(jac >= 0.5).queryExecution.toRdd.count())
+      time("variant: round only")(
+        withSizes.select(graft.ops.Util.roundTo(jac, 4).as("j")).queryExecution.toRdd.count())
+      time("variant: filter common>=2")(
+        withSizes.filter(col("common") >= 2).queryExecution.toRdd.count())
+      time("variant: jac as col + filter")(
+        withSizes.withColumn("j", jac).filter(col("j") >= 0.5)
+          .queryExecution.toRdd.count())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/filtered_plan.txt"),
+        withSizes.filter(jac >= 0.5).queryExecution.executedPlan.toString)
+    }
     println(declared.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Project") || l.contains("Generate") || l.contains("Join"))
       .map(_.take(200)).mkString("\n"))

@@ -125,6 +125,30 @@ object Transforms {
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy("event_id")),
 
+    // T1 error path: drop-on-malformed semantics, oracle-checked.
+    // Deterministically corrupt every 7th props payload (truncate the
+    // closing brace) and show parse-failure routing: corrupt rows keep
+    // flowing with a null parse (reference drops at flatMap; counting
+    // both sides makes the conservation visible).
+    "q_json_corrupt" -> ((s, dir) => {
+      val broken = Tables.events(s, dir)
+        .withColumn("payload",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            substring(col("props"), 1, 4))  // "{\"k:" — invalid JSON
+            .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("payload"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+      // PERMISSIVE from_json yields an all-null struct (not a null
+      // struct) on malformed input — detect failure via the field,
+      // which every valid payload populates
+      broken.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("parsed.k").isNull, 1)).as("n_corrupt"),
+        sum(col("parsed.k")).as("sum_k_valid"))
+    }),
+
     // T6/T7: per-sink serialization projection — second-truncated
     // timestamp, fixed-format metric, pipe-joined line.
     "q_serialize" -> ((s, dir) =>
@@ -161,6 +185,18 @@ object Transforms {
     "q_sample_det" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id % 100 < 1 ORDER BY event_id""".stripMargin,
+
+    "q_json_corrupt" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4) ELSE props END AS payload
+        |  FROM events)
+        |SELECT count(*) AS n_total,
+        |  count(*) FILTER (WHERE NOT json_valid(payload)) AS n_corrupt,
+        |  CAST(sum(CASE WHEN json_valid(payload)
+        |      THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS BIGINT)
+        |    AS sum_k_valid
+        |FROM b""".stripMargin,
 
     "q_serialize" ->
       s"""SELECT event_id,

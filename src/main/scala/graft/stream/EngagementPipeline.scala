@@ -43,6 +43,15 @@ object EngagementPipeline {
       .withColumn("processing_time", current_timestamp())
   }
 
+  /** Streaming exact-once event dedup: drops redelivered events by id
+    * within the watermark horizon — the missing piece behind the
+    * reference's at-least-once replay duplication (SURVEY.md §2.7).
+    * State is bounded by the same 15-minute watermark as the aggs. */
+  def dedupeEvents(derived: DataFrame): DataFrame =
+    derived
+      .withWatermark("event_time", "15 minutes")
+      .dropDuplicatesWithinWatermark("id")
+
   /** A1/A2 windowed aggregation with watermark-bounded state. */
   def windowedAgg(derived: DataFrame): DataFrame =
     derived

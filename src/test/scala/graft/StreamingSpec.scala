@@ -115,6 +115,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    val input = MemoryStream[String]
+    val deduped = EngagementPipeline.dedupeEvents(
+      EngagementPipeline.transform(input.toDF(), contentDim))
+    val q = deduped.select($"id").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(env(1, "c1", "play", Some(1000), "c", 0),
+        env(2, "c1", "play", Some(1000), "c", 1))
+      q.processAllAvailable()
+      // redeliver id=1 (same content), plus a fresh id=3
+      input.addData(env(1, "c1", "play", Some(1000), "c", 0),
+        env(3, "c1", "play", Some(1000), "c", 2))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate warehouse rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val input = MemoryStream[String]

@@ -129,6 +129,41 @@ object VectorOps {
         .limit(20)
     }),
 
+    // IVF-style ANN: coarse quantizer = per-label centroids (computed
+    // exactly via per-dimension decimal sums), probe the nProbe=2
+    // nearest cells by centroid dot product, exact cosine rerank inside
+    // those cells only. At scale the centroid table is tiny and
+    // broadcast, and the corpus is partitioned by cell — the probe
+    // touches 2/N of the data.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // (label, dim, centroid-component) — decimal-exact mean
+      val comps = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)))
+          .cast("double") / count(lit(1))).as("c"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("dim", "qx")))
+      // query→centroid dot product, order-independent decimal sum
+      val cellScore = comps.join(broadcast(q), "dim")
+        .groupBy(col("label"))
+        .agg(sum((col("c") * col("qx").cast("double"))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+          .cast("double").as("cell_dot"))
+      val probed = cellScore
+        .orderBy(col("cell_dot").desc, col("label").asc).limit(2)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.join(broadcast(probed.select(col("label"))), Seq("label"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -148,6 +183,27 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |comps AS (
+         |  SELECT label, i - 1 AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+         |      / count(*) AS c
+         |  FROM embeddings, dims GROUP BY 1, 2),
+         |q AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS qx
+         |      FROM embeddings, dims WHERE vec_id = 0),
+         |cell AS (
+         |  SELECT c.label,
+         |    CAST(SUM(CAST(c.c * q.qx AS DECIMAL(28,12))) AS DOUBLE) AS cell_dot
+         |  FROM comps c JOIN q ON c.dim = q.dim GROUP BY 1),
+         |probed AS (SELECT label FROM cell ORDER BY cell_dot DESC, label ASC LIMIT 2),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  ${roundToSql(cosineSql("e.embedding", "qv.q_emb"), 6)} AS cos_sim
+         |FROM embeddings e JOIN probed p ON e.label = p.label, qv
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
     "q_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding,

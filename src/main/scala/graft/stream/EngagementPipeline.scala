@@ -121,6 +121,68 @@ object EngagementPipeline {
       .start()
   }
 
+  /** Closed user session emitted by [[sessionize]]. */
+  case class UserSession(
+      user_id: String, n_events: Long, first_ms: Long, last_ms: Long,
+      duration_ms: Long)
+
+  /** Internal state for [[sessionize]] (public: the state encoder's
+    * generated code needs Java-visible accessors). */
+  case class SessionState(nEvents: Long, firstMs: Long, lastMs: Long)
+
+  /** Custom keyed state: per-user session tracking via
+    * `flatMapGroupsWithState` — the arbitrary-state API the windowed
+    * aggs don't need but a real session product does (SURVEY.md §2.4
+    * note on mapGroupsWithState). A session closes after `gapMs` of
+    * event-time silence (watermark-driven timeout); closed sessions are
+    * emitted downstream, open ones live in the state store. Batch
+    * analog: the q_session_window declared query. */
+  def sessionize(derived: DataFrame, gapMs: Long = 300000L)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = derived.sparkSession
+    import spark.implicits._
+    // the watermarked timestamp column must flow INTO the stateful op
+    // untouched — any projection/map to a long severs the watermark and
+    // EventTimeTimeout refuses to plan; convert inside the function
+    val events = derived
+      .withWatermark("event_time", "15 minutes")
+      .select(col("user_id"), col("event_time"))
+      .as[(String, java.sql.Timestamp)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(user, s.nEvents, s.firstMs, s.lastMs,
+              s.lastMs - s.firstMs))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                case Some(s) =>
+                  closed ::= UserSession(user, s.nEvents, s.firstMs, s.lastMs,
+                    s.lastMs - s.firstMs)
+                  cur = Some(SessionState(1L, t, t))
+                case None =>
+                  cur = Some(SessionState(1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** K5/T5/T6 — sampled console monitor: deterministic 1%-style sample
     * (id-keyed, not rand(): EngagementProcessor.scala:187-188 via
     * SURVEY.md §7.4-6), human-formatted line, console sink. */

@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    val input = MemoryStream[String]
+    val sessions = EngagementPipeline.sessionize(
+      EngagementPipeline.transform(input.toDF(), contentDim), gapMs = 300000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user u1: events at minute 0,2 then a gap to minute 20 (>5 min)
+      // -> first session closes when the second one arrives
+      input.addData(
+        env(1, "c1", "play", Some(1000), "c", 0).replace("\"user_id\": \"u1\"", "\"user_id\": \"alice\"").replace("u1", "alice"),
+        env(2, "c1", "play", Some(1000), "c", 2).replace("u2", "alice"),
+        env(3, "c1", "play", Some(1000), "c", 20).replace("u3", "alice"),
+        env(4, "c1", "play", Some(1000), "c", 59))  // u4: watermark driver
+      q.processAllAvailable()
+      // push watermark far forward so open sessions time out
+      input.addData(env(5, "c1", "play", Some(1000), "c", 59)
+        .replace("00:59", "23:59"))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[EngagementPipeline.UserSession].collect()
+        .filter(_.user_id == "alice").sortBy(_.first_ms)
+      assert(out.length === 2, s"got ${out.toSeq}")
+      assert(out(0).n_events === 2 && out(0).duration_ms === 120000L)
+      assert(out(1).n_events === 1 && out(1).duration_ms === 0L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     val input = MemoryStream[String]
     val deduped = EngagementPipeline.dedupeEvents(

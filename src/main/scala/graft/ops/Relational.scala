@@ -166,6 +166,22 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Interval/range join: lineitems shipped within 90 days of their
+    // order's date — equi-key join with a range predicate (the planner
+    // keeps it a hash join on orderkey; the range is a post-filter, so
+    // no O(n·m) range scan).
+    "q_interval_join" -> ((s, dir) => {
+      val li = Tables.dim(s, dir, "lineitem", "l_orderkey", "l_shipdate", "l_extendedprice")
+      val o = Tables.dim(s, dir, "orders", "o_orderkey", "o_orderdate", "o_orderstatus")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_in_window"),
+          dsum(col("l_extendedprice")).as("window_value"))
+        .orderBy("o_orderstatus")
+    }),
+
     // AS-OF join via the custom operator (graft.plans.AsOfJoin:
     // logical node → strategy → one-pass merge exec): each event
     // matched to the user's most recent order at event time. Right
@@ -288,6 +304,15 @@ object Relational {
     "q_distinct_approx" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_join" ->
+      s"""SELECT o.o_orderstatus, count(*) AS n_in_window,
+         |  ${dsumSql("l.l_extendedprice")} AS window_value
+         |FROM lineitem l JOIN orders o
+         |  ON l.l_orderkey = o.o_orderkey
+         | AND l.l_shipdate >= o.o_orderdate
+         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH od AS (

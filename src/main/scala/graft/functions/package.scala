@@ -29,5 +29,8 @@ package object functions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("topk_by_score",
+      exprs => TopKByScore(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

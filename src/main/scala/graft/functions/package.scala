@@ -15,6 +15,12 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     shims.column(CosineSim(shims.expression(a), shims.expression(b)))
 
+  /** Generator: explode the distinct 60-bit word-n-gram shingle hashes
+    * of a token array in one pass (use with `Dataset.select`, like
+    * `explode`). */
+  def ngram_hash_explode(tokens: Column, n: Int = 3): Column =
+    shims.column(NGramHashExplode(shims.expression(tokens), n))
+
   /** Bounded-state top-K aggregate: `array<struct<score,key>>` ranked
     * best-first (score desc, key asc). Streaming-safe (O(k) state,
     * partial-merge capable). */

@@ -218,14 +218,16 @@ object TextOps {
       // array must be INLINE in the explode — exploding a
       // Project-materialized array column is 20× slower (11 s vs 0.6 s)
       // than computing it inside the Generate.
-      val base = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("lang"), shingles(col("toks")).as("sh"))
+      // single-pass shingle hashing via the native Generator
+      // (graft.functions.NGramHashExplode): tokens → distinct 60-bit
+      // hashes directly, no shingle strings or arrays materialized.
       // persist: the self-join + sizes consume this subtree 3×, and the
       // shingle+md5 work dominates — cache the small exploded
       // (id, lang, hash) table instead of recomputing it
-      val ex = base.select(col("doc_id"), col("lang"),
-        explode(shingleHashes(col("sh"))).as("h"))
+      val ex = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.ngram_hash_explode(col("toks")).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sizes DERIVED FROM the exploded index (count per doc), never
       // from a second text scan: deriving them as size(sh) lets the

@@ -94,6 +94,29 @@ class FunctionsSpec extends SparkSpec {
     assert(back.keys.map(_.toString).toSeq === Seq("a", "a", "b"))
   }
 
+  test("ngram_hash_explode emits the same hash multiset as the expression chain") {
+    val docs = graft.io.Tables.documents(spark, sf("sf0.01")).limit(200)
+      .withColumn("toks", TextOps.tokens($"text"))
+    val viaExpr = docs
+      .select($"doc_id", explode(TextOps.shingleHashes(TextOps.shingles($"toks"))).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val viaGen = docs
+      .select($"doc_id", graft.functions.ngram_hash_explode($"toks").as("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaGen === viaExpr)
+  }
+
+  test("ngram_hash_explode edge cases: empty, short, null-element inputs") {
+    val df = Seq(
+      (1L, Seq("a", "b")),          // <3 tokens -> 1 whole-text shingle
+      (2L, Seq("a", "b", "c")),     // exactly 3 -> 1 shingle
+      (3L, Seq.empty[String])       // empty -> 1 hash of ""
+    ).toDF("id", "toks")
+      .select($"id", graft.functions.ngram_hash_explode($"toks").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
+    assert(df === Map(1L -> 1, 2L -> 1, 3L -> 1))
+  }
+
   test("simhash pairs query finds the jaccard near-dups") {
     val truth = SparkEntry.queries("q_ngram_jaccard")(spark, sf("sf0.01"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -70,10 +70,6 @@ object TextOps {
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
-  def jaccardSql(a: String, b: String): String =
-    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
-      s"(len($a) + len($b) - len(list_intersect($a, $b)))"
-
   /** MinHash via affine permutations: ONE md5 per shingle, then k
     * cheap `(a_i·h + b_i) mod p` permutations (p = 2³¹−1). 16× less
     * hashing than per-seed md5 — at 100 TB the md5 is the hot loop.

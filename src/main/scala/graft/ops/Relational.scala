@@ -200,6 +200,43 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Scalar date/time function coverage: extract + arithmetic + format.
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_day"))
+        .orderBy("yr", "qtr")),
+
+    // Scalar string function coverage: case, substring, pad, trim,
+    // concat, replace, length — engine-native scalar library over the
+    // dimension attributes.
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+          concat_ws("-", lower(col("c_mktsegment")),
+            col("c_nationkey").cast("string")).as("seg_nation"),
+          length(regexp_replace(col("c_name"), "[aeiou]", "")).as("consonant_len"))
+        .orderBy("c_custkey")),
+
+    // Conditional/null-handling function coverage: CASE, nullif,
+    // coalesce, least/greatest.
+    "q_conditional_funcs" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .otherwise("high").as("bal_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_or_other"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_nationkey").cast("long"), lit(10L)).as("nation_capped"))
+        .orderBy("c_custkey")),
+
     // Approximate distinct (HLL++) next to the exact count — the
     // sketch differs from DuckDB's, so assert only the exact columns
     // in the oracle; the approx column is test-bounded instead.
@@ -304,6 +341,31 @@ object Relational {
     "q_distinct_approx" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_date_funcs" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS total,
+         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  concat_ws('-', lower(c_mktsegment), CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+        |  CAST(length(regexp_replace(c_name, '[aeiou]', '', 'g')) AS INTEGER) AS consonant_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_conditional_funcs" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
+        |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+        |  GREATEST(c_acctbal, 0.0) AS bal_floor,
+        |  LEAST(CAST(c_nationkey AS BIGINT), 10) AS nation_capped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_interval_join" ->
       s"""SELECT o.o_orderstatus, count(*) AS n_in_window,

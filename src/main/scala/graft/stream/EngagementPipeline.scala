@@ -72,6 +72,13 @@ object EngagementPipeline {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      // consumer fetch tuning carried over from the reference
+      // (.env:14-17, README.md:41-50): batch fetches for throughput,
+      // bounded wait for latency
+      .option("kafka.fetch.min.bytes", "1048576")
+      .option("kafka.fetch.max.wait.ms", "500")
+      .option("kafka.max.partition.fetch.bytes", "2097152")
+      .option("kafka.receive.buffer.bytes", "1048576")
       .load()
 
   /** File-drop source with the same envelope contract (one JSON string

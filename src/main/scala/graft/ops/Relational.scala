@@ -200,6 +200,23 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // RANGE-frame window (value-based, vs the ROWS frames elsewhere):
+    // trailing-7-day order count/revenue per customer — gaps in the
+    // date axis are handled by the frame, not row counting.
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      Tables.orders(s, dir)
+        .withColumn("day_num", datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("rev_7d",
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+          col("n_7d"), col("rev_7d"))
+        .orderBy("o_orderkey")
+    }),
+
     // Scalar date/time function coverage: extract + arithmetic + format.
     "q_date_funcs" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -341,6 +358,19 @@ object Relational {
     "q_distinct_approx" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS day_num
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day_num,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rev_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_date_funcs" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every declared query on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * plus, when `bench_baseline.json` exists, a `regressions` map of
+  * queries slower than 1.5× their pinned round-1 time, and a `failed`
+  * array so a failing query can never masquerade as a fast success.
   *
   * Each query is forced through `queryExecution.toRdd.count()` — unlike
   * `df.count()`, this executes the query's full physical plan (sorts,
@@ -32,18 +35,58 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // cache hygiene: queries that persist() an internal subtree are
+      // done with it — drop the blocks so the NEXT query's timing isn't
+      // distorted by pinned storage memory (measured: leaked caches from
+      // the text self-join queries doubled later window-query times)
+      finally spark.sharedState.cacheManager.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val timings = results.toMap
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) -1.0 else v)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+
+    // regression gate vs the pinned round-1 baseline (>1.5× slower)
+    val baseline = readBaseline("bench_baseline.json")
+    val regressions = baseline.toSeq.flatMap { case (name, b) =>
+      timings.get(name).filter(t => !failed.contains(name) && b > 0 && t > b * 1.5)
+        .map(t => name -> (t / b))
+    }.sortBy(-_._2)
+    regressions.foreach { case (n, r) =>
+      System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx vs baseline")
+    }
+    val regJson = regressions.map { case (k, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Minimal parse of bench_baseline.json's {"queries":{name:sec}} via
+    * the Jackson shipped with Spark — no extra dependency. */
+  private def readBaseline(path: String): Map[String, Double] = {
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) return Map.empty
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(f)
+      val qs = root.get("queries")
+      if (qs == null) return Map.empty
+      val it = qs.fieldNames()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble() }
+      b.result()
+    } catch { case _: Throwable => Map.empty }
   }
 }

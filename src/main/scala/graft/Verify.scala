@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // harness-side cache hygiene: queries that persist() an internal
+      // subtree (self-join text/minhash queries) are done with it once
+      // their action completes — drop the blocks so later queries get
+      // the full execution-memory budget
+      finally spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

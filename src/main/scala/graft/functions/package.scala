@@ -11,6 +11,10 @@ package object functions {
   def simhash64(tokens: Column): Column =
     shims.column(SimHash64(shims.expression(tokens)))
 
+  /** 60-bit SimHash over the md5-prefix token hash (oracle-checkable). */
+  def simhash60_md5(tokens: Column): Column =
+    shims.column(SimHash60Md5(shims.expression(tokens)))
+
   /** Codegen'd cosine similarity of two float vectors. */
   def cosine_sim(a: Column, b: Column): Column =
     shims.column(CosineSim(shims.expression(a), shims.expression(b)))
@@ -33,6 +37,8 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash60_md5",
+      exprs => SimHash60Md5(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",

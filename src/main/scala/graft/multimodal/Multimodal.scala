@@ -110,17 +110,21 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: up to `maxFrames` evenly-spaced
-    * frame references per item. Pure column ops (sequence + explode) —
-    * no payload bytes move. */
+  /** Frame sampling for video payloads: up to `maxFrames` EVENLY-SPACED
+    * frame references per item — indices 0, step, 2·step, … with
+    * step = ⌈n_frames / maxFrames⌉, so coverage spans the whole clip
+    * instead of its first seconds. Pure column ops (sequence + explode),
+    * no payload bytes move; byte_offset assumes the fixed-size-frame
+    * container the stub models: frame_idx · ⌊byte_len / n_frames⌋. */
   def sampleFrames(features: Dataset[MediaFeatures], maxFrames: Int): Dataset[FrameSample] = {
     import features.sparkSession.implicits._
-    val step = greatest((col("n_frames") / maxFrames).cast("int"), lit(1))
+    val step = floor((col("n_frames") + lit(maxFrames - 1)) / lit(maxFrames)).cast("int")
     features.filter(col("kind") === "video")
-      .select(col("media_id"), col("byte_len"),
-        posexplode(sequence(lit(0), least(col("n_frames") - 1, lit(maxFrames - 1)))))
-      .select(col("media_id"), col("col").as("frame_idx"),
-        (col("col").cast("long") * 1000L).as("byte_offset"))
+      .select(col("media_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, step)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx").cast("long") *
+          floor(col("byte_len") / col("n_frames")).cast("long")).as("byte_offset"))
       .as[FrameSample]
   }
 }

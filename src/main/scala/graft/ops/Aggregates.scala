@@ -115,17 +115,33 @@ object Aggregates {
     }),
 
     // A8: per-minute rate derivation via lag() — (count−prev)/Δt,
-    // clamped ≥0 like monitor.py:224-229.
+    // clamped ≥0 like monitor.py:224-229. The minute-level lag window is
+    // PARTITIONED BY DAY (≤1440 rows per partition — no single-partition
+    // WindowExec over the whole minute axis); the first minute of each
+    // day takes its predecessor from the previous present day's last
+    // minute via a day-level boundary window. That window runs over ONE
+    // ROW PER DAY — bounded by the calendar, not the data — under a
+    // constant partition key (the planner's single-partition warning
+    // targets unbounded inputs; this one cannot grow with event volume).
     "q_rate_lag" -> ((s, dir) => {
       val perMin = Tables.events(s, dir)
         .groupBy(minuteBucket(col("ts")).as("minute"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("minute"))
-      perMin
-        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("day", substring(col("minute"), 1, 10))
+      val wDay = Window.partitionBy(col("day")).orderBy(col("minute"))
+      val lagged = perMin.withColumn("prev_in_day", lag(col("n"), 1).over(wDay))
+      val dayLast = perMin.groupBy(col("day"))
+        .agg(max(struct(col("minute"), col("n"))).as("last"))
+      val wDays = Window.partitionBy(lit(0)).orderBy(col("day"))
+      val prevDay = dayLast
+        .withColumn("boundary_n", lag(col("last.n"), 1).over(wDays))
+        .select(col("day"), col("boundary_n"))
+      lagged.join(broadcast(prevDay), Seq("day"))
+        .withColumn("prev_n", coalesce(col("prev_in_day"), col("boundary_n")))
         .withColumn("rate_per_sec",
           when(col("prev_n").isNotNull,
             greatest((col("n") - col("prev_n")) / 60.0, lit(0.0))))
+        .select(col("minute"), col("n"), col("prev_n"), col("rate_per_sec"))
         .orderBy("minute")
     }),
 

@@ -89,12 +89,18 @@ object VectorOps {
       val e = Tables.embeddings(s, dir)
       val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
         lshBucket(col("embedding"), 8, 64).as("bucket"))
-      val q = bucketed.filter(col("vec_id") === 0)
-        .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
-      // multi-probe: also search buckets one sign-flip away (at scale:
-      // enumerate the 9 probe bucket ids and hash-join on them)
-      bucketed.join(broadcast(q),
-          bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+      // multi-probe: ENUMERATE the 9 probe bucket ids (exact + 8
+      // one-bit flips) on the query side and equi-join on `bucket` —
+      // candidate generation is a broadcast HASH join touching only the
+      // probed buckets, never a per-query corpus scan (hamming(bucket,
+      // q_bucket) <= 1  ⟺  bucket ∈ {q, q⊕2⁰, …, q⊕2⁷}, and the 9 probe
+      // ids are distinct, so no dedup is needed). PlanSpec pins the
+      // no-BroadcastNestedLoopJoin shape.
+      val probes = bucketed.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"),
+          explode(array(col("bucket") +: (0 until 8).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      bucketed.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"), col("bucket"),
           roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"))

@@ -75,40 +75,52 @@ case class AsOfJoinExec(
       // candidate = last right row with key == leftKey, time <= leftTime
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var candidate: InternalRow = null
-      var candidateKey: UnsafeProjection = null
       var candKeyRow: InternalRow = null
 
       lIter.map { lRow =>
         val lk = lKey(lRow).copy()
         val lt = lTime(lRow).copy()
-        // drop candidate if key moved past it
-        if (candKeyRow != null && candKeyRow != lk && !candKeyRow.equals(lk)) {
-          candidate = null; candKeyRow = null
-        }
-        var advancing = true
-        while (advancing && rHead != null) {
-          val rk = rKey(rHead)
-          val cmpKey = ordCompare(rk, lk)
-          if (cmpKey < 0) {
-            rHead = if (rIter.hasNext) rIter.next() else null
-          } else if (cmpKey == 0 && ordCompare(rTime(rHead), lt) <= 0) {
-            candidate = rHead.copy()
-            candKeyRow = lk
-            rHead = if (rIter.hasNext) rIter.next() else null
-          } else {
-            advancing = false
+        if (lk.isNullAt(0) || lt.isNullAt(0)) {
+          // null left key/time never matches (SQL join semantics) —
+          // don't touch the merge state: nulls sort first, so they
+          // precede all non-null keys in this partition's order
+          out(joined(lRow, nullRight))
+        } else {
+          // drop candidate if key moved past it
+          if (candKeyRow != null && candKeyRow != lk && !candKeyRow.equals(lk)) {
+            candidate = null; candKeyRow = null
           }
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rk = rKey(rHead)
+            if (rk.isNullAt(0) || rTime(rHead).isNullAt(0)) {
+              // null right key/time can match nothing — skip
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val cmpKey = ordCompare(rk, lk)
+              if (cmpKey < 0) {
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (cmpKey == 0 && ordCompare(rTime(rHead), lt) <= 0) {
+                candidate = rHead.copy()
+                candKeyRow = lk
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else {
+                advancing = false
+              }
+            }
+          }
+          val r = if (candidate != null && candKeyRow != null && candKeyRow.equals(lk))
+            candidate else nullRight
+          out(joined(lRow, r))
         }
-        val r = if (candidate != null && candKeyRow != null && candKeyRow.equals(lk))
-          candidate else nullRight
-        out(joined(lRow, r))
       }
     }
   }
 
-  /** Compare two single-field unsafe rows byte-lexicographically via
-    * their binary form — valid for the long/timestamp keys this
-    * operator targets (both sides produced by identical projections). */
+  /** Compare two single-field unsafe rows via their 64-bit slot —
+    * valid ONLY for long/timestamp-backed keys, which
+    * [[AsOf.validateTypes]] enforces at analysis time (a string key
+    * would compare (offset,size) words; an int would zero-extend). */
   private def ordCompare(a: InternalRow, b: InternalRow): Int = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow].getLong(0)
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow].getLong(0)
@@ -123,7 +135,8 @@ case class AsOfJoinExec(
 /** Planner strategy: logical AsOfJoin → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOf.validateTypes(j)  // belt-and-braces: AsOf.join checks eagerly
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
@@ -151,7 +164,33 @@ object AsOf {
       shims.logicalPlan(leftDf), shims.logicalPlan(rightDf),
       shims.expression(leftKey), shims.expression(rightKey),
       shims.expression(leftTime), shims.expression(rightTime))
-    shims.ofRows(spark, plan)
+    val df = shims.ofRows(spark, plan)
+    // fail fast at analysis time, not with silently-wrong merge results:
+    // the exec's single-slot comparator is only valid for 64-bit types
+    df.queryExecution.analyzed.foreach {
+      case j: AsOfJoin => validateTypes(j)
+      case _ =>
+    }
+    df
+  }
+
+  /** The merge exec compares key/time via the raw 64-bit UnsafeRow slot,
+    * so only long/timestamp-backed expressions are sound. Anything else
+    * (string, int, date, decimal…) would produce wrong answers, not
+    * errors — reject it during analysis. */
+  def validateTypes(j: AsOfJoin): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    def check(role: String, e: Expression): Unit = {
+      if (e.resolved && !Seq(LongType, TimestampType, TimestampNTZType)
+          .contains(e.dataType)) {
+        throw new IllegalArgumentException(
+          s"as-of join $role must be 64-bit-backed (LONG or TIMESTAMP), " +
+            s"got ${e.dataType.sql}; cast the column explicitly " +
+            "(e.g. unix_millis) to choose the ordering semantics")
+      }
+    }
+    check("left key", j.leftKey); check("right key", j.rightKey)
+    check("left time", j.leftTime); check("right time", j.rightTime)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -89,18 +89,35 @@ object EngagementPipeline {
   /** Three-sink fan-out in one pass per micro-batch: the batch is
     * persisted once and written to all targets, then unpersisted —
     * the Spark-native form of the reference's shared-upstream fan-out
-    * (EngagementProcessor.scala:197-213). */
+    * (EngagementProcessor.scala:197-213).
+    *
+    * IDEMPOTENT under mid-batch failure: every file write is keyed by
+    * `batch_id` with dynamic partition overwrite, so a batch that
+    * replays (crash after a write, before the checkpoint commit)
+    * OVERWRITES exactly the partitions it wrote the first time instead
+    * of appending duplicates — exactly-once to the file sinks; the
+    * analytics snapshot is a whole-dir overwrite (last writer wins).
+    * Crash-injected restart is covered by StreamingSpec. */
   def fanOutBatch(warehouseDir: String, searchDir: String, analyticsDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
-      // K3 warehouse append (BigQuery analog): plain append, partitioned
-      // nowhere — compaction is the warehouse's job.
-      batch.drop("raw_payload").write.mode("append").parquet(warehouseDir)
+      // K3 warehouse append (BigQuery analog): append ≡ one new
+      // batch_id partition; replay rewrites the same partition.
+      batch.drop("raw_payload").withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(warehouseDir)
       // K4 search-index analog: daily index roll ≡ date partition
-      // (ElasticsearchSink.scala:184-185).
+      // (ElasticsearchSink.scala:184-185); batch_id nested INSIDE the
+      // date so replay only touches this batch's slice of each day.
       batch.withColumn("event_date", to_date(col("event_time")))
-        .write.mode("append").partitionBy("event_date").parquet(searchDir)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date", "batch_id")
+        .parquet(searchDir)
       // K2 analytics (Redis analog): top-K per content_type by summed
       // engagement, recomputed per batch, overwrite-latest.
       val topk = batch
@@ -127,6 +144,75 @@ object EngagementPipeline {
         s"$outRoot/warehouse", s"$outRoot/search", s"$outRoot/analytics") _)
       .start()
   }
+
+  /** Streaming A4/A5/A6 — the reference's Redis sink recomputes the
+    * 10-minute sliding stats + top-K on every flush
+    * (EngagementRedisSink.scala:160-197). Spark form, same two-level
+    * shape as the batch queries:
+    *
+    *   1-min tumbling agg stream (update mode, watermark-bounded)
+    *     → foreachBatch: UPSERT the changed minute buckets into a
+    *       minutes store (dynamic partition overwrite keyed on
+    *       (minute_id, content_type) — idempotent on replay)
+    *     → recompute over the store: 10-min/1-min sliding rollup (A4,
+    *       exactly [[graft.ops.Aggregates.sliding10m]]), ratio-of-sums
+    *       engagement average (A5) and top-K (A6) over the trailing
+    *       10 minutes — overwrite-latest snapshots.
+    *
+    * The minutes store is the streaming twin of the batch minute
+    * pre-agg, so the snapshot provably equals the batch
+    * `q_sliding_10m`/`q_avg_ratio` formulation on the same events
+    * (StreamingSpec asserts it). State stays bounded: the stream side
+    * holds 15 min of window state; the store grows one small row per
+    * (minute, type). */
+  def slidingAnalyticsBatch(minutesDir: String, slidingDir: String,
+      topkDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return  // nothing changed; keep last snapshots
+    // upsert updated minute buckets; update-mode rows carry the latest
+    // cumulative (count, sum) per (window, content_type)
+    batch.select(col("window.start").as("minute"), col("content_type"),
+        col("access_count"), col("sum_pct"))
+      .withColumn("minute_id", (unix_millis(col("minute")) / lit(60000L)).cast("long"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("minute_id", "content_type")
+      .parquet(minutesDir)
+    val minutes = spark.read.parquet(minutesDir)
+      .select(col("minute"), col("content_type").as("event_type"),
+        col("access_count"), col("sum_pct").as("sum_value"))
+      .persist()
+    try {
+      // A4: identical operator to the batch q_sliding_10m
+      graft.ops.Aggregates.sliding10m(minutes)
+        .write.mode("overwrite").parquet(slidingDir)
+      // A5 + A6 over the trailing 10 minutes: ratio-of-sums per type
+      // (Σ pct ÷ Σ accesses — the all-access denominator, ≥1 guard),
+      // ranked; the Redis sink's per-flush recompute.
+      val maxMin = minutes.agg(max(col("minute")).as("max_minute"))
+      val topk = minutes.crossJoin(broadcast(maxMin))
+        .filter(col("minute") >= col("max_minute") - expr("INTERVAL 9 MINUTES"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("access_count")).as("access_count"),
+          sum(col("sum_value").cast("decimal(28,6)")).cast("double").as("sum_pct"))
+        .withColumn("avg_engagement",
+          coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
+        .orderBy(col("avg_engagement").desc, col("event_type").asc)
+        .limit(5)
+      topk.write.mode("overwrite").parquet(topkDir)
+    } finally minutes.unpersist()
+  }
+
+  /** Wire the sliding-analytics stream: source → transform → 1-min
+    * tumbling agg → minutes-store upsert + sliding/top-K snapshots. */
+  def startSlidingAnalytics(raw: DataFrame, contentDim: DataFrame,
+      outRoot: String, checkpoint: String): StreamingQuery =
+    windowedAgg(transform(raw, contentDim)).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(slidingAnalyticsBatch(
+        s"$outRoot/minutes", s"$outRoot/sliding", s"$outRoot/topk") _)
+      .start()
 
   /** Closed user session emitted by [[sessionize]]. */
   case class UserSession(
@@ -171,12 +257,20 @@ object EngagementPipeline {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
-                case Some(s) =>
+                // gap-opener ONLY when t is strictly beyond lastMs+gap;
+                // a late event (t <= lastMs, allowed within the
+                // watermark) or an in-gap event MERGES: lastMs never
+                // moves backwards and firstMs extends downward, so
+                // duration_ms stays >= 0 and later in-order events
+                // can't be spuriously split into a new session
+                case Some(s) if t > s.lastMs + gapMs =>
                   closed ::= UserSession(user, s.nEvents, s.firstMs, s.lastMs,
                     s.lastMs - s.firstMs)
                   cur = Some(SessionState(1L, t, t))
+                case Some(s) =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    firstMs = math.min(s.firstMs, t),
+                    lastMs = math.max(s.lastMs, t)))
                 case None =>
                   cur = Some(SessionState(1L, t, t))
               }

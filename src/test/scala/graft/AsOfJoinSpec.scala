@@ -81,4 +81,44 @@ class AsOfJoinSpec extends SparkSpec {
       assert(got === expect, s"at $t")
     }
   }
+
+  test("non-64-bit key/time types fail at analysis, not with wrong results") {
+    val left = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("sk", "ik", "t")
+    val right = Seq(("a", 1L, 5L)).toDF("sk", "ik", "t")
+    // string key: the raw-slot comparator would compare (offset,size)
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, left("sk"), right("sk"), left("t"), right("t"))
+    }
+    assert(e1.getMessage.contains("64-bit"))
+    // int time: zero-extension would misorder negatives
+    val l2 = left.withColumn("ti", $"t".cast("int"))
+    val r2 = right.withColumn("ti", $"t".cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l2, r2, l2("ik"), r2("ik"), l2("ti"), r2("ti"))
+    }
+    assert(e2.getMessage.contains("64-bit"))
+    // long key + timestamp time stays accepted
+    val ok = AsOf.join(left, right, left("ik"), right("ik"), left("t"), right("t"))
+    assert(ok.count() === 2)
+  }
+
+  test("null keys and times never match (and never corrupt the merge)") {
+    val left = Seq(
+      (Some(1L), Some(10L), "l-match"),
+      (None, Some(10L), "l-nullkey"),
+      (Some(1L), None, "l-nulltime"),
+      (Some(0L), Some(10L), "l-zerokey")   // must NOT match the null-key right row
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), 100.0),
+      (None, Some(5L), 666.0),             // null right key: matches nothing
+      (Some(2L), None, 777.0)              // null right time: matches nothing
+    ).toDF("k", "t", "price")
+    val out = AsOf.join(left, right, left("k"), right("k"), left("t"), right("t"))
+      .select($"tag", $"price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(
+      "l-match" -> Some(100.0), "l-nullkey" -> None,
+      "l-nulltime" -> None, "l-zerokey" -> None))
+  }
 }

@@ -126,4 +126,34 @@ class FunctionsSpec extends SparkSpec {
     assert(truth.intersect(sh).size >= truth.size / 2,
       s"simhash recovered ${truth.intersect(sh).size} of ${truth.size}")
   }
+
+  test("simhash60_md5 matches the declarative per-bit majority vote (oracle form)") {
+    // the same op sequence the DuckDB oracle spells: hash60 per token,
+    // ±1 vote per bit, set bit where the vote is positive
+    val docs = graft.io.Tables.documents(spark, sf("sf0.01")).limit(300)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val hs = transform($"toks", t => TextOps.hash60(t))
+    val declarative = (0 until 60).map { b =>
+      when(
+        aggregate(hs, lit(0L), (v, h) =>
+          v + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = docs.select($"doc_id",
+        graft.functions.simhash60_md5($"toks").as("native"),
+        declarative.as("decl"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, d) => assert(n === d, s"doc $id") }
+  }
+
+  test("simhash60_md5: empty -> 0, fingerprints stay within 60 bits") {
+    val r = Seq((1L, Seq.empty[String]), (2L, Seq("the", "quick", "fox")))
+      .toDF("id", "toks")
+      .select($"id", graft.functions.simhash60_md5($"toks").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) === 0L)
+    assert(r(2L) > 0L && (r(2L) >> 60) === 0L)
+  }
 }

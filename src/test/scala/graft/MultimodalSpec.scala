@@ -43,7 +43,7 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.value === 3)
   }
 
-  test("frame sampling caps frames and only emits video rows") {
+  test("frame sampling caps frames, spaces them evenly, video rows only") {
     val m = Multimodal.mediaFromDocuments(spark, dir)
     val f = Multimodal.extractFeatures(m)
     val frames = Multimodal.sampleFrames(f, maxFrames = 4)
@@ -52,6 +52,17 @@ class MultimodalSpec extends SparkSpec {
     val perItem = frames.groupBy($"media_id").count()
     assert(perItem.filter($"count" > 4).count() === 0)
     assert(perItem.count() === nVideo)
-    assert(frames.filter($"frame_idx" >= 4).count() === 0)
+    // evenly spaced: per item, indices are 0, step, 2·step, … with
+    // step = ceil(n_frames/4), all < n_frames; offsets follow byte_len
+    val feats = f.collect().map(x => x.media_id -> x).toMap
+    frames.collect().groupBy(_.media_id).foreach { case (id, fs) =>
+      val nf = feats(id).n_frames
+      val step = (nf + 3) / 4
+      val idx = fs.map(_.frame_idx).sorted.toSeq
+      assert(idx === idx.indices.map(_ * step))
+      assert(idx.forall(_ < nf))
+      val bpf = feats(id).byte_len / nf
+      assert(fs.forall(s => s.byte_offset == s.frame_idx.toLong * bpf))
+    }
   }
 }

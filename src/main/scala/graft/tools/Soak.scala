@@ -1,0 +1,105 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Staged-load soak test — the engine-side replica of the reference's
+  * 5-stage stress harness (stress_test.py:20-28,180-265): the SAME
+  * stage ladder (interval, batch size), a rate-controlled envelope
+  * generator ([[EnvelopeGenerator]]) feeding the FULL pipeline
+  * (parse → CDC filter → broadcast enrich → derive → idempotent 3-way
+  * fan-out), and per-stage sustained-throughput measurement from the
+  * engine's own progress stream (A10) instead of the reference's
+  * cross-store count polling.
+  *
+  * Per stage it reports: the offered rate, events generated, rows the
+  * engine processed while the stage was running, and the sustained
+  * processed-events/s. After the ladder it drains the backlog and
+  * checks exact row conservation (kept = ids with op 'c').
+  *
+  * Usage: sbt "runMain graft.tools.Soak [stageSeconds]"  (default 15,
+  * the reference's STAGE_DURATION)
+  */
+object Soak {
+
+  /** The reference's STRESS_STAGES ladder, verbatim (interval seconds ×
+    * batch size → offered events/s): 100, 1000, 2500, 5000, 10000. */
+  case class Stage(name: String, intervalMs: Long, batchSize: Int) {
+    def offeredEps: Long = batchSize * 1000L / intervalMs
+  }
+  val stages: Seq[Stage] = Seq(
+    Stage("baseline", 1000L, 100),
+    Stage("low", 500L, 500),
+    Stage("medium", 200L, 500),
+    Stage("high", 100L, 500),
+    Stage("extreme", 50L, 500))
+
+  def main(args: Array[String]): Unit = {
+    val stageSec = args.headOption.map(_.toInt).getOrElse(15)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft_soak").toString
+    val dropDir = s"$root/drop"
+    Files.createDirectories(Paths.get(dropDir))
+
+    // progress listener: (wallclock ms, input rows) per micro-batch —
+    // the engine-native consumer-offset probe (A10)
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progress.add((System.currentTimeMillis(), e.progress.numInputRows))
+    })
+
+    val raw = graft.stream.EngagementPipeline.fileSource(spark, dropDir)
+    val q = graft.stream.EngagementPipeline.start(
+      raw, EnvelopeGenerator.contentDim(spark), root, s"$root/ckpt",
+      triggerMs = 500L)
+
+    // drive the ladder; generation runs on the driver thread while the
+    // streaming query consumes concurrently
+    var id = 0L
+    val stageResults = stages.map { st =>
+      val winStart = System.currentTimeMillis()
+      val idBefore = id
+      id = EnvelopeGenerator.runStage(
+        dropDir, id, st.intervalMs, st.batchSize, stageSec * 1000L)
+      val winEnd = System.currentTimeMillis()
+      val generated = id - idBefore
+      val processedInWindow = {
+        import scala.jdk.CollectionConverters._
+        progress.asScala.collect {
+          case (t, rows) if t >= winStart && t < winEnd => rows }.sum
+      }
+      val wallSec = (winEnd - winStart) / 1000.0
+      (st, generated, processedInWindow, wallSec)
+    }
+
+    // drain whatever is still queued, then verify exact conservation
+    val tDrain0 = System.nanoTime()
+    q.processAllAvailable()
+    q.stop()
+    val drainSec = (System.nanoTime() - tDrain0) / 1e9
+    val landed = spark.read.parquet(s"$root/warehouse").count()
+    val expected = EnvelopeGenerator.expectedKept(id)
+    assert(landed == expected, s"row conservation broken: $landed != $expected")
+
+    val totalSec = stageResults.map(_._4).sum + drainSec
+    val stagesJson = stageResults.map { case (st, gen, proc, wallSec) =>
+      val sustained = (proc / wallSec).toLong
+      s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"soak","stage_seconds":$stageSec,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
+    spark.stop()
+  }
+}

@@ -117,6 +117,20 @@ object TextOps {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "is", "are", "to", "in")
 
+  /** BPE-ish pre-tokenizer regex (GPT-2-style shape: contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs). Written with explicit whitespace classes and
+    * non-capturing groups so Java regex (Spark) and RE2 (DuckDB) match
+    * identically — both are leftmost-first on alternation. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\\t\\n\\r\\f ]+|'+|[\\t\\n\\r\\f ]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpePiecesSql(text: String): String =
+    s"regexp_extract_all(lower($text), '${bpePattern.replace("'", "''")}', 0)"
+
   /** DuckDB spelling of the 60-bit md5-prefix SimHash (the exact
     * per-bit majority vote [[graft.functions.SimHashUtil.simhash60]]
     * computes): nested lambdas — outer over the 60 bit positions, inner
@@ -150,6 +164,21 @@ object TextOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
         .orderBy("doc_id")),
+
+    // BPE-ish token counting (builder-prompt §7.2-6 "whitespace + a
+    // BPE-ish regex"): LLM-budget-style piece counts from the GPT-2-ish
+    // pre-tokenizer pattern. n_pieces counts every regex piece,
+    // n_tokens_bpe drops pure-whitespace runs (they merge into
+    // neighbors in a real BPE). Pure map-side — one regex pass/doc.
+    "q_token_bpe" -> ((s, dir) => {
+      val pieces = bpePieces(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(pieces).as("n_pieces"),
+          size(filter(pieces, p => trim(p) =!= "")).as("n_tokens_bpe"),
+          size(tokens(col("text"))).as("n_tokens_ws"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus stats rollup per (lang, source).
     "q_text_stats" -> ((s, dir) =>
@@ -375,6 +404,15 @@ object TextOps {
       "q_token_count" ->
         s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_token_bpe" ->
+        s"""WITH p AS (SELECT doc_id, ${bpePiecesSql("text")} AS pieces,
+           |    $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(pieces) AS INTEGER) AS n_pieces,
+           |  CAST(len(list_filter(pieces, x -> trim(x) != '')) AS INTEGER) AS n_tokens_bpe,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens_ws
+           |FROM p ORDER BY doc_id""".stripMargin,
 
       "q_text_stats" ->
         s"""WITH t AS (SELECT lang, source, n_chars,

@@ -135,6 +135,28 @@ object VectorOps {
         .limit(20)
     }),
 
+    // Embedding-cosine near-dup at scale: candidate pairs come from a
+    // sign-LSH BUCKET COLLISION join (8 hyperplanes → 256 buckets), not
+    // from the O(n²) pair space; exact cosine reranks candidates only.
+    // Production use sets a cosine cutoff; this synthetic corpus has no
+    // true near-dups (max pairwise cos ≈ 0.6), so the query returns the
+    // top-20 candidates to stay non-empty — the PLAN is the deliverable:
+    // shuffle keys are (bucket), never embeddings against embeddings.
+    "q_embedding_neardup_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 8, 64).as("bucket"))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.bucket").as("bucket"),
+          roundTo(graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    }),
+
     // IVF-style ANN: coarse quantizer = per-label centroids (computed
     // exactly via per-dimension decimal sums), probe the nProbe=2
     // nearest cells by centroid dot product, exact cosine rerank inside
@@ -221,6 +243,16 @@ object VectorOps {
          |FROM b, q
          |WHERE bit_count(xor(b.bucket, q.q_bucket)) <= 1 AND b.vec_id <> 0
          |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_embedding_neardup_lsh" ->
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(${lshBucketSql("embedding", 8)} AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         |  ${roundToSql(cosineSql("a.embedding", "b.embedding"), 6)} AS cos_sim
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
 
     "q_similarity_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -132,16 +132,58 @@ object EngagementPipeline {
     } finally batch.unpersist()
   }
 
-  /** Full pipeline wiring: source → transform → fan-out sinks. */
+  /** Cross-store count reconciliation — the invariant the reference's
+    * ops monitor polls continuously (monitor.py:274-293: warehouse ≥
+    * search ≥ analytics freshness). With the idempotent fan-out both
+    * row stores must agree EXACTLY; returns one row per store plus the
+    * lag between them, so a scheduler can alert on `lag != 0`. Cost is
+    * metadata-only (parquet footer row counts), safe to poll. */
+  def reconcile(spark: SparkSession, warehouseDir: String, searchDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val wh = spark.read.parquet(warehouseDir).count()
+    val se = spark.read.parquet(searchDir).count()
+    Seq(("warehouse", wh, 0L), ("search", se, wh - se))
+      .toDF("store", "n_rows", "lag_vs_warehouse")
+  }
+
+  /** Per-batch write verification: re-read ONLY this batch's partitions
+    * from both sinks and check they carry exactly the batch's rows —
+    * the bounded-cost, inline form of the reconciliation invariant
+    * (detects partial/failed writes at the batch that made them rather
+    * than in a later audit). */
+  def verifyBatchWrites(spark: SparkSession, warehouseDir: String,
+      searchDir: String, batchId: Long, expected: Long): Unit = {
+    val wh = spark.read.parquet(s"$warehouseDir/batch_id=$batchId").count()
+    if (wh != expected) throw new IllegalStateException(
+      s"warehouse batch $batchId wrote $wh rows, expected $expected")
+    val se = spark.read.option("basePath", searchDir).parquet(searchDir)
+      .filter(col("batch_id") === batchId).count()
+    if (se != expected) throw new IllegalStateException(
+      s"search batch $batchId wrote $se rows, expected $expected")
+  }
+
+  /** Full pipeline wiring: source → transform → fan-out sinks.
+    * `verifyWrites` turns on the per-batch reconciliation invariant
+    * (read-back of the just-written batch partitions). */
   def start(raw: DataFrame, contentDim: DataFrame, outRoot: String,
-      checkpoint: String, triggerMs: Long = 1000L): StreamingQuery = {
+      checkpoint: String, triggerMs: Long = 1000L,
+      verifyWrites: Boolean = false): StreamingQuery = {
     val derived = transform(raw, contentDim)
+    val warehouseDir = s"$outRoot/warehouse"
+    val searchDir = s"$outRoot/search"
     derived.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch(fanOutBatch(
-        s"$outRoot/warehouse", s"$outRoot/search", s"$outRoot/analytics") _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanOutBatch(warehouseDir, searchDir, s"$outRoot/analytics")(batch, batchId)
+        if (verifyWrites) {
+          val n = batch.count()
+          if (n > 0) verifyBatchWrites(batch.sparkSession,
+            warehouseDir, searchDir, batchId, n)
+        }
+      }
       .start()
   }
 

@@ -93,13 +93,18 @@ object Soak {
     val landed = spark.read.parquet(s"$root/warehouse").count()
     val expected = EnvelopeGenerator.expectedKept(id)
     assert(landed == expected, s"row conservation broken: $landed != $expected")
+    // cross-store reconciliation invariant (monitor.py:274-293 analog)
+    val storeLag = graft.stream.EngagementPipeline.reconcile(
+        spark, s"$root/warehouse", s"$root/search")
+      .collect().map(r => r.getLong(2)).max
+    assert(storeLag == 0L, s"cross-store lag after drain: $storeLag")
 
     val totalSec = stageResults.map(_._4).sum + drainSec
     val stagesJson = stageResults.map { case (st, gen, proc, wallSec) =>
       val sustained = (proc / wallSec).toLong
       s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"soak","stage_seconds":$stageSec,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
+    println(s"""{"metric":"soak","stage_seconds":$stageSec,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
     spark.stop()
   }
 }

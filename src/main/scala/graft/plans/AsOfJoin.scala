@@ -142,12 +142,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Session extension registering the strategy:
+/** Session extension registering the engine's planner strategy and
+  * optimizer rule:
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => HammingProbeRewrite)
+  }
 }
 
 /** User-facing API. */

@@ -76,4 +76,23 @@ class PlanSpec extends SparkSpec {
       s"LSH probe must be an equi-join on enumerated bucket ids:\n${p.take(2000)}")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q_embedding_neardup_lsh pairs come from an equi-join, never a pair scan") {
+    val p = plan("q_embedding_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket-collision join must be an equi-join:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_vocab_topk is TakeOrdered over a partial-aggregated token count") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "needs partial+final agg")
+  }
+
+  test("q_corpus_select reads the text scan once (persisted scored subtree)") {
+    val p = plan("q_corpus_select")
+    assert(p.contains("InMemoryTableScan"),
+      "scored projection should come from the persisted subtree")
+  }
 }

@@ -53,18 +53,28 @@ object Soak {
 
     // progress listener: (wallclock ms, input rows) per micro-batch —
     // the engine-native consumer-offset probe (A10)
-    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val progress =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.util.UUID, Long)]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        progress.add((System.currentTimeMillis(), e.progress.numInputRows))
+        progress.add((System.currentTimeMillis(), e.progress.id,
+          e.progress.numInputRows))
     })
 
+    // DUAL-STREAM, like the reference under stress: the fan-out
+    // pipeline (warehouse/search/analytics) and the always-on sliding
+    // analytics (minute-store upsert + 10-min rollup + top-K snapshots)
+    // consume the same drop dir concurrently, each with its own
+    // checkpoint
+    val dim = EnvelopeGenerator.contentDim(spark)
     val raw = graft.stream.EngagementPipeline.fileSource(spark, dropDir)
     val q = graft.stream.EngagementPipeline.start(
-      raw, EnvelopeGenerator.contentDim(spark), root, s"$root/ckpt",
-      triggerMs = 500L)
+      raw, dim, root, s"$root/ckpt", triggerMs = 500L)
+    val rawSliding = graft.stream.EngagementPipeline.fileSource(spark, dropDir)
+    val qSliding = graft.stream.EngagementPipeline.startSlidingAnalytics(
+      rawSliding, dim, s"$root/analytics10m", s"$root/ckpt_sliding")
 
     // drive the ladder; generation runs on the driver thread while the
     // streaming query consumes concurrently
@@ -76,10 +86,13 @@ object Soak {
         dropDir, id, st.intervalMs, st.batchSize, stageSec * 1000L)
       val winEnd = System.currentTimeMillis()
       val generated = id - idBefore
+      // count only the fan-out pipeline's input (the sliding-analytics
+      // stream reads the same events; summing both would double-count)
       val processedInWindow = {
         import scala.jdk.CollectionConverters._
         progress.asScala.collect {
-          case (t, rows) if t >= winStart && t < winEnd => rows }.sum
+          case (t, qid, rows) if qid == q.id && t >= winStart && t < winEnd =>
+            rows }.sum
       }
       val wallSec = (winEnd - winStart) / 1000.0
       (st, generated, processedInWindow, wallSec)
@@ -89,7 +102,13 @@ object Soak {
     val tDrain0 = System.nanoTime()
     q.processAllAvailable()
     q.stop()
+    qSliding.processAllAvailable()
+    qSliding.stop()
     val drainSec = (System.nanoTime() - tDrain0) / 1e9
+    // sliding analytics kept up: every processed minute bucket landed
+    val minuteRows = spark.read.parquet(s"$root/analytics10m/minutes").count()
+    val topkRows = spark.read.parquet(s"$root/analytics10m/topk").count()
+    assert(minuteRows > 0 && topkRows > 0, "sliding analytics produced no output")
     val landed = spark.read.parquet(s"$root/warehouse").count()
     val expected = EnvelopeGenerator.expectedKept(id)
     assert(landed == expected, s"row conservation broken: $landed != $expected")

@@ -279,6 +279,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-analytics minutes store absorbs crash + replay without drift") {
+    val root = java.nio.file.Files.createTempDirectory("graft_slide_crash").toString
+    val input = MemoryStream[String]
+    @volatile var crashArmed = true
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      EngagementPipeline.slidingAnalyticsBatch(
+        s"$root/minutes", s"$root/sliding", s"$root/topk")(batch, batchId)
+      if (crashArmed && !batch.isEmpty) {
+        crashArmed = false
+        throw new RuntimeException("injected crash after minutes upsert")
+      }
+    }
+    def startQ() = EngagementPipeline.windowedAgg(
+        EngagementPipeline.transform(input.toDF(), contentDim))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(crashingSink _).start()
+    val q1 = startQ()
+    input.addData(
+      env(1, "c1", "play", Some(30000), "c", 0),
+      env(2, "c2", "play", Some(120000), "c", 1))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()  // replays the uncommitted batch
+      input.addData(env(3, "c1", "play", Some(15000), "c", 0)) // upsert min 0
+      q2.processAllAvailable()
+      val minutes = spark.read.parquet(s"$root/minutes")
+        .select(date_format($"minute", "HH:mm").as("m"),
+          $"content_type", $"access_count", $"sum_pct")
+        .as[(String, String, Long, Option[Double])].collect().toSet
+      // replay produced no duplicate minute rows; the post-crash upsert
+      // carries the cumulative count for minute 0
+      assert(minutes === Set(
+        ("00:00", "video", 2L, Some(7.5)),   // 5.0 + 2.5 engagement pct
+        ("00:01", "podcast", 1L, Some(10.0))), s"got $minutes")
+    } finally q2.stop()
+  }
+
   test("sessionizer merges cross-batch out-of-order events without corrupting state") {
     val input = MemoryStream[String]
     val sessions = EngagementPipeline.sessionize(

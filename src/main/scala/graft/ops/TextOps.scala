@@ -204,6 +204,60 @@ object TextOps {
        |        / (len(da.hsh) + len(db.hsh) - CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)) >= 0.5)""".stripMargin
   }
 
+  /** Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
+    * INVERTED-INDEX join, not a cross join: explode shingles, hash-join
+    * docs sharing a shingle, count commons per pair. Shuffle volume is
+    * O(total shingle occurrences), so the pair space never materializes
+    * — the formulation that survives 100 TB.
+    *
+    * Perf notes (measured at sf0.1): (1) tokens/shingles MUST be
+    * materialized as real columns — captured inside a transform()
+    * lambda they re-evaluate per element (26× slowdown); (2) join on
+    * the 60-bit shingle hash, not the shingle string (7× faster, same
+    * result — both engines hash identically); (3) the hash array must
+    * be INLINE in the explode — exploding a Project-materialized array
+    * column is 20× slower (11 s vs 0.6 s) than computing it inside the
+    * Generate; single-pass hashing via the native Generator
+    * (graft.functions.NGramHashExplode); (4) sizes are DERIVED FROM the
+    * exploded index (count per doc), never a second text scan — the
+    * jaccard filter's inferred isnotnull(sz) constraint would otherwise
+    * push the whole tokenize+shingle expression into the scan filter
+    * (measured 10×); (5) the subtree is persisted (3 consumers).
+    *
+    * `dfCap` is the hot-shingle document-frequency cap (standard
+    * web-dedup trick): a shingle in >dfCap docs contributes O(df²) rows
+    * to the self-join — at 100 TB one stopword-heavy shingle makes the
+    * common-count groupBy quadratic. Such hashes are dropped from the
+    * JOIN INPUT only (sizes stay exact, so jaccard denominators are
+    * unchanged); the default sits far above the testdata max df (25 at
+    * sf0.1), so the oracle result is identical while the plan carries
+    * the cap. TextVectorSpec drives a low cap to prove the mechanism. */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+      dfCap: Int = 10000): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.ngram_hash_explode(col("toks")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"))
+    val joinable = ex.join(hot, Seq("h"), "left_anti")
+    val common = joinable.as("a").join(joinable.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the normalized-text digest; keeper =
     // min doc_id (deterministic). Scales as a single digest shuffle.
@@ -307,58 +361,7 @@ object TextOps {
     // docs sharing a shingle, count commons per pair. Shuffle volume is
     // O(total shingle occurrences), so the pair space never materializes
     // — this is the formulation that survives 100 TB.
-    "q_ngram_jaccard" -> ((s, dir) => {
-      // Perf notes (measured at sf0.1): (1) tokens/shingles MUST be
-      // materialized as real columns — captured inside a transform()
-      // lambda they re-evaluate per element (26× slowdown); (2) join on
-      // the 60-bit shingle hash, not the shingle string (7× faster,
-      // same result — both engines hash identically); (3) the hash
-      // array must be INLINE in the explode — exploding a
-      // Project-materialized array column is 20× slower (11 s vs 0.6 s)
-      // than computing it inside the Generate.
-      // single-pass shingle hashing via the native Generator
-      // (graft.functions.NGramHashExplode): tokens → distinct 60-bit
-      // hashes directly, no shingle strings or arrays materialized.
-      // persist: the self-join + sizes consume this subtree 3×, and the
-      // shingle+md5 work dominates — cache the small exploded
-      // (id, lang, hash) table instead of recomputing it
-      val ex = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("lang"),
-          graft.functions.ngram_hash_explode(col("toks")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // sizes DERIVED FROM the exploded index (count per doc), never
-      // from a second text scan: deriving them as size(sh) lets the
-      // downstream jaccard filter's inferred isnotnull(sz) constraint
-      // push the whole tokenize+shingle expression into the scan filter
-      // — with tokens captured per-element in the lambda (the 26×
-      // pathology) — measured 10× on the full query
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // hot-shingle document-frequency cap (standard web-dedup trick):
-      // a shingle appearing in >dfCap docs contributes O(df²) rows to
-      // the self-join — at 100 TB one stopword-heavy shingle makes the
-      // common-count groupBy quadratic. Drop such hashes from the JOIN
-      // INPUT only (sizes stay exact, so jaccard denominators are
-      // unchanged); dfCap sits far above the testdata max df, so the
-      // oracle result is identical while the plan carries the cap.
-      val dfCap = 10000
-      val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select(col("h"))
-      val joinable = ex.join(hot, Seq("h"), "left_anti")
-      val common = joinable.as("a").join(joinable.as("b"),
-          col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+    "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
     // MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, verified
     // with exact Jaccard — the scale path: pair space comes from band

@@ -95,6 +95,26 @@ class TextVectorSpec extends SparkSpec {
     assert(r(3L) === "und")
   }
 
+  test("hot-shingle df-cap: high cap is a no-op, low cap prunes the hot join keys") {
+    val dir = sf("sf0.01")
+    val default = TextOps.ngramJaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // cap far above testdata max df (7 at sf0.01): identical result
+    val high = TextOps.ngramJaccardPairs(spark, dir, dfCap = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(high === default)
+    // cap of 1: every shared shingle is "hot", so the join input is
+    // empty and no pairs survive — proves the cap reaches the join
+    val one = TextOps.ngramJaccardPairs(spark, dir, dfCap = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(one.isEmpty)
+    // intermediate cap: result is a subset of the uncapped pairs
+    // (dropping join keys can only reduce common counts)
+    val mid = TextOps.ngramJaccardPairs(spark, dir, dfCap = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mid.map(p => (p._1, p._2)).subsetOf(default.map(p => (p._1, p._2))))
+  }
+
   test("dedup clusters: connected-component invariants hold on testdata") {
     val dir = sf("sf0.01")
     val pairs = TextOps.minhashPairs(spark, dir)

@@ -402,12 +402,14 @@ object TextOps {
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
-        val nbr = edges
+        // one join + one agg per round: each node takes the min label
+        // over its neighbors ∪ itself (the union row keeps its own)
+        val next = edges
           .join(labels.withColumnRenamed("doc_id", "src"), "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("label")).as("nbr_min"))
-        val next = labels.join(nbr, Seq("doc_id"))
-          .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
+          .select(col("dst").as("doc_id"), col("label"))
+          .union(labels)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"))
           .persist(MEMORY_AND_DISK)
         // min-propagation labels only decrease, so the label sum is a
         // strict convergence witness; this action also materializes

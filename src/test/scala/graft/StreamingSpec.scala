@@ -353,6 +353,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TopKByScore runs inside a streaming aggregation (partial-merge state)") {
+    // the native TypedImperativeAggregate must survive streaming
+    // update-mode state merges across micro-batches, not just batch
+    val input = MemoryStream[String]
+    val derived = EngagementPipeline.transform(input.toDF(), contentDim)
+    val agg = derived
+      .withWatermark("event_time", "15 minutes")
+      .groupBy(window($"event_time", "1 hour"))
+      .agg(graft.functions.topk_by_score(
+        coalesce($"engagement_pct", lit(0.0)), $"content_id", 2).as("topk"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("topk_stream_out").start()
+    try {
+      input.addData(
+        env(1, "c1", "play", Some(30000), "c", 0),    // video 5.0
+        env(2, "c2", "play", Some(120000), "c", 1))   // podcast 10.0
+      q.processAllAvailable()
+      // second batch merges into existing window state
+      input.addData(
+        env(3, "c1", "play", Some(120000), "c", 2),   // video 20.0
+        env(4, "c2", "play", Some(60000), "c", 3))    // podcast 5.0
+      q.processAllAvailable()
+      val rows = spark.table("topk_stream_out")
+        .orderBy($"window.start")
+        .select($"topk").as[Seq[(Double, String)]].collect()
+      // latest update for the hour window: top-2 across BOTH batches
+      val latest = rows.last
+      assert(latest === Seq((20.0, "c1"), (10.0, "c2")), s"got $latest")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate warehouse rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val input = MemoryStream[String]

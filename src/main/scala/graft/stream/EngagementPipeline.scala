@@ -208,7 +208,8 @@ object EngagementPipeline {
     * holds 15 min of window state; the store grows one small row per
     * (minute, type). */
   def slidingAnalyticsBatch(minutesDir: String, slidingDir: String,
-      topkDir: String)(batch: DataFrame, batchId: Long): Unit = {
+      topkDir: String, retentionMinutes: Int = 60)
+      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return  // nothing changed; keep last snapshots
     // upsert updated minute buckets; update-mode rows carry the latest
@@ -220,12 +221,25 @@ object EngagementPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("minute_id", "content_type")
       .parquet(minutesDir)
-    val minutes = spark.read.parquet(minutesDir)
+    // BOUNDED recompute: the store itself is append-only history, but
+    // each flush only re-reads the trailing `retentionMinutes` of it
+    // (the reference's state-TTL idea, EngagementRedisSink.scala:22) —
+    // otherwise per-flush cost grows with stream age. The minute_id
+    // partition key makes the horizon filter a partition-pruned read.
+    val all = spark.read.parquet(minutesDir)
+    val maxId = all.agg(max(col("minute_id")).cast("long")).head().getLong(0)
+    val minutes = all
+      .filter(col("minute_id") > maxId - retentionMinutes)
       .select(col("minute"), col("content_type").as("event_type"),
         col("access_count"), col("sum_pct").as("sum_value"))
       .persist()
     try {
-      // A4: identical operator to the batch q_sliding_10m
+      // A4: identical operator to the batch q_sliding_10m, over the
+      // trailing horizon — identical to the full-history formulation
+      // once a window's 9 preceding buckets are inside the horizon; the
+      // horizon's first 9 minutes are edge-truncated (retention >>
+      // window length makes that negligible, and the reference's TTL
+      // drops that history entirely)
       graft.ops.Aggregates.sliding10m(minutes)
         .write.mode("overwrite").parquet(slidingDir)
       // A5 + A6 over the trailing 10 minutes: ratio-of-sums per type

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge DataFrames — joins and
+  * aggregations only, never a driver-side adjacency structure.
+  */
+object Graph {
+
+  /** Connected components via min-label propagation WITH pointer
+    * jumping (`label ← label(label)` every round) — the hash-to-min
+    * family (Rastogi et al., "Finding Connected Components in
+    * Map-Reduce in Logarithmic Rounds", ICDE 2013). Plain propagation
+    * needs O(diameter) rounds; the jump step halves the remaining
+    * pointer-chain depth each round, so convergence is O(log d) —
+    * the property that keeps a chain-shaped 100 TB component from
+    * turning the loop into a diameter-length job sequence.
+    *
+    * `pairs`: first two columns are 64-bit node ids of an undirected
+    * edge. Returns (node, label) for every node incident to an edge;
+    * label = the component's minimum node id. Callers re-attach
+    * edge-less singletons themselves (at corpus scale the singleton
+    * majority should never enter the loop at all).
+    *
+    * Scale shape: every step is a hash join or aggregation keyed by
+    * node id. Per-round results are `localCheckpoint()`ed — the plan
+    * stays flat no matter how many rounds run (a persist-only loop
+    * grows one join deeper per round and analysis cost with it), and
+    * the self-join in the jump step reads the materialized RDD twice
+    * instead of recomputing. Parallelism adapts to the MEASURED edge
+    * count (~1M edges per partition): a near-dup graph is orders of
+    * magnitude smaller than its corpus, so the session's shuffle
+    * parallelism is pure scheduling overhead for it, while a graph
+    * that is actually large gets the session cap.
+    *
+    * Convergence is witnessed by the label sum: labels only decrease,
+    * so an unchanged sum means the round was the identity. A graph
+    * that fails to converge within `maxRounds` THROWS — a silent cap
+    * would emit wrong cluster labels (the round-2 landmine). The
+    * default 64 covers any diameter a 64-bit id space can express
+    * under O(log d) rounds, so a throw indicates a logic error, not a
+    * big graph.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val Seq(a, b) = pairs.columns.take(2).toSeq
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    val pre = sym.localCheckpoint()
+    val nEdges = pre.count()
+    if (nEdges == 0)
+      return pre.select(col("src").as("node"), col("src").as("label")).limit(0)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(nEdges / 1000000L + 1, sessionParts.toLong)).toInt
+    val edges = pre.repartition(parts, col("src")).localCheckpoint()
+    // initial labels: every endpoint labels itself. Deliberately NOT
+    // dedup'd — round 1's groupBy collapses duplicates anyway, and the
+    // skipped distinct is one less shuffle+materialization.
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+    // sum sentinel: labels only decrease, so an unchanged round sum
+    // means the round was the identity; MinValue forces ≥1 real round
+    // (a first round over any non-empty edge set changes some label,
+    // so no convergence is ever missed)
+    var prevSum = Long.MinValue
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // (1) propagate: each node takes the min label over itself ∪ its
+      // neighbors — one hash join + one aggregation, both keyed on the
+      // node id. Lazy checkpoint: materialized by (2)'s job, then the
+      // self-join's second scan reads the checkpointed blocks instead
+      // of recomputing the join+agg.
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false)
+      // (2) jump: label ← label(label). Every label value IS a node id
+      // present in `prop` (labels are min-so-far reachable ids), so the
+      // inner self-join is total and loses no node.
+      val next = prop
+        .join(prop.select(col("node").as("label"), col("label").as("parent")),
+          Seq("label"))
+        .select(col("node"), col("parent").as("label"))
+        .localCheckpoint()
+      val curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        s"($nEdges directed edges) — refusing to emit possibly-wrong labels")
+    labels.select(col("node"), col("label"))
+  }
+}

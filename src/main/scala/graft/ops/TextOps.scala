@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import Util._
@@ -150,9 +151,15 @@ object TextOps {
     * (doc_id, hsh, sig) subtree is persisted: `banded` consumes it once
     * and the verification joins twice more — without the cache the
     * shingle+md5 signature work (the dominant cost) runs 3×. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text, …) DataFrame —
+    * lets cluster resolution run pair generation over exact-dup group
+    * representatives instead of the full corpus. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     val k = 16; val bands = 4; val rows = 4
-    val d = Tables.documents(s, dir)
+    val d = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
@@ -202,6 +209,64 @@ object TextOps {
        |              JOIN d db ON c.id_b = db.doc_id
        |  WHERE CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)
        |        / (len(da.hsh) + len(db.hsh) - CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)) >= 0.5)""".stripMargin
+  }
+
+  /** Near-dup cluster resolution over the verified MinHash+LSH pair
+    * graph: connected components, representative = min doc_id per
+    * component, keep-one-per-cluster flags, cluster sizes.
+    *
+    * EXACT-DUP PRE-CONTRACTION (the standard web-dedup move): identical
+    * normalized texts produce identical minhash signatures by
+    * construction, so pair generation runs over ONE representative per
+    * digest group and labels expand back through the group map at the
+    * end. In a raw web corpus exact copies dominate pair volume (a
+    * k-copy group alone is k(k−1)/2 LSH pairs); contracting first makes
+    * pair generation scale with unique content. Component structure is
+    * provably unchanged: copies pair with their representative at
+    * jaccard 1.0, so expanding a rep's label to its group reproduces
+    * exactly the components of the uncontracted graph — the DuckDB
+    * WITH-RECURSIVE oracle runs uncontracted and the results hash-match.
+    *
+    * The component loop is [[Graph.connectedComponents]]: min-label
+    * propagation + pointer jumping (O(log diameter) rounds),
+    * localCheckpoint-flat plans, measured-size parallelism, and a HARD
+    * FAILURE on non-convergence instead of silently-wrong labels.
+    * Singletons (docs whose group never entered the pair graph) get
+    * rep = group rep in the final expansion — they never enter the loop.
+    */
+  def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir)
+    // doc → exact-dup group rep (min doc_id per normalized-text digest):
+    // one text scan, then one skinny (doc_id, digest) shuffle — the text
+    // body never enters the window
+    val win = Window.partitionBy(col("h"))
+    val d2g = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .withColumn("grp", min(col("doc_id")).over(win))
+      .select(col("doc_id"), col("grp"))
+      .persist(MEMORY_AND_DISK) // consumed again by the final expansion
+    // one representative text per digest group via struct-min
+    // aggregation: map-side partial agg drops same-partition copies, so
+    // each group's text crosses the shuffle AT MOST once and no join
+    // ever carries a text body (a rep-id semi-join would re-shuffle the
+    // full text side)
+    val reps = docs
+      .select(md5(normText(col("text"))).as("h"),
+        struct(col("doc_id"), col("text")).as("r"))
+      .groupBy(col("h")).agg(min(col("r")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val pairs = minhashPairsOf(reps).select(col("id_a"), col("id_b"))
+    val labels = Graph.connectedComponents(pairs, maxRounds)
+    val expanded = d2g
+      .join(labels.withColumnRenamed("node", "grp"), Seq("grp"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("grp")).as("cluster_rep"))
+      .persist(MEMORY_AND_DISK) // consumed by the size agg + final join
+    val sizes = expanded.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    expanded.join(sizes, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        (col("doc_id") === col("cluster_rep")).as("is_keeper"))
+      .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
@@ -374,64 +439,9 @@ object TextOps {
     // Near-dup CLUSTER RESOLUTION — the step a real dedup pipeline runs
     // after pair generation: connected components over the verified
     // near-dup pair graph, representative = min doc_id per component,
-    // keep-one-per-cluster. Distributed min-label propagation (the
-    // classic CC-on-joins algorithm): each round every node takes the
-    // min label among itself and its neighbors; converges in
-    // O(component diameter) rounds (testdata: ≤ a few), each round one
-    // hash join + groupBy on (node, label) — no driver-side graph.
-    // lineage is truncated per round (localCheckpoint) so the plan
-    // stays flat; convergence is detected by the strictly-decreasing
-    // label sum. At 100 TB the same loop runs with the large-star/
-    // small-star optimization; the shuffle key is always the node id.
+    // keep-one-per-cluster. See [[dedupClusters]].
     // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
-    "q_dedup_clusters" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
-      val edges = pairs
-        .union(pairs.select(col("id_b"), col("id_a")))
-        .toDF("src", "dst")
-        .persist(MEMORY_AND_DISK)
-      // propagate ONLY over nodes that appear in the pair graph — the
-      // overwhelming singleton majority never enters the loop (at scale
-      // the near-dup graph is orders of magnitude smaller than the
-      // corpus); singletons get rep = self in the final left join
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .persist(MEMORY_AND_DISK)
-      var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        // one join + one agg per round: each node takes the min label
-        // over its neighbors ∪ itself (the union row keeps its own)
-        val next = edges
-          .join(labels.withColumnRenamed("doc_id", "src"), "src")
-          .select(col("dst").as("doc_id"), col("label"))
-          .union(labels)
-          .groupBy(col("doc_id"))
-          .agg(min(col("label")).as("label"))
-          .persist(MEMORY_AND_DISK)
-        // min-propagation labels only decrease, so the label sum is a
-        // strict convergence witness; this action also materializes
-        // `next` while the previous iteration is still cached
-        val curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-        labels.unpersist(blocking = true)
-        labels = next
-        converged = curSum == prevSum
-        prevSum = curSum
-        iter += 1
-      }
-      val sizes = labels.groupBy(col("label").as("cluster_rep"))
-        .agg(count(lit(1)).as("cluster_size"))
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
-        .join(sizes, Seq("cluster_rep"), "left")
-        .select(col("doc_id"), col("cluster_rep"),
-          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-          (col("doc_id") === col("cluster_rep")).as("is_keeper"))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     // Corpus vocabulary: exact top-50 tokens by frequency — the
     // tokenizer-building / df-statistics primitive. Map-side partial

@@ -136,4 +136,35 @@ class TextVectorSpec extends SparkSpec {
     // or, if not, every pair at least formed a 2-cluster
     assert(rep.exists(_._3 >= 2), "no clusters formed though pairs exist")
   }
+
+  test("connectedComponents labels a 33-node chain in O(log d) rounds") {
+    // path graph 0-1-…-32: diameter 32. Plain min-propagation needs 32
+    // rounds; pointer jumping must land well under 10 (≈ log2(32) + a
+    // confirmation round). maxRounds = 10 doubles as the bound check —
+    // the operator throws if it needs more.
+    val chain = (0 until 32).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val labels = ops.Graph.connectedComponents(chain, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 33)
+    assert(labels.values.forall(_ === 0L), "all chain nodes must label to node 0")
+    // two disjoint components resolve independently
+    val two = ((0 until 5).map(i => (i.toLong, i.toLong + 1)) ++
+      (10 until 15).map(i => (i.toLong, i.toLong + 1))).toDF("id_a", "id_b")
+    val l2 = ops.Graph.connectedComponents(two).as[(Long, Long)].collect().toMap
+    assert((0 to 5).forall(i => l2(i.toLong) === 0L))
+    assert((10 to 15).forall(i => l2(i.toLong) === 10L))
+  }
+
+  test("connectedComponents throws on non-convergence instead of emitting wrong labels") {
+    val chain = (0 until 16).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      ops.Graph.connectedComponents(chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents on an empty pair set returns no labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ops.Graph.connectedComponents(empty).count() === 0L)
+  }
 }

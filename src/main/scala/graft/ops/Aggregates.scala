@@ -124,14 +124,19 @@ object Aggregates {
     // constant partition key (the planner's single-partition warning
     // targets unbounded inputs; this one cannot grow with event volume).
     "q_rate_lag" -> ((s, dir) => {
-      // persist: the lag window and the day-boundary aggregate both
-      // consume this small (one row per minute) pre-agg; without the
-      // cache the events scan + aggregation runs twice
+      // DELIBERATELY NOT persisted: the lag window and the day-boundary
+      // aggregate both consume this pre-agg, but caching it measured
+      // 1.5–5× SLOWER than recomputing (the InMemoryRelation
+      // materialization job serializes ahead of the broadcast subquery,
+      // while the un-cached branches run as parallel stages of one
+      // job). The recomputed branch is one extra scan of the single
+      // `ts` column collapsed map-side to one row per day — at 100 TB
+      // that is a column scan, not a shuffle, and the first shuffled
+      // byte of either branch is already minute-grained.
       val perMin = Tables.events(s, dir)
         .groupBy(minuteBucket(col("ts")).as("minute"))
         .agg(count(lit(1)).as("n"))
         .withColumn("day", substring(col("minute"), 1, 10))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wDay = Window.partitionBy(col("day")).orderBy(col("minute"))
       val lagged = perMin.withColumn("prev_in_day", lag(col("n"), 1).over(wDay))
       val dayLast = perMin.groupBy(col("day"))

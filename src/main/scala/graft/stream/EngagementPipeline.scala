@@ -257,6 +257,32 @@ object EngagementPipeline {
         .limit(5)
       topk.write.mode("overwrite").parquet(topkDir)
     } finally minutes.unpersist()
+    // RETENTION DELETION — the reference expires minute state with
+    // `EXPIRE 900` (EngagementRedisSink.scala:22,139). Drop minute_id
+    // partitions at/below the recompute horizon (the snapshot reads
+    // strictly > maxId − retention, so nothing the snapshots consume is
+    // ever deleted): without this the store and its per-flush file
+    // listing grow without bound with stream age. A watermark-late
+    // minute older than the horizon may be re-upserted next flush and
+    // is simply collected again — eventual, idempotent cleanup.
+    expireMinutePartitions(spark, minutesDir, maxId - retentionMinutes)
+  }
+
+  /** Delete `minute_id=N` partition directories with N <= cutoffId.
+    * Returns the number of partitions removed. Cost is one directory
+    * listing, which retention itself keeps bounded. */
+  def expireMinutePartitions(spark: SparkSession, minutesDir: String,
+      cutoffId: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(minutesDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).iterator.filter(_.isDirectory).count { st =>
+      val name = st.getPath.getName
+      name.startsWith("minute_id=") &&
+        name.stripPrefix("minute_id=").toLongOption.exists(_ <= cutoffId) &&
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Wire the sliding-analytics stream: source → transform → 1-min
@@ -269,6 +295,19 @@ object EngagementPipeline {
       .foreachBatch(slidingAnalyticsBatch(
         s"$outRoot/minutes", s"$outRoot/sliding", s"$outRoot/topk") _)
       .start()
+
+  /** Opt the session's streaming state stores into RocksDB
+    * (`rocksdbjni` ships with Spark). The default
+    * HDFSBackedStateStoreProvider keeps EVERY key's state on the
+    * executor heap — for 100 TB-scale keyed state (sessionization and
+    * dedup over hundreds of millions of users) that is an OOM driver;
+    * RocksDB keeps the working set in native memory + local disk with
+    * incremental checkpointing to the same checkpoint location.
+    * Session-wide conf: set it BEFORE starting queries; existing
+    * checkpoints keep the provider they were created with. */
+  def useRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Closed user session emitted by [[sessionize]]. */
   case class UserSession(

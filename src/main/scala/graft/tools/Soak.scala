@@ -51,17 +51,34 @@ object Soak {
     val dropDir = s"$root/drop"
     Files.createDirectories(Paths.get(dropDir))
 
-    // progress listener: (wallclock ms, input rows) per micro-batch —
-    // the engine-native consumer-offset probe (A10)
+    // progress listener: (wallclock ms, query, input rows, batch wall
+    // ms) per micro-batch — the engine-native consumer-offset probe
+    // (A10) plus the per-flush latency series the retention check needs
     val progress =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.util.UUID, Long)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.util.UUID, Long, Long)]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         progress.add((System.currentTimeMillis(), e.progress.id,
-          e.progress.numInputRows))
+          e.progress.numInputRows,
+          Option(e.progress.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)))
     })
+
+    // minutes-store probe: partition count + bytes — with retention
+    // deletion both must stay bounded as the stream ages
+    def minutesStoreSize(dir: String): (Long, Long) = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) return (0L, 0L)
+      val parts = d.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("minute_id="))
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length() else f.listFiles() match {
+          case null => 0L; case fs => fs.map(du).sum
+        }
+      (parts.length.toLong, parts.map(du).sum)
+    }
 
     // DUAL-STREAM, like the reference under stress: the fan-out
     // pipeline (warehouse/search/analytics) and the always-on sliding
@@ -88,14 +105,18 @@ object Soak {
       val generated = id - idBefore
       // count only the fan-out pipeline's input (the sliding-analytics
       // stream reads the same events; summing both would double-count)
-      val processedInWindow = {
-        import scala.jdk.CollectionConverters._
-        progress.asScala.collect {
-          case (t, qid, rows) if qid == q.id && t >= winStart && t < winEnd =>
-            rows }.sum
-      }
+      import scala.jdk.CollectionConverters._
+      val processedInWindow = progress.asScala.collect {
+        case (t, qid, rows, _) if qid == q.id && t >= winStart && t < winEnd =>
+          rows }.sum
+      // per-flush latency of the sliding-analytics sink in this window:
+      // retention deletion must keep this flat as the store ages
+      val slidingFlushMax = (progress.asScala.collect {
+        case (t, qid, _, ms) if qid == qSliding.id && t >= winStart && t < winEnd =>
+          ms } ++ Seq(0L)).max
+      val (storeParts, storeBytes) = minutesStoreSize(s"$root/analytics10m/minutes")
       val wallSec = (winEnd - winStart) / 1000.0
-      (st, generated, processedInWindow, wallSec)
+      (st, generated, processedInWindow, wallSec, slidingFlushMax, storeParts, storeBytes)
     }
 
     // drain whatever is still queued, then verify exact conservation
@@ -119,9 +140,14 @@ object Soak {
     assert(storeLag == 0L, s"cross-store lag after drain: $storeLag")
 
     val totalSec = stageResults.map(_._4).sum + drainSec
-    val stagesJson = stageResults.map { case (st, gen, proc, wallSec) =>
-      val sustained = (proc / wallSec).toLong
-      s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"}}"""
+    val stagesJson = stageResults.map {
+      case (st, gen, proc, wallSec, flushMax, storeParts, storeBytes) =>
+        val sustained = (proc / wallSec).toLong
+        // generator_eps vs offered_eps attributes any shortfall: if the
+        // driver-thread generator itself undershot the offered rate, a
+        // sustained_eps below offered is generator-bound, not engine lag
+        val generatorEps = (gen / wallSec).toLong
+        s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generator_eps":$generatorEps,"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"},"sliding_flush_max_ms":$flushMax,"minutes_store_parts":$storeParts,"minutes_store_bytes":$storeBytes}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"soak","stage_seconds":$stageSec,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
     spark.stop()

@@ -353,6 +353,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minutes-store retention deletes partitions behind the recompute horizon") {
+    val root = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    // synthetic windowed-agg batches (the exact shape windowedAgg emits)
+    def aggBatch(rows: (String, String, Long, Double)*) =
+      rows.toSeq.toDF("start_s", "content_type", "access_count", "sum_pct")
+        .withColumn("start", to_timestamp($"start_s"))
+        .withColumn("window",
+          struct($"start", ($"start" + expr("INTERVAL 1 MINUTE")).as("end")))
+        .select($"window", $"content_type", $"access_count", $"sum_pct")
+    def sink = EngagementPipeline.slidingAnalyticsBatch(
+      s"$root/minutes", s"$root/sliding", s"$root/topk", retentionMinutes = 60) _
+    sink(aggBatch(
+      ("2024-01-01 00:00:00", "video", 2L, 10.0),
+      ("2024-01-01 00:05:00", "video", 1L, 5.0)), 0L)
+    def minuteParts() = {
+      val d = new java.io.File(s"$root/minutes")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("minute_id="))
+        .map(_.getName.stripPrefix("minute_id=").toLong).sorted.toSeq
+    }
+    assert(minuteParts().size === 2, "both minute partitions present pre-expiry")
+    // two hours later: both old partitions fall behind maxId − 60
+    sink(aggBatch(("2024-01-01 02:00:00", "video", 3L, 9.0)), 1L)
+    val after = minuteParts()
+    assert(after.size === 1 && after.head === 28401240L,
+      s"old partitions must be expired, store has $after")
+    // snapshots were computed BEFORE deletion and reflect the horizon
+    val topk = spark.read.parquet(s"$root/topk")
+      .select($"event_type", $"access_count").as[(String, Long)].collect().toSet
+    assert(topk === Set(("video", 3L)), s"topk reflects trailing window: $topk")
+  }
+
+  test("sessionizer runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EngagementPipeline.useRocksDBStateStore(spark)
+    val input = MemoryStream[String]
+    val sessions = EngagementPipeline.sessionize(
+      EngagementPipeline.transform(input.toDF(), contentDim), gapMs = 300000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_rocks_out").start()
+    try {
+      input.addData(
+        env(1, "c1", "play", Some(1000), "c", 0).replace("u1", "rocky"),
+        env(2, "c1", "play", Some(1000), "c", 2).replace("u2", "rocky"))
+      q.processAllAvailable()
+      input.addData(env(3, "c1", "play", Some(1000), "c", 59)
+        .replace("00:59", "23:59"))  // far-future watermark closes the session
+      q.processAllAvailable()
+      val out = spark.table("sess_rocks_out")
+        .as[EngagementPipeline.UserSession].collect().filter(_.user_id == "rocky")
+      assert(out.length === 1 && out.head.n_events === 2 &&
+        out.head.duration_ms === 120000L, s"got ${out.toSeq}")
+      // the state operator really ran on RocksDB, not the on-heap default
+      import scala.jdk.CollectionConverters._
+      val usedRocks = q.recentProgress.exists(_.stateOperators.exists(
+        _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))))
+      assert(usedRocks, "no rocksdb state metrics in query progress")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TopKByScore runs inside a streaming aggregation (partial-merge state)") {
     // the native TypedImperativeAggregate must survive streaming
     // update-mode state merges across micro-batches, not just batch

@@ -38,6 +38,11 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val stageSec = args.headOption.map(_.toInt).getOrElse(15)
+    // flush-interval knob (reference .env FLUSH_INTERVAL analog): a
+    // longer trigger amortizes the per-batch fixed cost (3 sink writes
+    // + checkpoint commit) over more rows — the lever for the top of
+    // the ladder, at the price of per-event latency
+    val triggerMs = args.lift(1).map(_.toLong).getOrElse(1000L)
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("graft-soak")
@@ -88,7 +93,7 @@ object Soak {
     val dim = EnvelopeGenerator.contentDim(spark)
     val raw = graft.stream.EngagementPipeline.fileSource(spark, dropDir)
     val q = graft.stream.EngagementPipeline.start(
-      raw, dim, root, s"$root/ckpt", triggerMs = 500L)
+      raw, dim, root, s"$root/ckpt", triggerMs = triggerMs)
     val rawSliding = graft.stream.EngagementPipeline.fileSource(spark, dropDir)
     val qSliding = graft.stream.EngagementPipeline.startSlidingAnalytics(
       rawSliding, dim, s"$root/analytics10m", s"$root/ckpt_sliding")
@@ -149,7 +154,7 @@ object Soak {
         val generatorEps = (gen / wallSec).toLong
         s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generator_eps":$generatorEps,"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"},"sliding_flush_max_ms":$flushMax,"minutes_store_parts":$storeParts,"minutes_store_bytes":$storeBytes}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"soak","stage_seconds":$stageSec,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
+    println(s"""{"metric":"soak","stage_seconds":$stageSec,"trigger_ms":$triggerMs,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
     spark.stop()
   }
 }

@@ -459,8 +459,12 @@ object TextOps {
     // actually ships: keep a document iff it is (a) the keeper of its
     // exact-dup group (min doc_id per normalized-text digest), (b) above
     // the quality threshold, (c) confidently language-identified
-    // (≥1 marker hit). One scan + one digest-keyed self-semi-join; at
-    // 100 TB the digest groupBy is the only text-derived shuffle.
+    // (≥1 marker hit). ONE scored scan and ONE skinny digest-keyed
+    // shuffle: the keeper is a min-over-digest-partition window, so no
+    // keeper aggregate, no self-join, no persist (the round-2 persisted
+    // groupBy+join form measured ~2× slower — the same
+    // caching-is-not-free effect as q_rate_lag). At 100 TB the window's
+    // digest shuffle carries only the scored projection, never text.
     "q_corpus_select" -> ((s, dir) => {
       val toks = tokens(col("text"))
       val nTok = size(toks).cast("double")
@@ -472,17 +476,13 @@ object TextOps {
           least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
       val allMarkers = langMarkers.flatMap(_._2)
       val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
-      // persist: both the keeper aggregation and the final join consume
-      // this scored projection — one text scan instead of two
-      val scored = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           md5(normText(col("text"))).as("h"),
           size(toks).as("n_tokens"),
           roundTo(quality, 4).as("quality_score"),
           anyHits.as("marker_hits"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val keepers = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-      scored.join(keepers, Seq("h"))
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keep_id") &&
           col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))

@@ -90,9 +90,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "needs partial+final agg")
   }
 
-  test("q_corpus_select reads the text scan once (persisted scored subtree)") {
+  test("q_corpus_select is one scored scan + one window — no self-join, no cache") {
     val p = plan("q_corpus_select")
-    assert(p.contains("InMemoryTableScan"),
-      "scored projection should come from the persisted subtree")
+    // keeper selection is a min-over-digest-partition window, so the
+    // text is scanned exactly once and nothing needs persisting
+    assert(!p.contains("Join"), s"keeper self-join crept back:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      "no cache expected in the single-pass form")
+    assert(p.contains("Window"), "keeper selection should be a window")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") === 1,
+      "documents must be scanned exactly once")
   }
 }

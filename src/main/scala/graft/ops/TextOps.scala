@@ -154,22 +154,37 @@ object TextOps {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.documents(s, dir))
 
+  /** MinHash/LSH tuning shared by the batch pair generator and the
+    * streaming dedup filter — identical constants keep the two paths
+    * provably equivalent. */
+  val MinhashK = 16
+  val LshBands = 4
+  val LshRows = 4
+
+  /** (doc_id, hsh, sig) signature projection — works on batch AND
+    * streaming inputs (pure column ops, no aggregation). */
+  def minhashSignatures(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
+    .withColumn("sig", minhashSig(col("hsh"), MinhashK))
+
+  /** Explode a signature row into its (band_id, band_key) LSH buckets;
+    * extra columns pass through. */
+  def bandedBuckets(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"), col("hsh"),
+      posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+        b => array_join(transform(slice(col("sig"), b * LshRows + 1, lit(LshRows)),
+          v => v.cast("string")), ","))))
+    .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+
   /** [[minhashPairs]] over an arbitrary (doc_id, text, …) DataFrame —
     * lets cluster resolution run pair generation over exact-dup group
     * representatives instead of the full corpus. */
   def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val k = 16; val bands = 4; val rows = 4
-    val d = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
-      .withColumn("sig", minhashSig(col("hsh"), k))
+    val d = minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = d.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-          v => v.cast("string")), ","))))
-      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val banded = bandedBuckets(d).drop("hsh")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&

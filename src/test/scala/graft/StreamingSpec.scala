@@ -418,6 +418,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup filter equals the batch LSH pair graph") {
+    import graft.stream.StreamingDedup
+    val dir = sf("sf0.01")
+    val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // ground truth: the batch pair generator. A doc is a near-dup iff
+    // it is the LARGER side of some verified pair; its partner is the
+    // min id_a among its pairs.
+    val expectedDupOf = ops.TextOps.minhashPairs(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val input = MemoryStream[(Long, String)]
+    val verdicts = StreamingDedup.nearDupVerdicts(
+      input.toDF().toDF("doc_id", "text"))
+    val q = verdicts.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      // three micro-batches — state must carry admitted docs across them
+      docs.grouped(200).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = StreamingDedup.resolve(spark.table("neardup_out"))
+        .filter($"is_dup")
+        .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toMap
+      assert(got === expectedDupOf,
+        s"streaming dedup diverged from batch pair graph: " +
+          s"missing=${expectedDupOf.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- expectedDupOf.keySet}")
+    } finally q.stop()
+  }
+
   test("TopKByScore runs inside a streaming aggregation (partial-merge state)") {
     // the native TypedImperativeAggregate must survive streaming
     // update-mode state merges across micro-batches, not just batch

@@ -504,6 +504,49 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic per-language STRATIFIED sampling — corpus
+    // balancing (downsample the dominant language, keep the tail):
+    // keep a doc iff doc_id % 100 < rate(lang). Pure map-side filter —
+    // no shuffle, no rand(): reproducible across runs and retries at
+    // any scale, the same id-keyed discipline as T5/q_sample_det.
+    "q_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(10))
+        .when(col("lang") === "zh", lit(40)).otherwise(lit(20))
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(100)) < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus TF-IDF, top-3 terms per document — the relevance/keyword
+    // primitive of a text pipeline. Shapes: one explode shuffle keyed
+    // (doc_id, token) for tf; a token-keyed df aggregation re-derived
+    // from tf (map-side partial agg on already-skinny rows — cheaper
+    // than caching, same lesson as q_rate_lag); a token-keyed join
+    // (vocab-sized, shuffles skinny rows only); a per-doc ranking
+    // window. The corpus size joins in as a broadcast scalar. Ranking
+    // orders by the ROUNDED score with a token tiebreak, so the top-3
+    // is deterministic and engine-independent.
+    "q_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          roundTo(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Multimodal metadata projection over the binary payload column
     // (graft.multimodal): byte length, content digest, kind routing,
     // declared-duration passthrough. The stubbed decoder's featurization
@@ -632,6 +675,32 @@ object TextOps {
            |  CAST(best.hits AS INTEGER) AS marker_hits
            |FROM p ORDER BY doc_id""".stripMargin
       },
+
+      "q_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 10
+          |  WHEN lang = 'zh' THEN 40 ELSE 20 END
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_tfidf_topterms" ->
+        s"""WITH ex AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |fx AS (SELECT doc_id, token FROM ex WHERE token != ''),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM fx GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.token,
+           |    ${roundToSql("tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))", 4)} AS tfidf
+           |  FROM tf JOIN df USING (token) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, token, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY tfidf DESC, token ASC) AS rnk
+           |  FROM scored)
+           |SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rnk
+           |FROM ranked WHERE rnk <= 3
+           |ORDER BY doc_id, rnk""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS media_id,

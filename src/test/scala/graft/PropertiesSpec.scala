@@ -102,4 +102,36 @@ class PropertiesSpec extends SparkSpec {
       assert(c10 - prev === arr(i) - arr(i - 10))
     }
   }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    // adversarial mix per trial: random edges + a long chain (stresses
+    // the pointer-jump depth) over a sparse id space (not contiguous)
+    val trials = samples(Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))),
+      Gen.chooseNum(5, 15)), 5)
+    trials.zipWithIndex.foreach { case ((rand, chainLen), t) =>
+      val chain = (0 until chainLen).map(i => (100L + i * 7, 107L + i * 7))
+      val edges = (rand.map { case (a, b) => (a * 3, b * 3) } ++ chain)
+        .filter { case (a, b) => a != b }
+      // ground truth: plain union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id representative per component (what the operator labels with)
+      val truth = {
+        val byRoot = nodes.groupBy(find)
+        nodes.map(n => n -> byRoot(find(n)).min).toMap
+      }
+      val got = ops.Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === truth, s"trial $t: ${edges.size} edges diverged")
+    }
+  }
 }

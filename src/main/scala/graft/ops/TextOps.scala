@@ -504,6 +504,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // NEAR-DUP-AWARE corpus selection — the fuzzy-dedup form of
+    // q_corpus_select and the query shape of production web-corpus
+    // pipelines (quality filter ∧ keep-one-per-near-dup-cluster): a doc
+    // survives iff it is the keeper (min doc_id) of its CONNECTED
+    // near-dup cluster — not merely of its exact-dup group — AND clears
+    // the quality/lang gates. Composition of [[dedupClusters]] (keeper
+    // flags) with the scored scan; the keeper set joins back as a
+    // skinny id semi-join. Oracle: the WITH-RECURSIVE reachability CC
+    // composed with the quality CTE.
+    "q_corpus_select_dedup" -> ((s, dir) => {
+      val keepers = dedupClusters(s, dir)
+        .filter(col("is_keeper")).select(col("doc_id"))
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+      val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      val quality =
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+          least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
+          least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
+      val allMarkers = langMarkers.flatMap(_._2)
+      val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          roundTo(quality, 4).as("quality_score"),
+          anyHits.as("marker_hits"))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.3 && col("marker_hits") > 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic per-language STRATIFIED sampling — corpus
     // balancing (downsample the dominant language, keep the tail):
     // keep a doc iff doc_id % 100 < rate(lang). Pure map-side filter —
@@ -774,6 +807,37 @@ object TextOps {
            |k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY 1)
            |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
            |FROM u JOIN k ON u.h = k.h AND u.doc_id = k.keep_id
+           |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
+           |ORDER BY u.doc_id""".stripMargin
+      },
+
+      "q_corpus_select_dedup" -> {
+        val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val allLst = langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE $minhashPairsSqlCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+           |t AS (
+           |  SELECT doc_id, lang, n_chars, text, $toksSql AS toks,
+           |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    ${roundToSql(
+                "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
+                " + LEAST(CAST(len(list_filter(toks, x -> list_contains(" + stopLst + ", x))) AS DOUBLE)" +
+                " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3" +
+                " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score,
+           |    len(list_filter(toks, x -> list_contains($allLst, x))) AS marker_hits
+           |  FROM t)
+           |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
+           |FROM u JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
            |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
            |ORDER BY u.doc_id""".stripMargin
       },

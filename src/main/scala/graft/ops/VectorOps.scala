@@ -122,6 +122,32 @@ object VectorOps {
         .limit(10)
     }),
 
+    // BATCHED retrieval — N query vectors against the corpus in ONE
+    // broadcast pass, top-5 neighbors EACH, via the bounded-state
+    // TopKByScore aggregate: scoring is map-side (queries broadcast,
+    // corpus never shuffles), and the per-query ranking shuffle carries
+    // at most k rows per (partition, query) thanks to partial-buffer
+    // merge — never the Q×N score space a window-rank would sort. The
+    // realistic retrieval-job shape vs q_similarity_topk's single
+    // query. Keys ride zero-padded so the aggregate's string tiebreak
+    // equals numeric vec_id order.
+    "q_batch_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+          lpad(col("vec_id").cast("string"), 8, "0").as("key"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5).as("topk"))
+        .select(col("q_id"), posexplode(col("topk")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.key").cast("long").as("vec_id"), col("col.score").as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     // All-pairs near-dup by cosine within a label block: top-20 most
     // similar pairs (threshold-free so the result is never empty).
     "q_embedding_pairs" -> ((s, dir) => {
@@ -260,6 +286,21 @@ object VectorOps {
          |  ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
          |FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_batch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM s)
+         |SELECT q_id, rank, vec_id, cos_sim FROM r
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_embedding_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,

@@ -54,10 +54,14 @@ object Graph {
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(nEdges / 1000000L + 1, sessionParts.toLong)).toInt
     val edges = pre.repartition(parts, col("src")).localCheckpoint()
-    // initial labels: every endpoint labels itself. Deliberately NOT
-    // dedup'd — round 1's groupBy collapses duplicates anyway, and the
-    // skipped distinct is one less shuffle+materialization.
-    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+    // initial labels MUST be distinct: with one label row per INCIDENT
+    // EDGE, round 1's join on src multiplies a degree-d node's d edge
+    // rows by its d label rows — O(d²) join output, quadratic on hubs
+    // (a 2M-spoke star = 4×10¹² rows; CCScaleProbe's star mode guards
+    // this). One distinct shuffle is the correct price.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
     // sum sentinel: labels only decrease, so an unchanged round sum
     // means the round was the identity; MinValue forces ≥1 real round
     // (a first round over any non-empty edge set changes some label,

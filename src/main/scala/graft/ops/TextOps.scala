@@ -254,7 +254,13 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     // doc → exact-dup group rep (min doc_id per normalized-text digest):
     // one text scan, then one skinny (doc_id, digest) shuffle — the text
-    // body never enters the window
+    // body never enters the window. Degree skew: a d-copy group puts d
+    // skinny rows in one window partition; WindowExec spills past 4096
+    // rows (ExternalAppendOnlyUnsafeRowArray), so a boilerplate page
+    // duplicated millions of times degrades to a disk-streaming task,
+    // not an OOM. (A groupBy+join formulation has the same d-row hot
+    // path on the join back — assigning every copy its rep inherently
+    // routes d rows through the digest key.)
     val win = Window.partitionBy(col("h"))
     val d2g = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
       .withColumn("grp", min(col("doc_id")).over(win))

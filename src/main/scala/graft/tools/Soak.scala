@@ -51,6 +51,10 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ROCKSDB=1 → run the ladder's streaming-agg state on
+    // the RocksDB provider (the 100 TB keyed-state configuration)
+    val rocks = sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")
+    if (rocks) graft.stream.EngagementPipeline.useRocksDBStateStore(spark)
 
     val root = Files.createTempDirectory("graft_soak").toString
     val dropDir = s"$root/drop"
@@ -154,7 +158,7 @@ object Soak {
         val generatorEps = (gen / wallSec).toLong
         s"""{"stage":"${st.name}","offered_eps":${st.offeredEps},"generator_eps":$generatorEps,"generated":$gen,"processed_in_window":$proc,"sustained_eps":$sustained,"seconds":${f"$wallSec%.1f"},"sliding_flush_max_ms":$flushMax,"minutes_store_parts":$storeParts,"minutes_store_bytes":$storeBytes}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"soak","stage_seconds":$stageSec,"trigger_ms":$triggerMs,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
+    println(s"""{"metric":"soak","stage_seconds":$stageSec,"trigger_ms":$triggerMs,"rocksdb":$rocks,"stages":$stagesJson,"events_total":$id,"rows_landed":$landed,"expected_rows":$expected,"store_lag":$storeLag,"drain_sec":${f"$drainSec%.2f"},"overall_eps":${(id / totalSec).toLong},"reference_target_eps":2000}""")
     spark.stop()
   }
 }

@@ -34,6 +34,20 @@ import graft.ops.TextOps
   */
 object StreamingDedup {
 
+  /** Streaming EXACT dedup by normalized-text digest: emits only the
+    * first-arriving copy of each distinct normalized text (the
+    * streaming form of q_dedup_exact's keeper rule, ordered by arrival
+    * instead of doc_id). Digest state is corpus knowledge and never
+    * expires on its own — pair with
+    * [[EngagementPipeline.useRocksDBStateStore]] for large corpora, or
+    * switch to `dropDuplicatesWithinWatermark` when the upstream
+    * guarantees bounded redelivery. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    docs.withColumn("h", md5(TextOps.normText(col("text"))))
+      .dropDuplicates("h")
+  }
+
   /** One admitted bucket member: doc id + its shingle-hash set. */
   case class Member(id: Long, hsh: Array[Long])
   case class BucketState(members: List[Member])

@@ -90,6 +90,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "needs partial+final agg")
   }
 
+  test("q_batch_topk ranks through the bounded-state aggregate, not a score-space sort") {
+    val p = plan("q_batch_topk")
+    // scoring is a broadcast pass; ranking must be TopKByScore partial
+    // aggregation — never a Window/rank (which would sort the full Q×N
+    // score space) and never a shuffled join of corpus×queries
+    assert(p.contains("partial_topk_by_score"),
+      s"expected map-side partial TopKByScore buffers:\n$p")
+    assert(!p.contains("Window"), s"window-rank over the score space:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
+  }
+
+  test("q_tfidf_topterms joins df on the token key without cartesian blowup") {
+    val p = plan("q_tfidf_topterms")
+    assert(!p.contains("CartesianProduct"), s"cartesian in tf-idf:\n$p")
+    // the only nested-loop join allowed is the 1-row corpus-size scalar
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus-size scalar should broadcast:\n$p")
+  }
+
   test("q_corpus_select is one scored scan + one window — no self-join, no cache") {
     val p = plan("q_corpus_select")
     // keeper selection is a min-over-digest-partition window, so the

@@ -418,6 +418,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact dedup emits only first-arriving copies across batches") {
+    import graft.stream.StreamingDedup
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.exactDedup(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("exact_dedup_out").start()
+    try {
+      input.addData((1L, "the quick fox"), (2L, "THE  quick   fox"), (3L, "other text"))
+      q.processAllAvailable()
+      // cross-batch: 4 duplicates 1 (normalized-equal), 5 is new
+      input.addData((4L, "the quick FOX "), (5L, "fresh content"))
+      q.processAllAvailable()
+      val kept = spark.table("exact_dedup_out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 3L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter equals the batch LSH pair graph") {
     import graft.stream.StreamingDedup
     val dir = sf("sf0.01")

@@ -296,6 +296,34 @@ object EngagementPipeline {
         s"$outRoot/minutes", s"$outRoot/sliding", s"$outRoot/topk") _)
       .start()
 
+  /** STREAM-STREAM interval join — funnel detection: pair each user's
+    * `click` with the same user's `play` landing within `gapMin`
+    * minutes AFTER it. Both sides are watermarked and the join
+    * condition carries the time range, so Spark bounds both state
+    * stores: a click can be dropped once the play-side watermark
+    * passes click_time + gap, a play once the click-side watermark
+    * passes play_time. The same function runs unchanged on a batch
+    * DataFrame (an ordinary range join) — StreamingSpec asserts the
+    * streaming result equals the batch one on identical events. This
+    * is the §2.6 interval-join category in its streaming form; the
+    * batch form is q_interval_join. */
+  def funnelPairs(derived: DataFrame, gapMin: Int = 5): DataFrame = {
+    val clicks = derived.filter(col("event_type") === "click")
+      .select(col("user_id"), col("id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "15 minutes")
+    val plays = derived.filter(col("event_type") === "play")
+      .select(col("user_id").as("play_user"), col("id").as("play_id"),
+        col("event_time").as("play_time"))
+      .withWatermark("play_time", "15 minutes")
+    clicks.join(plays,
+      col("user_id") === col("play_user") &&
+        col("play_time") >= col("click_time") &&
+        col("play_time") <= col("click_time") + expr(s"INTERVAL $gapMin MINUTES"))
+      .select(col("user_id"), col("click_id"), col("play_id"),
+        col("click_time"), col("play_time"))
+  }
+
   /** Opt the session's streaming state stores into RocksDB
     * (`rocksdbjni` ships with Spark). The default
     * HDFSBackedStateStoreProvider keeps EVERY key's state on the

@@ -418,6 +418,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream funnel join pairs click→play within the gap, equals batch") {
+    val input = MemoryStream[String]
+    val streamed = EngagementPipeline.funnelPairs(
+      EngagementPipeline.transform(input.toDF(), contentDim), gapMin = 5)
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    val events = Seq(
+      env(1, "c1", "click", None, "c", 2).replace("u1", "bob"),
+      env(2, "c1", "play", Some(1000), "c", 4).replace("u2", "bob"),   // within 5 → pair
+      env(3, "c1", "play", Some(1000), "c", 20).replace("u3", "bob"),  // beyond 5 → no pair
+      env(4, "c1", "click", None, "c", 10).replace("u4", "ann"),
+      env(5, "c1", "play", Some(1000), "c", 12).replace("u5", "eve"),  // other user → no pair
+      env(6, "c1", "play", Some(1000), "c", 13).replace("u6", "ann"))  // within 5 → pair
+    try {
+      input.addData(events.take(3))
+      q.processAllAvailable()
+      input.addData(events.drop(3))   // cross-batch join state
+      q.processAllAvailable()
+      input.addData(env(7, "c1", "click", None, "c", 59)
+        .replace("00:59", "23:59"))   // advance watermark, flush state
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select($"user_id", $"click_id", $"play_id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === Set(("bob", 1L, 2L), ("ann", 4L, 6L)), s"got $got")
+      // the SAME function on the SAME events as a batch DataFrame
+      val batch = EngagementPipeline.funnelPairs(
+        EngagementPipeline.transform(
+          events.toDF("value"), contentDim), gapMin = 5)
+        .select($"user_id", $"click_id", $"play_id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(batch === got, s"streaming $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits only first-arriving copies across batches") {
     import graft.stream.StreamingDedup
     val input = MemoryStream[(Long, String)]

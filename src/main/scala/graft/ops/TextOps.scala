@@ -118,6 +118,54 @@ object TextOps {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "is", "are", "to", "in")
 
+  /** THE corpus-selection scoring projection —
+    * (doc_id, lang[, h], n_tokens, quality_score, marker_hits) — the
+    * single definition shared by q_corpus_select and
+    * q_corpus_select_dedup; [[qualityCtesSql]] is its DuckDB twin. A
+    * weight/threshold tweak happens here (and there) exactly once. */
+  def scoredDocs(docs: DataFrame, withDigest: Boolean): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val quality =
+      least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+        least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
+        least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
+    val allMarkers = langMarkers.flatMap(_._2)
+    val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
+    val cols = Seq(col("doc_id"), col("lang")) ++
+      (if (withDigest) Seq(md5(normText(col("text"))).as("h")) else Nil) ++
+      Seq(size(toks).as("n_tokens"),
+        roundTo(quality, 4).as("quality_score"),
+        anyHits.as("marker_hits"))
+    docs.select(cols: _*)
+  }
+
+  /** DuckDB spelling of [[scoredDocs]] as CTEs `t`, `u` — `u` carries
+    * (doc_id, lang[, h], n_tokens, quality_score, marker_hits). */
+  def qualityCtesSql(withDigest: Boolean): String = {
+    val toksSqlV = tokensSql("text")
+    val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val allLst = langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+    val hT = if (withDigest) s",\n    md5(${normTextSql("text")}) AS h" else ""
+    val hU = if (withDigest) ", h" else ""
+    s"""t AS (
+       |  SELECT doc_id, lang, n_chars, text, $toksSqlV AS toks$hT,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, lang$hU,
+       |    CAST(len(toks) AS INTEGER) AS n_tokens,
+       |    ${roundToSql(
+          "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
+          " + LEAST(CAST(len(list_filter(toks, x -> list_contains(" + stopLst + ", x))) AS DOUBLE)" +
+          " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3" +
+          " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score,
+       |    len(list_filter(toks, x -> list_contains($allLst, x))) AS marker_hits
+       |  FROM t)""".stripMargin
+  }
+
   /** BPE-ish pre-tokenizer regex (GPT-2-style shape: contractions,
     * space-prefixed letter runs, digit runs, punctuation runs,
     * whitespace runs). Written with explicit whitespace classes and
@@ -249,8 +297,13 @@ object TextOps {
     * Singletons (docs whose group never entered the pair graph) get
     * rep = group rep in the final expansion — they never enter the loop.
     */
-  def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** (doc_id, cluster_rep) for EVERY document — the contraction + CC +
+    * expansion core shared by [[dedupClusters]] (which adds sizes and
+    * keeper flags) and the near-dup corpus selection (which only needs
+    * `doc_id === cluster_rep`). Recomputing this frame is cheap: the
+    * CC labels come back as a flat materialized DataFrame, so a second
+    * consumer re-runs only the skinny expansion join, never the loop. */
+  def clusterAssignments(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
     val docs = Tables.documents(s, dir)
     // doc → exact-dup group rep (min doc_id per normalized-text digest):
     // one text scan, then one skinny (doc_id, digest) shuffle — the text
@@ -265,7 +318,6 @@ object TextOps {
     val d2g = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
       .withColumn("grp", min(col("doc_id")).over(win))
       .select(col("doc_id"), col("grp"))
-      .persist(MEMORY_AND_DISK) // consumed again by the final expansion
     // one representative text per digest group via struct-min
     // aggregation: map-side partial agg drops same-partition copies, so
     // each group's text crosses the shuffle AT MOST once and no join
@@ -278,9 +330,14 @@ object TextOps {
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val pairs = minhashPairsOf(reps).select(col("id_a"), col("id_b"))
     val labels = Graph.connectedComponents(pairs, maxRounds)
-    val expanded = d2g
+    d2g
       .join(labels.withColumnRenamed("node", "grp"), Seq("grp"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("grp")).as("cluster_rep"))
+  }
+
+  def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val expanded = clusterAssignments(s, dir, maxRounds)
       .persist(MEMORY_AND_DISK) // consumed by the size agg + final join
     val sizes = expanded.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -486,29 +543,13 @@ object TextOps {
     // groupBy+join form measured ~2× slower — the same
     // caching-is-not-free effect as q_rate_lag). At 100 TB the window's
     // digest shuffle carries only the scored projection, never text.
-    "q_corpus_select" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
-      val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
-      val quality =
-        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
-          least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
-          least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
-      val allMarkers = langMarkers.flatMap(_._2)
-      val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          md5(normText(col("text"))).as("h"),
-          size(toks).as("n_tokens"),
-          roundTo(quality, 4).as("quality_score"),
-          anyHits.as("marker_hits"))
+    "q_corpus_select" -> ((s, dir) =>
+      scoredDocs(Tables.documents(s, dir), withDigest = true)
         .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keep_id") &&
           col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // NEAR-DUP-AWARE corpus selection — the fuzzy-dedup form of
     // q_corpus_select and the query shape of production web-corpus
@@ -520,23 +561,11 @@ object TextOps {
     // skinny id semi-join. Oracle: the WITH-RECURSIVE reachability CC
     // composed with the quality CTE.
     "q_corpus_select_dedup" -> ((s, dir) => {
-      val keepers = dedupClusters(s, dir)
-        .filter(col("is_keeper")).select(col("doc_id"))
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
-      val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
-      val quality =
-        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
-          least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
-          least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
-      val allMarkers = langMarkers.flatMap(_._2)
-      val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          size(toks).as("n_tokens"),
-          roundTo(quality, 4).as("quality_score"),
-          anyHits.as("marker_hits"))
+      // keeper-only path: cluster assignments without the size agg /
+      // keeper-flag join dedupClusters would add and this query discards
+      val keepers = clusterAssignments(s, dir)
+        .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+      scoredDocs(Tables.documents(s, dir), withDigest = false)
         .join(keepers, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
@@ -792,34 +821,15 @@ object TextOps {
            |SELECT token, count(*) AS n FROM t WHERE token != ''
            |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
 
-      "q_corpus_select" -> {
-        val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        val allLst = langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""WITH t AS (
-           |  SELECT doc_id, lang, n_chars, text, $toksSql AS toks,
-           |    md5(${normTextSql("text")}) AS h,
-           |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
-           |  FROM documents),
-           |u AS (
-           |  SELECT doc_id, lang, h,
-           |    CAST(len(toks) AS INTEGER) AS n_tokens,
-           |    ${roundToSql(
-                "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
-                " + LEAST(CAST(len(list_filter(toks, x -> list_contains(" + stopLst + ", x))) AS DOUBLE)" +
-                " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3" +
-                " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score,
-           |    len(list_filter(toks, x -> list_contains($allLst, x))) AS marker_hits
-           |  FROM t),
+      "q_corpus_select" ->
+        s"""WITH ${qualityCtesSql(withDigest = true)},
            |k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY 1)
            |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
            |FROM u JOIN k ON u.h = k.h AND u.doc_id = k.keep_id
            |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
-           |ORDER BY u.doc_id""".stripMargin
-      },
+           |ORDER BY u.doc_id""".stripMargin,
 
-      "q_corpus_select_dedup" -> {
-        val stopLst = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        val allLst = langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+      "q_corpus_select_dedup" ->
         s"""WITH RECURSIVE $minhashPairsSqlCtes,
            |edges AS (SELECT id_a AS src, id_b AS dst FROM np
            |          UNION ALL SELECT id_b, id_a FROM np),
@@ -828,25 +838,11 @@ object TextOps {
            |  UNION
            |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
            |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
-           |t AS (
-           |  SELECT doc_id, lang, n_chars, text, $toksSql AS toks,
-           |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
-           |  FROM documents),
-           |u AS (
-           |  SELECT doc_id, lang,
-           |    CAST(len(toks) AS INTEGER) AS n_tokens,
-           |    ${roundToSql(
-                "LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4" +
-                " + LEAST(CAST(len(list_filter(toks, x -> list_contains(" + stopLst + ", x))) AS DOUBLE)" +
-                " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3" +
-                " + LEAST(CAST(n_punct AS DOUBLE) * 10.0 / GREATEST(length(text), 1), 1.0) * 0.3", 4)} AS quality_score,
-           |    len(list_filter(toks, x -> list_contains($allLst, x))) AS marker_hits
-           |  FROM t)
+           |${qualityCtesSql(withDigest = false)}
            |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
            |FROM u JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
            |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
-           |ORDER BY u.doc_id""".stripMargin
-      },
+           |ORDER BY u.doc_id""".stripMargin,
 
       "q_simhash" ->
         s"""WITH h AS (SELECT doc_id,

@@ -139,7 +139,11 @@ object VectorOps {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"),
           roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos_sim"),
-          lpad(col("vec_id").cast("string"), 8, "0").as("key"))
+          // pad to the FULL 19-digit long width: lpad TRUNCATES strings
+          // longer than its target, so an 8-digit pad would corrupt ids
+          // ≥ 10⁸ (collapse + misorder) at exactly the corpus sizes
+          // this query is for
+          lpad(col("vec_id").cast("string"), 19, "0").as("key"))
         .groupBy(col("q_id"))
         .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5).as("topk"))
         .select(col("q_id"), posexplode(col("topk")))

@@ -44,8 +44,10 @@ object StreamingDedup {
     * guarantees bounded redelivery. */
   def exactDedup(docs: DataFrame): DataFrame = {
     import graft.ops.TextOps
+    // drop the internal digest: callers get their input schema back
     docs.withColumn("h", md5(TextOps.normText(col("text"))))
       .dropDuplicates("h")
+      .drop("h")
   }
 
   /** One admitted bucket member: doc id + its shingle-hash set. */

@@ -22,4 +22,26 @@ object shims {
   def logicalPlan(df: org.apache.spark.sql.Dataset[_])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Materialize a DataFrame into a persisted InternalRow RDD behind a
+    * FLAT plan (LogicalRDD) and hand back the RDD so the caller can
+    * `unpersist()` it deterministically. `Dataset.localCheckpoint`
+    * gives the same flat plan but leaves block cleanup to driver GC /
+    * ContextCleaner — an iterative loop that materializes per round
+    * would otherwise accumulate O(rounds) copies of its working set.
+    * NOT eager: run an action (e.g. `handle.count()`) to materialize. */
+  def materializedWithHandle(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    // copy(): toRdd rows are reused buffers; persisting without a copy
+    // stores aliased rows
+    val rdd = qe.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, rdd)(spark)
+    (ofRows(spark, plan), rdd)
+  }
 }

@@ -324,6 +324,33 @@ object EngagementPipeline {
         col("click_time"), col("play_time"))
   }
 
+  /** ABANDONED-funnel detection — [[funnelPairs]] as a LEFT OUTER
+    * stream-stream join: clicks with no same-user play inside the gap
+    * surface with null play columns. Spark can only emit the
+    * null-match once the play-side watermark has passed
+    * click_time + gap (before that a matching play could still
+    * arrive), so abandoned rows appear watermark-delayed — the
+    * correct-by-construction semantics a wall-clock timeout job gets
+    * wrong on late data. */
+  def funnelWithAbandoned(derived: DataFrame, gapMin: Int = 5): DataFrame = {
+    val clicks = derived.filter(col("event_type") === "click")
+      .select(col("user_id"), col("id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "15 minutes")
+    val plays = derived.filter(col("event_type") === "play")
+      .select(col("user_id").as("play_user"), col("id").as("play_id"),
+        col("event_time").as("play_time"))
+      .withWatermark("play_time", "15 minutes")
+    clicks.join(plays,
+      col("user_id") === col("play_user") &&
+        col("play_time") >= col("click_time") &&
+        col("play_time") <= col("click_time") + expr(s"INTERVAL $gapMin MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("play_id"),
+        col("click_time"), col("play_time"),
+        col("play_id").isNull.as("abandoned"))
+  }
+
   /** Opt the session's streaming state stores into RocksDB
     * (`rocksdbjni` ships with Spark). The default
     * HDFSBackedStateStoreProvider keeps EVERY key's state on the

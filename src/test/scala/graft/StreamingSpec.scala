@@ -453,6 +453,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer funnel surfaces abandoned clicks after the watermark passes") {
+    val input = MemoryStream[String]
+    val streamed = EngagementPipeline.funnelWithAbandoned(
+      EngagementPipeline.transform(input.toDF(), contentDim), gapMin = 5)
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_outer_out").start()
+    try {
+      input.addData(
+        env(1, "c1", "click", None, "c", 2).replace("u1", "bob"),   // converts
+        env(2, "c1", "play", Some(1000), "c", 4).replace("u2", "bob"),
+        env(3, "c1", "click", None, "c", 3).replace("u3", "eve"))   // abandons
+      q.processAllAvailable()
+      // before the watermark passes eve's click+gap, no abandoned row
+      // may be emitted (a matching play could still arrive)
+      val early = spark.table("funnel_outer_out")
+        .filter($"abandoned").count()
+      assert(early === 0L, "abandoned row emitted before watermark closed the gap")
+      // the global watermark is the MIN across BOTH sides' event-time
+      // columns, so the flush must advance clicks AND plays (either
+      // alone leaves eve's click correctly un-evictable); the
+      // null-match is then emitted by the batch AFTER the one that
+      // moved the watermark
+      input.addData(
+        env(4, "c1", "play", Some(1000), "c", 59).replace("00:59", "23:59"),
+        env(5, "c1", "click", None, "c", 59).replace("00:59", "23:59"))
+      q.processAllAvailable()
+      input.addData(
+        env(6, "c1", "play", Some(1000), "c", 58).replace("00:58", "23:58"),
+        env(7, "c1", "click", None, "c", 58).replace("00:58", "23:58"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_outer_out")
+        .select($"user_id", $"click_id", $"abandoned")
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(rows.contains(("bob", 1L, false)), s"bob must convert: $rows")
+      assert(rows.contains(("eve", 3L, true)), s"eve must abandon: $rows")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits only first-arriving copies across batches") {
     import graft.stream.StreamingDedup
     val input = MemoryStream[(Long, String)]

@@ -167,4 +167,12 @@ class TextVectorSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(ops.Graph.connectedComponents(empty).count() === 0L)
   }
+
+  test("connectedComponents tolerates self-loops and duplicate edges") {
+    val messy = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L))
+      .toDF("id_a", "id_b")
+    val labels = ops.Graph.connectedComponents(messy)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
 }

@@ -56,8 +56,12 @@ object StreamingDedup {
 
   /** Verdict of ONE band bucket for one document. `dup_of` is the
     * smallest earlier bucket member whose verified jaccard clears the
-    * threshold (None = no near-dup in this bucket). */
-  case class BandVerdict(doc_id: Long, band_id: Int, dup_of: Option[Long])
+    * threshold (None = no near-dup in this bucket); `matches` is EVERY
+    * clearing member — the full edge set a cluster-maintenance
+    * consumer needs (two partners of the new doc may sit in different
+    * existing clusters that only this doc bridges). */
+  case class BandVerdict(doc_id: Long, band_id: Int, dup_of: Option[Long],
+      matches: Seq[Long])
 
   /** Exact jaccard between two shingle-hash arrays — the same
     * set-intersection over raw-length denominator the batch verifier
@@ -94,17 +98,14 @@ object StreamingDedup {
         case ((bandId, _), rows, state: GroupState[BucketState]) =>
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val out = rows.toSeq.sortBy(_._3).map { case (_, _, docId, hsh) =>
-            val dup = members.iterator
-              .filter(m => jaccard(m.hsh, hsh) >= threshold)
-              .map(_.id).foldLeft(Option.empty[Long]) {
-                case (None, id) => Some(id)
-                case (Some(m), id) => Some(math.min(m, id))
-              }
+            val hits = members.filter(m => jaccard(m.hsh, hsh) >= threshold)
+              .map(_.id)
             // admit newest-first; the cap drops the OLDEST members of a
             // degenerate hot bucket (newer docs dedupe against newer
             // corpus state — the batch df-cap analog)
             members = (Member(docId, hsh) :: members).take(maxPerBucket)
-            BandVerdict(docId, bandId, dup)
+            BandVerdict(docId, bandId,
+              if (hits.isEmpty) None else Some(hits.min), hits)
           }
           state.update(BucketState(members))
           out.iterator
@@ -121,4 +122,68 @@ object StreamingDedup {
       .agg(min(col("dup_of")).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
       .select(col("doc_id"), col("is_dup"), col("dup_of"))
+
+  /** INCREMENTAL cluster maintenance — `foreachBatch` sink over
+    * [[nearDupVerdicts]] that keeps a persistent
+    * (doc_id, cluster_rep) store current as documents stream in,
+    * without ever re-clustering the corpus:
+    *
+    *   1. the batch's verified edges (doc → every matched partner,
+    *      all bands — bridges between existing clusters included)
+    *      pull in ONLY the store rows of components those partners
+    *      belong to;
+    *   2. [[graft.ops.Graph.connectedComponents]] re-solves that
+    *      touched sub-graph (store rows re-enter as (doc, rep) edges,
+    *      so old merges are preserved and min-id labels stay global);
+    *   3. the refreshed assignments upsert into the store through
+    *      doc-id-bucket dynamic partition overwrite — only buckets
+    *      holding updated docs are rewritten.
+    *
+    * Per-flush cost is O(batch + touched components), not O(corpus) —
+    * the property that makes continuous corpus dedup viable at
+    * 100 TB. Replay-idempotent: re-running a batch against an
+    * already-updated store re-derives the same assignments (CC over a
+    * merged store is a fixpoint) and rewrites the same partitions.
+    * StreamingSpec proves the final store equals the batch
+    * q_dedup_clusters assignment on the same corpus. */
+  def updateClusterStore(storeDir: String, bucketCount: Int = 64)
+      (verdicts: DataFrame, batchId: Long): Unit = {
+    val spark = verdicts.sparkSession
+    if (verdicts.isEmpty) return
+    val newEdges = verdicts
+      .select(col("doc_id"), explode(col("matches")).as("partner"))
+      .distinct()
+    val newDocs = verdicts.select(col("doc_id")).distinct()
+    val store: DataFrame =
+      if (new java.io.File(storeDir).exists())
+        spark.read.parquet(storeDir).select(col("doc_id"), col("cluster_rep"))
+      else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("cluster_rep")).limit(0)
+    // components touched by this batch: clusters of every matched partner
+    val touchedReps = store
+      .join(newEdges.select(col("partner").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("cluster_rep")).distinct()
+    val touched = store.join(touchedReps, Seq("cluster_rep"), "left_semi")
+    // sub-graph: touched store rows as (doc, rep) edges ∪ new verified
+    // edges ∪ a self-loop per new doc (keeps match-less arrivals in
+    // the CC output as singletons)
+    val pairs = touched.select(col("doc_id").as("id_a"), col("cluster_rep").as("id_b"))
+      .union(newEdges.select(col("doc_id").as("id_a"), col("partner").as("id_b")))
+      .union(newDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+    val updated = graft.ops.Graph.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+    // rewrite ONLY the buckets that hold updated docs: carry over their
+    // unchanged rows, then overwrite those partitions
+    val affected = updated.select(col("bucket")).distinct()
+    val carried = store
+      .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+      .join(affected, Seq("bucket"), "left_semi")
+      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
+      .unionByName(updated)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+  }
 }

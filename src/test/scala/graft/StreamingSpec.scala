@@ -541,6 +541,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental cluster store equals batch cluster resolution") {
+    import graft.stream.StreamingDedup
+    val dir = sf("sf0.01")
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstore").toString
+    val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupVerdicts(input.toDF().toDF("doc_id", "text"))
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingDedup.updateClusterStore(s"$root/store") _)
+      .start()
+    try {
+      docs.grouped(200).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.read.parquet(s"$root/store")
+        .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+      // ground truth: the batch connected-components resolution (which
+      // itself hash-matches the DuckDB WITH RECURSIVE oracle)
+      val want = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+        .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+      assert(got.size === want.size, s"${got.size} docs in store, want ${want.size}")
+      val diff = want.collect { case (d, r) if got.get(d) != Some(r) => (d, got.get(d), r) }
+      assert(diff.isEmpty, s"assignments diverged (doc, got, want): ${diff.take(10)}")
+    } finally q.stop()
+  }
+
   test("TopKByScore runs inside a streaming aggregation (partial-merge state)") {
     // the native TypedImperativeAggregate must survive streaming
     // update-mode state merges across micro-batches, not just batch

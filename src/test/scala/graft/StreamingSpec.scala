@@ -570,6 +570,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental cluster store absorbs crash + replay without drift") {
+    import graft.stream.StreamingDedup
+    val dir = sf("sf0.01")
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstore_crash").toString
+    val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    @volatile var crashArmed = true
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingDedup.updateClusterStore(s"$root/store")(batch, batchId)
+      if (crashArmed && !batch.isEmpty) {
+        crashArmed = false
+        throw new RuntimeException("injected crash after cluster-store update")
+      }
+    }
+    def startQ() = StreamingDedup.nearDupVerdicts(
+        input.toDF().toDF("doc_id", "text"))
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(crashingSink _)
+      .start()
+    val q1 = startQ()
+    input.addData(docs.take(250).toSeq)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = startQ()   // replays the uncommitted batch against the already-updated store
+    try {
+      q2.processAllAvailable()
+      input.addData(docs.drop(250).toSeq)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$root/store")
+        .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+      val want = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+        .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+      assert(got === want, "replayed store diverged from batch resolution")
+    } finally q2.stop()
+  }
+
   test("TopKByScore runs inside a streaming aggregation (partial-merge state)") {
     // the native TypedImperativeAggregate must survive streaming
     // update-mode state merges across micro-batches, not just batch

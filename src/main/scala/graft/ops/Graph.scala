@@ -50,8 +50,11 @@ object Graph {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(a, b) = pairs.columns.take(2).toSeq
+    // null endpoints cannot join (SQL semantics) — drop them up front
+    // instead of letting a (null, null) label row ride every round
     val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val (pre, preHandle) = shims.materializedWithHandle(sym)
     val nEdges = preHandle.count()
     if (nEdges == 0) {

@@ -168,11 +168,16 @@ class TextVectorSpec extends SparkSpec {
     assert(ops.Graph.connectedComponents(empty).count() === 0L)
   }
 
-  test("connectedComponents tolerates self-loops and duplicate edges") {
+  test("connectedComponents tolerates self-loops, duplicate edges, and null ids") {
     val messy = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L))
       .toDF("id_a", "id_b")
     val labels = ops.Graph.connectedComponents(messy)
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(9L)), (Some(9L), None))
+      .toDF("id_a", "id_b")
+    val l2 = ops.Graph.connectedComponents(withNulls)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 1L), s"null endpoints must be dropped: $l2")
   }
 }

@@ -572,6 +572,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
+    // (context-window chunks of 64 tokens, stride 48 → 16-token
+    // overlap; the tail chunk may be short; an empty doc yields one
+    // empty chunk). Pure map-side: the chunk starts are generated
+    // INSIDE the explode from the token count, so nothing but the
+    // (doc_id, chunk) rows ever exists — no joins, no shuffle beyond
+    // the final presentation sort. Chunks are summarized (token count
+    // + first token), not materialized as text: at 100 TB the chunk
+    // TEXT never needs to leave the map side either — a writer would
+    // emit it straight to the sink from the same explode.
+    "q_chunk_docs" -> ((s, dir) => {
+      val chunk = 64; val stride = 48
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+            .as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_idx"),
+          least(col("n") - col("start"), lit(chunk)).cast("int").as("chunk_tokens"),
+          element_at(col("toks"), col("start") + 1).as("first_token"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic per-language STRATIFIED sampling — corpus
     // balancing (downsample the dominant language, keep the tail):
     // keep a doc iff doc_id % 100 < rate(lang). Pure map-side filter —
@@ -743,6 +768,17 @@ object TextOps {
            |  CAST(best.hits AS INTEGER) AS marker_hits
            |FROM p ORDER BY doc_id""".stripMargin
       },
+
+      "q_chunk_docs" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |e AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+           |c AS (SELECT doc_id, toks, n,
+           |    unnest(range(0, GREATEST(n, 1), 48)) AS start FROM e)
+           |SELECT doc_id,
+           |  CAST(start // 48 AS INTEGER) AS chunk_idx,
+           |  CAST(LEAST(n - start, 64) AS INTEGER) AS chunk_tokens,
+           |  toks[start + 1] AS first_token
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q_stratified_sample" ->
         """SELECT doc_id, lang FROM documents

@@ -347,6 +347,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document chunking over a (doc_id, text, …) frame:
+    * `chunk`-token chunks at `stride` (overlap = chunk − stride); the
+    * tail chunk may be short; an empty doc yields one empty chunk
+    * (chunk_tokens 0, first_token null — `try_element_at`, because
+    * plain `element_at` on an empty array THROWS under Spark 4's
+    * default ANSI mode). Chunk starts are generated inside the
+    * explode from the token count, so only the chunk rows ever exist —
+    * fully map-side, no joins. */
+  def chunkDocs(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        least(col("n") - col("start"), lit(chunk)).cast("int").as("chunk_tokens"),
+        try_element_at(col("toks"), col("start") + 1).as("first_token"))
+
   /** Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
     * INVERTED-INDEX join, not a cross join: explode shingles, hash-join
     * docs sharing a shingle, count commons per pair. Shuffle volume is
@@ -582,20 +602,8 @@ object TextOps {
     // + first token), not materialized as text: at 100 TB the chunk
     // TEXT never needs to leave the map side either — a writer would
     // emit it straight to the sink from the same explode.
-    "q_chunk_docs" -> ((s, dir) => {
-      val chunk = 64; val stride = 48
-      Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        .select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
-            .as("start"))
-        .select(col("doc_id"),
-          (col("start") / stride).cast("int").as("chunk_idx"),
-          least(col("n") - col("start"), lit(chunk)).cast("int").as("chunk_tokens"),
-          element_at(col("toks"), col("start") + 1).as("first_token"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "q_chunk_docs" -> ((s, dir) =>
+      chunkDocs(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
     // Deterministic per-language STRATIFIED sampling — corpus
     // balancing (downsample the dominant language, keep the tail):

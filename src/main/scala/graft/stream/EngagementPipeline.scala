@@ -307,22 +307,10 @@ object EngagementPipeline {
     * streaming result equals the batch one on identical events. This
     * is the §2.6 interval-join category in its streaming form; the
     * batch form is q_interval_join. */
-  def funnelPairs(derived: DataFrame, gapMin: Int = 5): DataFrame = {
-    val clicks = derived.filter(col("event_type") === "click")
-      .select(col("user_id"), col("id").as("click_id"),
-        col("event_time").as("click_time"))
-      .withWatermark("click_time", "15 minutes")
-    val plays = derived.filter(col("event_type") === "play")
-      .select(col("user_id").as("play_user"), col("id").as("play_id"),
-        col("event_time").as("play_time"))
-      .withWatermark("play_time", "15 minutes")
-    clicks.join(plays,
-      col("user_id") === col("play_user") &&
-        col("play_time") >= col("click_time") &&
-        col("play_time") <= col("click_time") + expr(s"INTERVAL $gapMin MINUTES"))
+  def funnelPairs(derived: DataFrame, gapMin: Int = 5): DataFrame =
+    funnelJoin(derived, gapMin, "inner")
       .select(col("user_id"), col("click_id"), col("play_id"),
         col("click_time"), col("play_time"))
-  }
 
   /** ABANDONED-funnel detection — [[funnelPairs]] as a LEFT OUTER
     * stream-stream join: clicks with no same-user play inside the gap
@@ -332,7 +320,17 @@ object EngagementPipeline {
     * arrive), so abandoned rows appear watermark-delayed — the
     * correct-by-construction semantics a wall-clock timeout job gets
     * wrong on late data. */
-  def funnelWithAbandoned(derived: DataFrame, gapMin: Int = 5): DataFrame = {
+  def funnelWithAbandoned(derived: DataFrame, gapMin: Int = 5): DataFrame =
+    funnelJoin(derived, gapMin, "leftOuter")
+      .select(col("user_id"), col("click_id"), col("play_id"),
+        col("click_time"), col("play_time"),
+        col("play_id").isNull.as("abandoned"))
+
+  /** Shared click⋈play definition behind [[funnelPairs]] /
+    * [[funnelWithAbandoned]] — one place owns the gap semantics,
+    * watermark horizon, and column set. */
+  private def funnelJoin(derived: DataFrame, gapMin: Int,
+      joinType: String): DataFrame = {
     val clicks = derived.filter(col("event_type") === "click")
       .select(col("user_id"), col("id").as("click_id"),
         col("event_time").as("click_time"))
@@ -345,10 +343,7 @@ object EngagementPipeline {
       col("user_id") === col("play_user") &&
         col("play_time") >= col("click_time") &&
         col("play_time") <= col("click_time") + expr(s"INTERVAL $gapMin MINUTES"),
-      "leftOuter")
-      .select(col("user_id"), col("click_id"), col("play_id"),
-        col("click_time"), col("play_time"),
-        col("play_id").isNull.as("abandoned"))
+      joinType)
   }
 
   /** Opt the session's streaming state stores into RocksDB

@@ -147,43 +147,72 @@ object StreamingDedup {
     * StreamingSpec proves the final store equals the batch
     * q_dedup_clusters assignment on the same corpus. */
   def updateClusterStore(storeDir: String, bucketCount: Int = 64)
-      (verdicts: DataFrame, batchId: Long): Unit = {
-    val spark = verdicts.sparkSession
-    if (verdicts.isEmpty) return
-    val newEdges = verdicts
-      .select(col("doc_id"), explode(col("matches")).as("partner"))
-      .distinct()
-    val newDocs = verdicts.select(col("doc_id")).distinct()
-    val store: DataFrame =
-      if (new java.io.File(storeDir).exists())
-        spark.read.parquet(storeDir).select(col("doc_id"), col("cluster_rep"))
-      else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("cluster_rep")).limit(0)
-    // components touched by this batch: clusters of every matched partner
-    val touchedReps = store
-      .join(newEdges.select(col("partner").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("cluster_rep")).distinct()
-    val touched = store.join(touchedReps, Seq("cluster_rep"), "left_semi")
-    // sub-graph: touched store rows as (doc, rep) edges ∪ new verified
-    // edges ∪ a self-loop per new doc (keeps match-less arrivals in
-    // the CC output as singletons)
-    val pairs = touched.select(col("doc_id").as("id_a"), col("cluster_rep").as("id_b"))
-      .union(newEdges.select(col("doc_id").as("id_a"), col("partner").as("id_b")))
-      .union(newDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
-    val updated = graft.ops.Graph.connectedComponents(pairs)
-      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-      .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
-    // rewrite ONLY the buckets that hold updated docs: carry over their
-    // unchanged rows, then overwrite those partitions
-    val affected = updated.select(col("bucket")).distinct()
-    val carried = store
-      .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
-      .join(affected, Seq("bucket"), "left_semi")
-      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
-      .unionByName(updated)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(storeDir)
+      (verdicts0: DataFrame, batchId: Long): Unit = {
+    val spark = verdicts0.sparkSession
+    // one upstream execution per flush: everything below reads the
+    // verdicts (and the store) several times
+    val verdicts = verdicts0.persist()
+    try {
+      if (verdicts.isEmpty) return
+      val newEdges = verdicts
+        .select(col("doc_id"), explode(col("matches")).as("partner"))
+        .distinct()
+      val newDocs = verdicts.select(col("doc_id")).distinct()
+      // Hadoop-FS existence probe, not java.io.File — the store may
+      // live on any Hadoop filesystem (hdfs://, s3a://, …); a local-FS
+      // probe would silently read an existing remote store as empty
+      // and corrupt labels
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val store: DataFrame =
+        (if (fs.exists(storePath))
+          spark.read.parquet(storeDir).select(col("doc_id"), col("cluster_rep"))
+        else
+          spark.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit(0L).as("cluster_rep")).limit(0))
+          .persist()
+      try {
+        // components touched by this batch: clusters of every matched
+        // partner AND of every incoming doc itself — a redelivered doc
+        // that is already a stored cluster rep must drag its own old
+        // members into the sub-graph, or they would be left pointing at
+        // a relabeled rep (split component)
+        val probeDocs = newEdges.select(col("partner").as("doc_id"))
+          .union(newDocs).distinct()
+        val touchedReps = store
+          .join(probeDocs, Seq("doc_id"), "left_semi")
+          .select(col("cluster_rep")).distinct()
+        val touched = store.join(touchedReps, Seq("cluster_rep"), "left_semi")
+        // sub-graph: touched store rows as (doc, rep) edges ∪ new
+        // verified edges ∪ a self-loop per new doc (keeps match-less
+        // arrivals in the CC output as singletons)
+        val pairs = touched.select(col("doc_id").as("id_a"), col("cluster_rep").as("id_b"))
+          .union(newEdges.select(col("doc_id").as("id_a"), col("partner").as("id_b")))
+          .union(newDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+        val updated = graft.ops.Graph.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+          .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+        // rewrite ONLY the buckets that hold updated docs: carry over
+        // their unchanged rows, then overwrite those partitions.
+        // COMMIT-ATOMICITY CAVEAT: dynamic partition overwrite commits
+        // bucket directories individually; a crash INSIDE the commit
+        // window can land a mixed-label store that replay cannot fully
+        // repair (the crash-injection test covers crash-after-write,
+        // the common case). A production deployment puts this store on
+        // a transactional table format (or single-partition commits);
+        // plain parquet has no atomic multi-partition swap to offer.
+        val affected = updated.select(col("bucket")).distinct()
+        val carried = store
+          .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+          .join(affected, Seq("bucket"), "left_semi")
+          .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
+          .unionByName(updated)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(storeDir)
+      } finally store.unpersist()
+    } finally verdicts.unpersist()
   }
 }

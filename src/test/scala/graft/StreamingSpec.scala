@@ -570,6 +570,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cluster store pulls a redelivered doc's own cluster, not just its partners'") {
+    import graft.stream.StreamingDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstore_redeliver").toString
+    def verdictBatch(rows: (Long, Seq[Long])*) =
+      rows.toSeq.toDF("doc_id", "matches")
+    // batch 0: docs 1,2 pair up → store {1→1, 2→1}
+    StreamingDedup.updateClusterStore(s"$root/store")(
+      verdictBatch((1L, Seq.empty), (2L, Seq(1L))), 0L)
+    // batch 1: doc 2 REDELIVERED (at-least-once source, bucket state
+    // evolved) matching only new doc 5 — its own old cluster {1,2}
+    // must be pulled in, or 1 is left pointing at a relabeled rep
+    StreamingDedup.updateClusterStore(s"$root/store")(
+      verdictBatch((5L, Seq.empty), (2L, Seq(5L))), 1L)
+    val store = spark.read.parquet(s"$root/store")
+      .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+    assert(store === Map(1L -> 1L, 2L -> 1L, 5L -> 1L),
+      s"component {1,2,5} must share rep 1: $store")
+  }
+
   test("incremental cluster store absorbs crash + replay without drift") {
     import graft.stream.StreamingDedup
     val dir = sf("sf0.01")

@@ -163,6 +163,24 @@ class TextVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("chunkDocs: overlap arithmetic, short tails, and empty docs (ANSI-safe)") {
+    // 100 tokens → starts 0,48,96 → lengths 64,52,4; empty / whitespace
+    // docs must yield ONE empty chunk, not an ANSI element_at crash
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs)
+      .as[(Long, Int, Int, Option[String])].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)) ===
+      Seq((0, 64, Some("t1")), (1, 52, Some("t49")), (2, 4, Some("t97"))))
+    Seq(2L, 3L).foreach { d =>
+      assert(out.filter(_._1 == d) === Seq((d, 0, 0, None)),
+        s"doc $d must yield one empty chunk")
+    }
+  }
+
   test("connectedComponents on an empty pair set returns no labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(ops.Graph.connectedComponents(empty).count() === 0L)

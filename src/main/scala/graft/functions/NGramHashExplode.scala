@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, UnaryExpression}
@@ -49,45 +48,46 @@ case class NGramHashExplode(child: Expression, n: Int = 3)
     if (arr == null) return Iterator.empty
     val toks = arr.asInstanceOf[ArrayData]
     val m = toks.numElements()
-    val md = MessageDigest.getInstance("MD5")
 
-    def hashOf(s: String): Long = {
-      val d = md.digest(s.getBytes("UTF-8"))
-      md.reset()
-      // first 15 hex digits of the digest == 60 bits, big-endian
-      var v = 0L
-      var i = 0
-      while (i < 8) {
-        val b = d(i) & 0xff
-        if (i < 7) v = (v << 8) | b
-        else v = (v << 4) | (b >>> 4)   // 15th hex digit = high nibble
-        i += 1
+    // thread-local digest (SimHashUtil) — no per-row JCA lookup in the
+    // hot loop; first 15 hex md5 digits == the composed hash60 form
+    def hashOf(s: String): Long =
+      SimHashUtil.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) %
+        NGramHashExplode.HashP
+
+    // concat_ws semantics: null tokens are SKIPPED, not rendered as
+    // empty slots — keeps shingle strings identical to the composed
+    // `concat_ws(" ", …)` form
+    def joined(from: Int, count: Int): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < count) {
+        if (!toks.isNullAt(from + j)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(from + j).toString)
+        }
+        j += 1
       }
-      v % NGramHashExplode.HashP
+      sb.toString
     }
 
     if (m == 0) {
       Iterator.single(InternalRow(hashOf("")))
     } else if (m < n) {
-      val whole = (0 until m).map(i =>
-        if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString)
-        .mkString(" ")
-      Iterator.single(InternalRow(hashOf(whole)))
+      Iterator.single(InternalRow(hashOf(joined(0, m))))
     } else {
-      val seen = new java.util.HashSet[Long](m * 2)
+      // dedup on the shingle STRING, exactly like the composed form's
+      // array_distinct-before-hash (and the oracle's list_distinct):
+      // hash-keyed dedup would silently collapse two distinct shingles
+      // whose 60-bit-mod-p hashes collide, desynchronizing the per-doc
+      // size/common counts from the oracle at collision scale
+      val seen = new java.util.HashSet[String](m * 2)
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow](m - n + 1)
-      val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i <= m - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          if (!toks.isNullAt(i + j)) sb.append(toks.getUTF8String(i + j).toString)
-          j += 1
-        }
-        val h = hashOf(sb.toString)
-        if (seen.add(h)) out += InternalRow(h)
+        val sh = joined(i, n)
+        if (seen.add(sh)) out += InternalRow(hashOf(sh))
         i += 1
       }
       out

@@ -16,8 +16,15 @@ final class TopKBuffer(val k: Int) {
   var scores: Array[Double] = new Array[Double](0)
   var keys: Array[UTF8String] = new Array[UTF8String](0)
 
-  private def beats(s: Double, key: UTF8String, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && key.compareTo(keys(i)) < 0)
+  // java.lang.Double.compare, not primitive >: a TOTAL order that
+  // ranks NaN above every finite score, exactly where Spark's and
+  // DuckDB's DESC sorts place it — primitive comparisons are always
+  // false for NaN, which made buffer contents depend on partial-merge
+  // arrival order
+  private def beats(s: Double, key: UTF8String, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && key.compareTo(keys(i)) < 0)
+  }
 
   def insert(s: Double, key: UTF8String): Unit = {
     var pos = scores.length

@@ -44,5 +44,9 @@ package object functions {
     reg.createOrReplaceTempFunction("topk_by_score",
       exprs => TopKByScore(exprs.head, exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hash_explode",
+      exprs => NGramHashExplode(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
+          .getOrElse(3)), "built-in")
   }
 }

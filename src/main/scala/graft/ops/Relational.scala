@@ -189,12 +189,17 @@ object Relational {
     // checks it with its native ASOF LEFT JOIN.
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // o_orderdate arrives as TIMESTAMP_NTZ; cast to TIMESTAMP
+      // explicitly (session is pinned UTC, so the instant is
+      // unchanged) — the as-of validator now rejects cross-side type
+      // mixes rather than trusting the raw 64-bit slots to agree
       val od = Tables.orders(s, dir)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("o_orderkey"),
           max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+        .withColumn("o_orderts", col("o_orderdate").cast("timestamp"))
       graft.plans.AsOf.join(ev, od,
-          ev("user_id"), od("o_custkey"), ev("ts"), od("o_orderdate"))
+          ev("user_id"), od("o_custkey"), ev("ts"), od("o_orderts"))
         .select(col("event_id"), col("user_id"), col("o_orderkey"),
           col("o_totalprice"))
         .orderBy("event_id")
@@ -254,14 +259,15 @@ object Relational {
           least(col("c_nationkey").cast("long"), lit(10L)).as("nation_capped"))
         .orderBy("c_custkey")),
 
-    // Approximate distinct (HLL++) next to the exact count — the
-    // sketch differs from DuckDB's, so assert only the exact columns
-    // in the oracle; the approx column is test-bounded instead.
+    // GLOBAL distinct-user count — the corpus-wide cardinality that
+    // complements q_distinct_users' per-type breakdown. This is the
+    // exact twin of the HLL++ path: approx_count_distinct uses a
+    // sketch that differs from DuckDB's, so the approximate form
+    // cannot be oracle-hashed — SqlSurfaceSpec bounds it against this
+    // exact count instead (within HLL++ error).
     "q_distinct_approx" -> ((s, dir) =>
       Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-        .orderBy("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -356,8 +362,7 @@ object Relational {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_approx" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT count(DISTINCT user_id) AS n_exact FROM events""".stripMargin,
 
     "q_range_frame" ->
       """WITH o AS (

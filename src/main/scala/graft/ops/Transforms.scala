@@ -150,14 +150,19 @@ object Transforms {
     }),
 
     // T6/T7: per-sink serialization projection — second-truncated
-    // timestamp, fixed-format metric, pipe-joined line.
+    // timestamp, fixed-format metric, pipe-joined line. The metric is
+    // roundTo'd BEFORE formatting: Java's %.2f rounds ties HALF_UP
+    // while DuckDB's printf rounds half-to-even (0.125 → "0.13" vs
+    // "0.12"), so formatting the raw double diverges on exactly-
+    // representable ties; a pre-rounded value never presents the
+    // formatter with a tie.
     "q_serialize" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
           concat_ws("|",
             col("event_id"), col("event_type"), col("user_id"),
             secondString(col("ts")),
-            format_string("%.2f", col("value"))).as("line"))
+            format_string("%.2f", roundTo(col("value"), 2))).as("line"))
         .orderBy("event_id"))
   )
 
@@ -202,7 +207,7 @@ object Transforms {
       s"""SELECT event_id,
          |  concat_ws('|', CAST(event_id AS VARCHAR), event_type,
          |    CAST(user_id AS VARCHAR), ${secondStringSql("ts")},
-         |    printf('%.2f', value)) AS line
+         |    printf('%.2f', ${roundToSql("value", 2)})) AS line
          |FROM events ORDER BY event_id""".stripMargin
   )
 }

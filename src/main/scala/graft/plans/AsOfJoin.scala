@@ -194,6 +194,20 @@ object AsOf {
     }
     check("left key", j.leftKey); check("right key", j.rightKey)
     check("left time", j.leftTime); check("right time", j.rightTime)
+    // the two sides must carry the SAME type: LONG-vs-TIMESTAMP (or
+    // TIMESTAMP-vs-TIMESTAMP_NTZ) both pass the per-side check but
+    // compare raw 64-bit slots in different units/epochs — silently
+    // wrong matches, the exact class this validator exists to reject
+    def sameType(role: String, l: Expression, r: Expression): Unit = {
+      if (l.resolved && r.resolved && l.dataType != r.dataType) {
+        throw new IllegalArgumentException(
+          s"as-of join $role types must match on both sides, got " +
+            s"${l.dataType.sql} vs ${r.dataType.sql}; cast one side " +
+            "explicitly so the ordering semantics are chosen, not implied")
+      }
+    }
+    sameType("key", j.leftKey, j.rightKey)
+    sameType("time", j.leftTime, j.rightTime)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

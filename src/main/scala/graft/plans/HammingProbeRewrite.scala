@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * killed the naive multi-probe LSH at scale (VectorOps.q_ann_lsh
   * round-1). But Hamming(a,b) ≤ 1 ⟺ b ∈ {a} ∪ {a ⊕ 2ʲ}, so the
   * predicate IS an equi-join against an enumerated probe set. This rule
-  * rewrites the join automatically: the smaller side is exploded into
+  * rewrites the join automatically: the RIGHT side is exploded into
   * its (width+1) probe values and the join becomes `a = probe` — a hash
   * join whose expanded side grows 65× (long) / 33× (int) while the scan
-  * of the big side drops from O(n·m) to O(n).
+  * of the other side drops from O(n·m) to O(n). Put the small
+  * (broadcastable) side on the right, the DF-API LSH idiom.
   *
   * Scope: INNER joins, radius exactly 1, integral bucket types; extra
   * conjuncts in the condition are preserved. Registered via
@@ -43,16 +44,12 @@ object HammingProbeRewrite extends Rule[LogicalPlan] {
             if sides(x, y, left, right).isDefined =>
           (i, sides(x, y, left, right).get)
       } match {
-        case Some((i, (keep, probeSrc, probeOnLeft))) =>
+        case Some((i, (keep, probeSrc))) =>
           val rest = conjuncts.patch(i, Nil, 1)
-          val (probedChild, probeAttr) = explodeProbes(
-            if (probeOnLeft) left else right, probeSrc)
+          val (probedChild, probeAttr) = explodeProbes(right, probeSrc)
           val eq = EqualTo(keep, probeAttr)
           val newCond = (eq +: rest).reduce(And)
-          val newJoin = if (probeOnLeft)
-            Join(probedChild, right, Inner, Some(newCond), hint)
-          else
-            Join(left, probedChild, Inner, Some(newCond), hint)
+          val newJoin = Join(left, probedChild, Inner, Some(newCond), hint)
           // project the probe column away so output matches the original
           Project(j.output, newJoin)
         case None => j
@@ -71,18 +68,19 @@ object HammingProbeRewrite extends Rule[LogicalPlan] {
   }
 
   /** Resolves which xor operand binds to which join side; returns
-    * (kept expression, probed expression, probedSideIsLeft). The RIGHT
-    * side is always the one expanded (the DF-API LSH idiom places the
-    * broadcastable probe side there); a predicate whose operands both
+    * (kept expression, probed expression). The RIGHT side is ALWAYS
+    * the one expanded — the DF-API LSH idiom places the small
+    * (broadcastable) probe side there, and callers who want the other
+    * orientation swap the join inputs; a predicate whose operands both
     * bind to one side is not a join key and is left untouched. */
   private def sides(x: Expression, y: Expression,
       left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, Boolean)] = {
+      : Option[(Expression, Expression)] = {
     def in(e: Expression, p: LogicalPlan) =
       e.references.nonEmpty && e.references.subsetOf(p.outputSet) &&
         e.deterministic && integral(e)
-    if (in(x, left) && in(y, right)) Some((x, y, false))
-    else if (in(y, left) && in(x, right)) Some((y, x, false))
+    if (in(x, left) && in(y, right)) Some((x, y))
+    else if (in(y, left) && in(x, right)) Some((y, x))
     else None
   }
 

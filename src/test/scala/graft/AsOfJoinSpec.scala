@@ -100,6 +100,14 @@ class AsOfJoinSpec extends SparkSpec {
     // long key + timestamp time stays accepted
     val ok = AsOf.join(left, right, left("ik"), right("ik"), left("t"), right("t"))
     assert(ok.count() === 2)
+    // CROSS-SIDE mismatch: long millis vs timestamp — each passes the
+    // per-side 64-bit check but the raw slots carry different units;
+    // must be rejected, not silently misjoined
+    val lts = left.withColumn("tt", to_timestamp(from_unixtime($"t")))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.join(lts, right, lts("ik"), right("ik"), lts("tt"), right("t"))
+    }
+    assert(e3.getMessage.contains("must match on both sides"))
   }
 
   test("null keys and times never match (and never corrupt the merge)") {

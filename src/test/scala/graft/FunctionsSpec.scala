@@ -83,6 +83,39 @@ class FunctionsSpec extends SparkSpec {
     assert(agg === expect)
   }
 
+  test("topk_by_score ranks NaN scores first, deterministically across partitions") {
+    // NaN must occupy the DESC-first slot (where Spark's orderBy and
+    // DuckDB's row_number both put it) regardless of partial-merge
+    // arrival order — a primitive-comparison buffer buried it wherever
+    // insertion order happened to drop it
+    val rows = Seq((Double.NaN, "n2"), (5.0, "a"), (Double.NaN, "n1"),
+      (7.0, "b"), (1.0, "c"))
+    val agg = rows.toDF("score", "key").repartition(4)
+      .agg(graft.functions.topk_by_score($"score", $"key", 4).as("t"))
+      .select(explode($"t")).select($"col.key").as[String].collect().toSeq
+    assert(agg === Seq("n1", "n2", "b", "a"), s"got $agg")
+  }
+
+  test("cosine_sim nulls out ragged-length pairs like the zip_with fold") {
+    val df = Seq(
+      (Seq(1f, 2f), Seq(2f, 4f)),     // equal length → finite
+      (Seq(1f, 2f, 3f), Seq(1f, 2f))  // ragged → null (zip_with pads null)
+    ).toDF("x", "y")
+      .select(graft.functions.cosine_sim($"x", $"y").as("c"))
+      .as[Option[Double]].collect().toSeq
+    assert(df.head.exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(df(1).isEmpty, s"ragged pair must be null, got ${df(1)}")
+  }
+
+  test("ngram_hash_explode is SQL-registered") {
+    registerAll(spark)
+    Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .createOrReplaceTempView("ngram_fixture")
+    val n = spark.sql(
+      "SELECT ngram_hash_explode(toks) AS h FROM ngram_fixture").count()
+    assert(n === 2L)  // 4 tokens → 2 trigram shingles
+  }
+
   test("topk_by_score survives serialize/deserialize round trip") {
     val a = graft.functions.TopKByScore(null, null, 3)
     val buf = a.createAggregationBuffer()

@@ -36,4 +36,17 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(arr(0).getDouble(0) >= arr(1).getDouble(0))
     }
   }
+
+  test("approx_count_distinct tracks the exact global distinct within HLL++ error") {
+    // the approximate sketch can't be oracle-hashed (Spark's HLL++ !=
+    // DuckDB's); bound it against q_distinct_approx's exact twin here
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val row = graft.io.Tables.events(spark, sf("sf0.01"))
+      .agg(countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id", 0.02).as("approx"))
+      .head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx drifted beyond 5% of exact $exact")
+  }
 }

@@ -24,10 +24,14 @@ object Tables {
     * the second/minute granularity every declared query buckets on. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div`, not `/`: long / long promotes to DOUBLE, and epoch nanos
+    // (~1.7e18) exceed double's 2^53 mantissa — the rounding could
+    // push a value sitting within ~256 ns of a second boundary across
+    // it and desynchronize every time bucket from DuckDB's exact
+    // integer truncation
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")

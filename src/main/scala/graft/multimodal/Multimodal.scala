@@ -103,8 +103,16 @@ object Multimodal {
     media.mapPartitions { it =>
       val dec = mkDecoder()
       dec.open()
+      // close exactly once, and ALWAYS — a limit/take that abandons
+      // the iterator, or an exception out of decode(), must still
+      // release the (native) decoder; exhaustion-triggered close alone
+      // leaks it and repeated hasNext would double-close
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; dec.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[MediaFeatures] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) closeOnce(); h }
         def next(): MediaFeatures = dec.decode(it.next())
       }
     }
@@ -119,7 +127,10 @@ object Multimodal {
   def sampleFrames(features: Dataset[MediaFeatures], maxFrames: Int): Dataset[FrameSample] = {
     import features.sparkSession.implicits._
     val step = floor((col("n_frames") + lit(maxFrames - 1)) / lit(maxFrames)).cast("int")
-    features.filter(col("kind") === "video")
+    // n_frames = 0 (a real decoder's corrupt/empty clip) would make
+    // sequence(0, -1, +step) throw and byte_offset divide by zero —
+    // a frameless clip simply yields no samples
+    features.filter(col("kind") === "video" && col("n_frames") > 0)
       .select(col("media_id"), col("byte_len"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, step)).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),

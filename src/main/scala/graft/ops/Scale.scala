@@ -22,8 +22,11 @@ object Scale {
     * `fact.join(dim, keys, "left")` row-for-row. */
   def saltedLeftJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, saltIdCol: String, saltBuckets: Int): DataFrame = {
+    // coalesce: a NULL salt id would null the salt, and NULL never
+    // equals any exploded dim salt — silently dropping dim matches a
+    // plain left join would have made
     val salted = fact.withColumn("__salt",
-      pmod(col(saltIdCol), lit(saltBuckets)).cast("int"))
+      pmod(coalesce(col(saltIdCol), lit(0L)), lit(saltBuckets)).cast("int"))
     val dimExp = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(broadcast(dimExp),

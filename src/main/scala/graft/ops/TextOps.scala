@@ -27,22 +27,27 @@ import Util._
   */
 object TextOps {
 
-  /** Whitespace tokenization of lowercased text (empty → empty array). */
+  /** Whitespace tokenization of lowercased text (empty → empty
+    * array). EXPLICIT whitespace class, not \s: Java regex \s
+    * includes vertical tab (\x0B) while DuckDB's RE2 \s does not —
+    * the same cross-engine trap the BPE pattern already documents. */
+  val wsClass: String = "[ \\t\\n\\r\\f\\x0B]+"
+
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(lower(text)), "\\s+"))
+      .otherwise(split(trim(lower(text)), wsClass))
 
   def tokensSql(text: String): String =
     s"CASE WHEN length(trim($text)) = 0 THEN [] " +
-      s"ELSE string_split_regex(trim(lower($text)), '\\s+') END"
+      s"ELSE string_split_regex(trim(lower($text)), '$wsClass') END"
 
   /** Canonical whitespace-normalized form used for exact dedup and
     * fingerprinting. */
   def normText(text: Column): Column =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
+    regexp_replace(trim(lower(text)), wsClass, " ")
 
   def normTextSql(text: String): String =
-    s"regexp_replace(trim(lower($text)), '\\s+', ' ', 'g')"
+    s"regexp_replace(trim(lower($text)), '$wsClass', ' ', 'g')"
 
   /** 60-bit deterministic string hash with an exact DuckDB equivalent. */
   def hash60(c: Column): Column =
@@ -65,10 +70,12 @@ object TextOps {
       s"ELSE list_distinct(list_transform(range(1, len($w) - 1), " +
       s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) END"
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays.
+    * Two empty sets → 0.0 (the denominator guard also keeps ANSI mode
+    * from throwing DIVIDE_BY_ZERO); the intersect is bound once. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / greatest(size(a) + size(b) - inter, lit(1.0))
   }
 
   /** MinHash via affine permutations: ONE md5 per shingle, then k
@@ -252,13 +259,15 @@ object TextOps {
     * relation named `np(id_a, id_b)`. */
   def minhashPairsSqlCtes: String = {
     val toksSql = tokensSql("text")
+    // constants interpolated from MinhashK/LshBands/LshRows — a tuning
+    // change updates this oracle spelling and the Spark path together
     s"""d AS (SELECT doc_id,
        |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-       |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", 16)} AS sig FROM d),
+       |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", MinhashK)} AS sig FROM d),
        |banded AS (
        |  SELECT doc_id, b.band_id,
-       |    array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], ',') AS band_key
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b),
+       |    array_to_string(sig[b.band_id * $LshRows + 1 : b.band_id * $LshRows + $LshRows], ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS band_id) b),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b

@@ -84,7 +84,7 @@ object EngagementPipeline {
   /** File-drop source with the same envelope contract (one JSON string
     * per line) — lets the whole pipeline run without Kafka. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "value")
+    spark.readStream.text(dir)
 
   /** Three-sink fan-out in one pass per micro-batch: the batch is
     * persisted once and written to all targets, then unpersisted —
@@ -98,7 +98,8 @@ object EngagementPipeline {
     * of appending duplicates — exactly-once to the file sinks; the
     * analytics snapshot is a whole-dir overwrite (last writer wins).
     * Crash-injected restart is covered by StreamingSpec. */
-  def fanOutBatch(warehouseDir: String, searchDir: String, analyticsDir: String)
+  def fanOutBatch(warehouseDir: String, searchDir: String, analyticsDir: String,
+      verifyWrites: Boolean = false)
       (batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
@@ -129,6 +130,14 @@ object EngagementPipeline {
         .orderBy(col("avg_engagement").desc, col("content_type").asc)
         .limit(5)
       topk.write.mode("overwrite").parquet(analyticsDir)
+      // verification counts run HERE, while the batch is still
+      // persisted — counting after the finally-unpersist re-executed
+      // the whole source→derive chain once more per trigger
+      if (verifyWrites) {
+        val n = batch.count()
+        if (n > 0) verifyBatchWrites(batch.sparkSession,
+          warehouseDir, searchDir, batchId, n)
+      }
     } finally batch.unpersist()
   }
 
@@ -176,14 +185,8 @@ object EngagementPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        fanOutBatch(warehouseDir, searchDir, s"$outRoot/analytics")(batch, batchId)
-        if (verifyWrites) {
-          val n = batch.count()
-          if (n > 0) verifyBatchWrites(batch.sparkSession,
-            warehouseDir, searchDir, batchId, n)
-        }
-      }
+      .foreachBatch(fanOutBatch(warehouseDir, searchDir,
+        s"$outRoot/analytics", verifyWrites) _)
       .start()
   }
 

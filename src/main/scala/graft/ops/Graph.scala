@@ -47,7 +47,20 @@ object Graph {
     * diameter a 64-bit id space can express under O(log d) rounds, so
     * a throw indicates a logic error, not a big graph.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame =
+    connectedComponentsWithHandle(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the persisted-blocks handle of the
+    * returned labels. The labels DataFrame reads persisted blocks that
+    * otherwise stay resident until driver GC + ContextCleaner notice
+    * the dropped reference — fine for one-shot batch queries, but a
+    * caller invoking CC once per micro-batch (StreamingDedup's cluster
+    * store) accumulates one working-set copy per trigger between GC
+    * cycles. Such callers consume the result, then
+    * `handle.unpersist()` deterministically. */
+  def connectedComponentsWithHandle(pairs: DataFrame, maxRounds: Int = 64)
+      : (DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val spark = pairs.sparkSession
     val Seq(a, b) = pairs.columns.take(2).toSeq
     // null endpoints cannot join (SQL semantics) — drop them up front
@@ -59,7 +72,9 @@ object Graph {
     val nEdges = preHandle.count()
     if (nEdges == 0) {
       preHandle.unpersist(blocking = false)
-      return pre.select(col("src").as("node"), col("src").as("label")).limit(0)
+      // handle already unpersisted — a second unpersist is a no-op
+      return (pre.select(col("src").as("node"), col("src").as("label")).limit(0),
+        preHandle)
     }
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(nEdges / 1000000L + 1, sessionParts.toLong)).toInt
@@ -115,11 +130,16 @@ object Graph {
     }
     edgesHandle.unpersist(blocking = false)
     // NOTE: the final labels' blocks stay persisted — the returned
-    // DataFrame reads them; they are freed by ContextCleaner once the
-    // caller drops the reference (one outstanding copy, not O(rounds)).
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds " +
-        s"($nEdges directed edges) — refusing to emit possibly-wrong labels")
-    labels.select(col("node"), col("label"))
+    // DataFrame reads them. Via [[connectedComponents]] they are freed
+    // by ContextCleaner once the caller drops the reference (one
+    // outstanding copy, not O(rounds)); per-trigger callers use the
+    // returned handle to free them deterministically.
+    if (!converged) {
+      labelsHandle.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"($nEdges directed edges) — refusing to emit possibly-wrong labels")
+    }
+    (labels.select(col("node"), col("label")), labelsHandle)
   }
 }

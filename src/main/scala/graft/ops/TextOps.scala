@@ -364,7 +364,14 @@ object TextOps {
     * default ANSI mode). Chunk starts are generated inside the
     * explode from the token count, so only the chunk rows ever exist —
     * fully map-side, no joins. */
-  def chunkDocs(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
+  /** Default chunk geometry — interpolated into the q_chunk_docs
+    * oracle SQL so the two spellings cannot desynchronize (the
+    * MinhashK/LshBands pattern). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def chunkDocs(docs: DataFrame, chunk: Int = ChunkSize,
+      stride: Int = ChunkStride): DataFrame =
     docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
@@ -790,10 +797,10 @@ object TextOps {
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |e AS (SELECT doc_id, toks, len(toks) AS n FROM d),
            |c AS (SELECT doc_id, toks, n,
-           |    unnest(range(0, GREATEST(n, 1), 48)) AS start FROM e)
+           |    unnest(range(0, GREATEST(n, 1), $ChunkStride)) AS start FROM e)
            |SELECT doc_id,
-           |  CAST(start // 48 AS INTEGER) AS chunk_idx,
-           |  CAST(LEAST(n - start, 64) AS INTEGER) AS chunk_tokens,
+           |  CAST(start // $ChunkStride AS INTEGER) AS chunk_idx,
+           |  CAST(LEAST(n - start, $ChunkSize) AS INTEGER) AS chunk_tokens,
            |  toks[start + 1] AS first_token
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 

@@ -93,11 +93,26 @@ object Transforms {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: JSON field extraction from the props payload blob.
+    // The projection is deliberately placed ABOVE the range shuffle
+    // (repartitionByRange + sortWithinPartitions ≡ orderBy's physical
+    // plan, but the optimizer keeps a post-sort select there): under a
+    // plain orderBy the range-partitioner's sampling pass re-executes
+    // the whole child, evaluating get_json_object twice per row — and
+    // the pre-shuffle side runs at the scan's parallelism (a single
+    // task when the table is one parquet file), while the post-shuffle
+    // side always runs at spark.sql.shuffle.partitions. Measured 4.2×
+    // (0.92 s → 0.22 s at sf0.1; PERF.md round-4 log).
+    // The partition count is pinned explicitly (an AQE-coalescible
+    // default-count exchange gets merged back to ~1 partition on
+    // small-byte shuffles, re-serializing the JSON work — measured
+    // 0.8 s vs 0.22 s).
     "q_json_parse" -> ((s, dir) =>
       Tables.events(s, dir)
+        .select(col("event_id"), col("props"))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions, col("event_id"))
+        .sortWithinPartitions("event_id")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-        .orderBy("event_id")),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
 
     // T2: predicate filter (CDC-op analog: keep two of five event classes).
     "q_filter_ops" -> ((s, dir) =>
@@ -156,14 +171,20 @@ object Transforms {
     // "0.12"), so formatting the raw double diverges on exactly-
     // representable ties; a pre-rounded value never presents the
     // formatter with a tie.
+    // Same post-shuffle projection placement as q_json_parse: the
+    // format/concat work runs once per row at shuffle parallelism
+    // instead of twice in the (single-task) scan stage.
     "q_serialize" -> ((s, dir) =>
       Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts"), col("value"))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions, col("event_id"))
+        .sortWithinPartitions("event_id")
         .select(col("event_id"),
           concat_ws("|",
             col("event_id"), col("event_type"), col("user_id"),
             secondString(col("ts")),
-            format_string("%.2f", roundTo(col("value"), 2))).as("line"))
-        .orderBy("event_id"))
+            format_string("%.2f", roundTo(col("value"), 2))).as("line")))
   )
 
   val oracle: Map[String, String] = Map(

@@ -59,9 +59,14 @@ object StreamingDedup {
     * threshold (None = no near-dup in this bucket); `matches` is EVERY
     * clearing member — the full edge set a cluster-maintenance
     * consumer needs (two partners of the new doc may sit in different
-    * existing clusters that only this doc bridges). */
+    * existing clusters that only this doc bridges). `capped` marks
+    * that this bucket was at `maxPerBucket` when the doc arrived, so
+    * an eviction occurred — from that point the bucket's verdicts are
+    * best-effort against the NEWEST members only and may diverge from
+    * the batch pair graph; the flag makes that boundary observable
+    * (alertable downstream) instead of silent. */
   case class BandVerdict(doc_id: Long, band_id: Int, dup_of: Option[Long],
-      matches: Seq[Long])
+      matches: Seq[Long], capped: Boolean = false)
 
   /** Exact jaccard between two shingle-hash arrays — the same
     * set-intersection over raw-length denominator the batch verifier
@@ -102,10 +107,12 @@ object StreamingDedup {
               .map(_.id)
             // admit newest-first; the cap drops the OLDEST members of a
             // degenerate hot bucket (newer docs dedupe against newer
-            // corpus state — the batch df-cap analog)
+            // corpus state — the batch df-cap analog). `atCap` = this
+            // admission evicted someone → surfaced on the verdict.
+            val atCap = members.lengthCompare(maxPerBucket) >= 0
             members = (Member(docId, hsh) :: members).take(maxPerBucket)
             BandVerdict(docId, bandId,
-              if (hits.isEmpty) None else Some(hits.min), hits)
+              if (hits.isEmpty) None else Some(hits.min), hits, atCap)
           }
           state.update(BucketState(members))
           out.iterator
@@ -189,29 +196,53 @@ object StreamingDedup {
         val pairs = touched.select(col("doc_id").as("id_a"), col("cluster_rep").as("id_b"))
           .union(newEdges.select(col("doc_id").as("id_a"), col("partner").as("id_b")))
           .union(newDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
-        val updated = graft.ops.Graph.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-          .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
-        // rewrite ONLY the buckets that hold updated docs: carry over
-        // their unchanged rows, then overwrite those partitions.
-        // COMMIT-ATOMICITY CAVEAT: dynamic partition overwrite commits
-        // bucket directories individually; a crash INSIDE the commit
-        // window can land a mixed-label store that replay cannot fully
-        // repair (the crash-injection test covers crash-after-write,
-        // the common case). A production deployment puts this store on
-        // a transactional table format (or single-partition commits);
-        // plain parquet has no atomic multi-partition swap to offer.
-        val affected = updated.select(col("bucket")).distinct()
-        val carried = store
-          .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
-          .join(affected, Seq("bucket"), "left_semi")
-          .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
-          .unionByName(updated)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(storeDir)
+        // CC once per flush: take the labels HANDLE so the persisted
+        // label blocks are freed when this flush ends, not when driver
+        // GC eventually notices — a long-running stream would otherwise
+        // hold one block set per trigger between GC cycles
+        val (labels, labelsHandle) =
+          graft.ops.Graph.connectedComponentsWithHandle(pairs)
+        try {
+          val updated = labels
+            .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+            .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+          // rewrite ONLY the buckets that hold updated docs: carry over
+          // their unchanged rows, then overwrite those partitions.
+          // COMMIT-ATOMICITY CAVEAT: dynamic partition overwrite commits
+          // bucket directories individually; a crash INSIDE the commit
+          // window can land a mixed-label store that replay cannot fully
+          // repair (the crash-injection test covers crash-after-write,
+          // the common case). A production deployment puts this store on
+          // a transactional table format (or single-partition commits);
+          // plain parquet has no atomic multi-partition swap to offer.
+          val affected = updated.select(col("bucket")).distinct()
+          val carried = store
+            .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
+            .join(affected, Seq("bucket"), "left_semi")
+            .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          // materialize the WHOLE output before touching storeDir: the
+          // write below overwrites the very files `carried` reads.
+          // Relying on the store's persist() for that would make cache
+          // substitution load-bearing for correctness — under block
+          // eviction or executor loss, recompute mid-write would
+          // re-read files the dynamic-overwrite commit is deleting.
+          // An explicit pre-write materialization (handle-based, so
+          // the blocks free deterministically) closes that window; the
+          // residual risk is executor loss BETWEEN materialize and
+          // commit, which parquet-without-a-transaction-log cannot
+          // close (see caveat above).
+          val (result, resultHandle) =
+            org.apache.spark.sql.graft.shims.materializedWithHandle(
+            carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
+              .unionByName(updated))
+          try {
+            resultHandle.count() // eager: reads store + labels NOW
+            result.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket")
+              .parquet(storeDir)
+          } finally resultHandle.unpersist(blocking = false)
+        } finally labelsHandle.unpersist(blocking = false)
       } finally store.unpersist()
     } finally verdicts.unpersist()
   }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** CDC update/delete replay — the beyond-reference extension of T2
+  * (VERDICT r3 "next round" #5).
+  *
+  * The reference drops CDC updates and deletes outright
+  * (`EngagementProcessor.scala:107` keeps only r|c), so its warehouse
+  * silently diverges from the source table the moment a row mutates. A
+  * warehouse engine users switch TO has to be able to replay the full
+  * envelope stream: upserts overwrite, deletes remove, last writer wins
+  * per key. This module is the batch spelling (shared by the declared
+  * query and the streaming replay in [[graft.stream.CdcReplay]]).
+  *
+  * Scale shape: resolution is ONE aggregation keyed by the primary key —
+  * `max_by(payload, ord)` gets a map-side partial per key, so the
+  * shuffle carries at most one candidate row per (key, map partition),
+  * not the whole mutation history (a window/row_number spelling would
+  * shuffle + sort every version of every key; at 100 TB of changelog
+  * that difference is the job). Deletes are dropped AFTER resolution —
+  * a delete only wins if it is the key's final op.
+  */
+object Cdc {
+
+  /** Last-writer-wins resolution of a change log: one surviving row per
+    * key — the latest by `orderCols` — excluding keys whose final op is
+    * a delete. `orderCols` must totally order each key's mutations
+    * (Debezium's `__ts_ms`, a log sequence number, a (ts, id) pair …);
+    * ties are resolved arbitrarily, exactly like replaying an unordered
+    * log. Null ops are treated as upserts (CDC sources only tag
+    * deletes explicitly).
+    *
+    * `keepTombstones = true` keeps the winning delete row per key
+    * instead of dropping it — a COMPACTED state must retain tombstones,
+    * or a late-arriving mutation older than the delete would resurrect
+    * the key when it is resolved against the snapshot
+    * ([[graft.stream.CdcReplay.compact]]). Reader-facing views filter
+    * them out at the end. */
+  def resolveLatest(log: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], opCol: String = "__op",
+      keepTombstones: Boolean = false): DataFrame = {
+    val payload = log.columns.filterNot(keyCols.contains).toSeq
+    val resolved = log
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__last"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__last.$c").as(c)): _*)
+    if (keepTombstones) resolved
+    else resolved.filter(!coalesce(col(opCol) === "d", lit(false)))
+  }
+
+  /** Declared-query form: the events table read as a change log — each
+    * event is a mutation of its user's row, `purchase` plays the
+    * delete op, `click` the update, everything else insert — resolved
+    * to current state. (The testdata has no real envelope log; the
+    * op mapping is a deterministic stand-in with all three op classes
+    * well represented.) */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_upsert" -> ((s, dir) => {
+      val log = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "purchase", lit("d"))
+          .when(col("event_type") === "click", lit("u"))
+          .otherwise(lit("c")).as("__op"))
+      resolveLatest(log, Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("__op").as("last_op"), col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same log + LWW resolution, window-spelled (DuckDB sorts are fine
+    // at oracle scale; the Spark side's max_by is the 100 TB spelling)
+    "q_cdc_upsert" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 'd'
+        |         WHEN event_type = 'click' THEN 'u'
+        |         ELSE 'c' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, event_id AS last_event_id, op AS last_op,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+  )
+}

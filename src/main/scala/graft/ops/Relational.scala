@@ -59,6 +59,29 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // HUB-SKEWED join through the explicit salting machinery
+    // (ops.Scale.saltedLeftJoin, shuffle form — broadcastDim = false
+    // models a dim too big to broadcast, which is precisely when skew
+    // can exist). The fact side is deliberately hub-shaped: ~30% of
+    // events remap onto ONE user (the PERF.md §7c lesson — one hot key
+    // is how 100 TB joins die), so an unsalted shuffle join would put
+    // ~30% of all rows on a single reducer. The salt spreads the hub
+    // over 16 (key, salt) reducers; SkewProbe measures the straggler
+    // the salt removes, PlanSpec pins the salt into the join keys and
+    // forbids a broadcast from sneaking back in.
+    "q_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("uid",
+          when(pmod(col("event_id"), lit(10)) < 3, lit(7L))
+            .otherwise(col("user_id")))
+      val cust = Tables.dim(s, dir, "customer", "c_custkey", "c_mktsegment")
+      Scale.saltedLeftJoin(ev, cust, "uid", "c_custkey",
+          saltIdCol = "event_id", saltBuckets = 16, broadcastDim = false)
+        .groupBy(coalesce(col("c_mktsegment"), lit("unmatched")).as("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Left-semi join (EXISTS): customers having ≥1 high-value order.
     "q_semi_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -283,6 +306,17 @@ object Relational {
       s"""SELECT c.c_mktsegment, count(*) AS n_orders,
          |  ${dsumSql("o.o_totalprice")} AS revenue
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same hub remap + left join + agg, unsalted — salting must be
+    // invisible in the result
+    "q_skew_join" ->
+      s"""SELECT COALESCE(c.c_mktsegment, 'unmatched') AS c_mktsegment,
+         |  count(*) AS n_events,
+         |  ${dsumSql("e.value")} AS sum_value
+         |FROM (SELECT CASE WHEN event_id % 10 < 3 THEN 7 ELSE user_id END AS uid,
+         |        value FROM events) e
+         |LEFT JOIN customer c ON e.uid = c.c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multi_join" ->

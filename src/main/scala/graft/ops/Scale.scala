@@ -17,21 +17,38 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Skew-proof LEFT join of a (possibly hot-keyed) fact against a
-    * small dim: fact rows get a deterministic salt from a stable id
+    * smaller dim: fact rows get a deterministic salt from a stable id
     * column, dim rows are exploded once per salt value. Result equals
-    * `fact.join(dim, keys, "left")` row-for-row. */
+    * `fact.join(dim, keys, "left")` row-for-row.
+    *
+    * `broadcastDim = true` (default) hints the exploded dim broadcast —
+    * for dims that fit an executor, skew then cannot arise at all (no
+    * shuffle of the fact). Set it false for dims too big to broadcast:
+    * the join becomes a shuffle join partitioned on (key, salt), which
+    * is where the salt earns its keep — a hub key's rows spread over
+    * `saltBuckets` reducers instead of landing on one straggler.
+    * (AQE's skew split covers sort-merge joins it can see; the salted
+    * form is for the cases it can't touch — stream-static joins, and
+    * aggregation-fed joins where the skew is introduced upstream of
+    * the shuffle AQE would split.) */
   def saltedLeftJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, saltIdCol: String, saltBuckets: Int): DataFrame = {
+      dimKey: String, saltIdCol: String, saltBuckets: Int,
+      broadcastDim: Boolean = true): DataFrame = {
     // coalesce: a NULL salt id would null the salt, and NULL never
     // equals any exploded dim salt — silently dropping dim matches a
     // plain left join would have made
     val salted = fact.withColumn("__salt",
       pmod(coalesce(col(saltIdCol), lit(0L)), lit(saltBuckets)).cast("int"))
-    val dimExp = dim.withColumn("__salt",
+    val dimExp0 = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(broadcast(dimExp),
-        salted(factKey) === dimExp(dimKey) &&
-          salted("__salt") === dimExp("__salt"), "left")
+    // broadcastDim = false models a dim ABOVE the broadcast threshold;
+    // the merge hint pins that plan even when the test-scale dim is
+    // small enough that the optimizer would auto-broadcast it (a
+    // broadcast join cannot skew, so it would make the salt dead code)
+    val dimExp = if (broadcastDim) broadcast(dimExp0) else dimExp0.hint("merge")
+    salted.join(dimExp,
+        salted(factKey) === dimExp0(dimKey) &&
+          salted("__salt") === dimExp0("__salt"), "left")
       .drop("__salt")
   }
 

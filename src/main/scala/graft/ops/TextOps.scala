@@ -235,11 +235,35 @@ object TextOps {
 
   /** [[minhashPairs]] over an arbitrary (doc_id, text, …) DataFrame —
     * lets cluster resolution run pair generation over exact-dup group
-    * representatives instead of the full corpus. */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    * representatives instead of the full corpus.
+    *
+    * `maxBucket`: optional hot-bucket cap — the batch twin of the
+    * streaming path's `maxPerBucket` and the n-gram df-cap. A band
+    * bucket's candidate volume is C(|bucket|,2): DedupScaleProbe
+    * measured hot-bucket sizes growing linearly with the corpus
+    * (509 members at 500k docs vs a p99.9 of 3), i.e. a quadratic
+    * term that at 1000× the corpus would dominate the stage. The cap
+    * keeps only the `maxBucket` lowest doc_ids per bucket (ids are
+    * admission order in a growing corpus, so this is the batch
+    * spelling of the streaming cap's "dedupe against retained
+    * members"). Default None = exact LSH semantics — the declared
+    * oracle-checked queries use None; capped form is the documented
+    * production setting for boilerplate-heavy corpora. */
+  def minhashPairsOf(docs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val d = minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedBuckets(d).drop("hsh")
+    val bandedAll = bandedBuckets(d).drop("hsh")
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(k) =>
+        // rank within bucket by doc_id; the window shuffles on the
+        // same (band_id, band_key) key the candidate join needs
+        bandedAll
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("band_id"), col("band_key"))
+              .orderBy(col("doc_id"))))
+          .filter(col("__r") <= k).drop("__r")
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&

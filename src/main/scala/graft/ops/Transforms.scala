@@ -35,9 +35,14 @@ object Transforms {
       .select(col("env.payload.*"))
 
   /** T2 — CDC-op predicate: keep snapshot reads + inserts only
-    * (EngagementProcessor.scala:107). */
-  def filterOps(df: DataFrame): DataFrame =
-    df.filter(col("__op").isin("r", "c"))
+    * (EngagementProcessor.scala:107). `keepMutations = true` is the
+    * beyond-reference opt-in that also admits updates/deletes for
+    * replay into an upserted warehouse ([[graft.ops.Cdc]],
+    * [[graft.stream.CdcReplay]]) — still dropping rows whose op is
+    * outside the CDC alphabet (malformed envelopes). */
+  def filterOps(df: DataFrame, keepMutations: Boolean = false): DataFrame =
+    if (keepMutations) df.filter(col("__op").isin("r", "c", "u", "d"))
+    else df.filter(col("__op").isin("r", "c"))
 
   /** T3 — dimension enrichment: broadcast LEFT join, the engine-native
     * form of the reference's replicated in-JVM hash cache

@@ -96,7 +96,7 @@ object EngagementPipeline {
     * replays (crash after a write, before the checkpoint commit)
     * OVERWRITES exactly the partitions it wrote the first time instead
     * of appending duplicates — exactly-once to the file sinks; the
-    * analytics snapshot is a whole-dir overwrite (last writer wins).
+    * analytics snapshot is an atomic versioned publish ([[Snapshots]]).
     * Crash-injected restart is covered by StreamingSpec. */
   def fanOutBatch(warehouseDir: String, searchDir: String, analyticsDir: String,
       verifyWrites: Boolean = false)
@@ -120,7 +120,9 @@ object EngagementPipeline {
         .partitionBy("event_date", "batch_id")
         .parquet(searchDir)
       // K2 analytics (Redis analog): top-K per content_type by summed
-      // engagement, recomputed per batch, overwrite-latest.
+      // engagement, recomputed per batch, overwrite-latest — published
+      // atomically (versioned dir + pointer repoint, [[Snapshots]]) so
+      // a reader never lands between the delete and the write.
       val topk = batch
         .groupBy(coalesce(col("content_type"), lit("unknown")).as("content_type"))
         .agg(count(lit(1)).as("access_count"),
@@ -129,7 +131,7 @@ object EngagementPipeline {
           coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
         .orderBy(col("avg_engagement").desc, col("content_type").asc)
         .limit(5)
-      topk.write.mode("overwrite").parquet(analyticsDir)
+      Snapshots.publish(topk, analyticsDir, batchId)
       // verification counts run HERE, while the batch is still
       // persisted — counting after the finally-unpersist re-executed
       // the whole source→derive chain once more per trigger
@@ -243,8 +245,8 @@ object EngagementPipeline {
       // horizon's first 9 minutes are edge-truncated (retention >>
       // window length makes that negligible, and the reference's TTL
       // drops that history entirely)
-      graft.ops.Aggregates.sliding10m(minutes)
-        .write.mode("overwrite").parquet(slidingDir)
+      Snapshots.publish(graft.ops.Aggregates.sliding10m(minutes),
+        slidingDir, batchId)
       // A5 + A6 over the trailing 10 minutes: ratio-of-sums per type
       // (Σ pct ÷ Σ accesses — the all-access denominator, ≥1 guard),
       // ranked; the Redis sink's per-flush recompute.
@@ -258,7 +260,7 @@ object EngagementPipeline {
           coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
         .orderBy(col("avg_engagement").desc, col("event_type").asc)
         .limit(5)
-      topk.write.mode("overwrite").parquet(topkDir)
+      Snapshots.publish(topk, topkDir, batchId)
     } finally minutes.unpersist()
     // RETENTION DELETION — the reference expires minute state with
     // `EXPIRE 900` (EngagementRedisSink.scala:22,139). Drop minute_id

@@ -73,21 +73,27 @@ object DedupScaleProbe {
       val genSec = (System.nanoTime() - tGen0) / 1e9
       println(f"[scale x$scale] generated $nDocs docs in $genSec%.1f s")
 
-      val stageJson = Stages.map { q =>
+      def timed(name: String)(df: => org.apache.spark.sql.DataFrame): String = {
         listener.reset()
         val t0 = System.nanoTime()
-        val rows = graft.SparkEntry.queries(q)(spark, dir)
-          .queryExecution.toRdd.count()
+        val rows = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         System.gc()
-        println(f"[scale x$scale] $q%-24s $sec%8.1f s  rows=$rows%-9d " +
+        println(f"[scale x$scale] $name%-24s $sec%8.1f s  rows=$rows%-9d " +
           f"spillMB=${listener.spillBytes / 1e6}%.0f shufMB=${listener.shuffleWriteBytes / 1e6}%.0f " +
           f"maxTaskMs=${listener.maxTaskMs} failed=${listener.failedTasks}")
-        s""""$q":{"sec":${f"$sec%.3f"},"rows":$rows,"spill_bytes":${listener.spillBytes},""" +
+        s""""$name":{"sec":${f"$sec%.3f"},"rows":$rows,"spill_bytes":${listener.spillBytes},""" +
           s""""shuffle_write_bytes":${listener.shuffleWriteBytes},"max_task_ms":${listener.maxTaskMs},""" +
           s""""failed_tasks":${listener.failedTasks}}"""
-      }.mkString(",")
+      }
+      val declared = Stages.map(q => timed(q)(graft.SparkEntry.queries(q)(spark, dir)))
+      // the hot-bucket-capped production form of the LSH pair stage —
+      // measures the straggler the cap removes (PERF.md round-4 log)
+      val capped = timed("minhash_capped64")(
+        graft.ops.TextOps.minhashPairsOf(
+          graft.io.Tables.documents(spark, dir), maxBucket = Some(64)))
+      val stageJson = (declared :+ capped).mkString(",")
       s"""{"scale":$scale,"docs":$nDocs,"gen_sec":${f"$genSec%.2f"},"stages":{$stageJson}}"""
     }
 

@@ -137,7 +137,7 @@ object Soak {
     val drainSec = (System.nanoTime() - tDrain0) / 1e9
     // sliding analytics kept up: every processed minute bucket landed
     val minuteRows = spark.read.parquet(s"$root/analytics10m/minutes").count()
-    val topkRows = spark.read.parquet(s"$root/analytics10m/topk").count()
+    val topkRows = graft.stream.Snapshots.read(spark, s"$root/analytics10m/topk").count()
     assert(minuteRows > 0 && topkRows > 0, "sliding analytics produced no output")
     val landed = spark.read.parquet(s"$root/warehouse").count()
     val expected = EnvelopeGenerator.expectedKept(id)

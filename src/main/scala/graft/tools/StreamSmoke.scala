@@ -49,7 +49,7 @@ object StreamSmoke {
 
     val wh = spark.read.parquet(s"$root/warehouse")
     val search = spark.read.parquet(s"$root/search")
-    val topk = spark.read.parquet(s"$root/analytics")
+    val topk = graft.stream.Snapshots.read(spark, s"$root/analytics")
     val expected = lines.count(!_.contains("\"__op\": \"u\""))
     println(s"warehouse=${wh.count()} (expected $expected after op-filter)")
     println(s"search=${search.count()} partitions_by_date=${search.select("event_date").distinct().count()}")

@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_skew_join shuffles on (key, salt) — salted keys, no broadcast shortcut") {
+    val p = plan("q_skew_join")
+    // the salt must be IN the join keys (that's what spreads the hub
+    // key over saltBuckets reducers)...
+    assert(p.contains("__salt"), s"salt absent from the physical plan:\n${p.take(2000)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.isDefined, "expected a shuffle join (broadcastDim = false)")
+    assert(joinLine.get.contains("__salt"), s"join keys lack the salt: ${joinLine.get}")
+    // ...and the dim must NOT have been broadcast behind our back, or
+    // the test proves nothing about the skew path
+    assert(!p.contains("BroadcastHashJoin"), "dim was broadcast — salt is dead code")
+  }
+
   test("q_similarity_topk broadcasts the query vector and take-orders the top-k") {
     val p = plan("q_similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

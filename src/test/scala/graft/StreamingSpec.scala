@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.stream.EngagementPipeline
+import graft.stream.{EngagementPipeline, Snapshots}
 
 /** End-to-end Structured Streaming pipeline on MemoryStream fixtures:
   * the reference's dataflow (parse → filter → enrich → derive →
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSpec {
       val partDirs = new java.io.File(s"$root/search").listFiles()
         .filter(_.getName.startsWith("event_date="))
       assert(partDirs.nonEmpty)
-      val topk = spark.read.parquet(s"$root/analytics")
+      val topk = Snapshots.read(spark, s"$root/analytics")
       val top = topk.orderBy($"avg_engagement".desc).head()
       assert(top.getAs[String]("content_type") === "podcast") // 10% beats 5%
       assert(topk.filter($"content_type" === "unknown").count() === 1)
@@ -213,6 +213,100 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("snapshot publish is atomic: a reader never observes an empty or partial snapshot") {
+    import spark.implicits._
+    // exercises every crash window of the versioned-publish protocol
+    // directly (the windows are between filesystem calls, so they are
+    // simulated as the on-disk states a crash would leave behind)
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/topk"
+    // nothing published yet → a distinguishable error, not silence
+    intercept[IllegalStateException] { Snapshots.read(spark, dir) }
+    Snapshots.publish(Seq(("a", 1L)).toDF("k", "n"), dir, 0L)
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("a", 1L)))
+    // crash mid-write of v1: a partial version dir with no _SUCCESS —
+    // the reader must keep serving v0
+    new java.io.File(s"$dir/v_1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v_1/part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("a", 1L)),
+      "reader served an uncommitted version")
+    // crash between pointer delete and rename: no LATEST at all —
+    // fall back to the newest committed version
+    assert(new java.io.File(s"$dir/LATEST").delete())
+    assert(Snapshots.read(spark, dir).count() === 1L,
+      "reader lost the snapshot when the pointer vanished")
+    // torn/garbage pointer → same fallback
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/LATEST"), "garbage".getBytes)
+    assert(Snapshots.read(spark, dir).count() === 1L,
+      "reader trusted an unparseable pointer")
+    // the interrupted publish replays (same batch id) and completes over
+    // its own partial leftovers
+    Snapshots.publish(Seq(("b", 2L), ("c", 3L)).toDF("k", "n"), dir, 1L)
+    assert(Snapshots.read(spark, dir).count() === 2L)
+    // pruning keeps exactly current + one grace version for in-flight readers
+    Snapshots.publish(Seq(("d", 4L)).toDF("k", "n"), dir, 2L)
+    Snapshots.publish(Seq(("e", 5L)).toDF("k", "n"), dir, 3L)
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).toSet
+    assert(versions === Set("v_2", "v_3"), s"pruning kept $versions")
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("e", 5L)))
+  }
+
+  test("CDC replay with updates/deletes converges to the LWW-resolved source table") {
+    // envelope with a real per-mutation CDC timestamp (the fan-out
+    // fixtures pin __ts_ms; replay ordering needs it to vary)
+    def mut(id: Long, dur: Int, op: String, tsMs: Long): String =
+      f"""{"payload": {"id": $id, "content_id": "c1", "user_id": "u$id", "event_type": "play", "event_ts": "2024-01-01T00:00:10Z", "duration_ms": $dur, "device": "ios", "raw_payload": "{}", "__op": "$op", "__table": "engagement_events", "__db": "streaming_db", "__ts_ms": $tsMs}}"""
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val (log, state) = (s"$root/log", s"$root/state")
+    val input = MemoryStream[String]
+    val q = graft.stream.CdcReplay.start(
+      input.toDF(), contentDim, log, s"$root/ckpt", triggerMs = 100L)
+    def current() = graft.stream.CdcReplay
+      .currentState(spark, log, Some(state))
+      .select($"id", $"duration_ms").as[(Long, Int)].collect().toSet
+    try {
+      // batch 0: three inserts
+      input.addData(mut(1, 1000, "c", 1000), mut(2, 2000, "c", 1000),
+        mut(3, 3000, "r", 1000))
+      q.processAllAvailable()
+      assert(current() === Set((1L, 1000), (2L, 2000), (3L, 3000)))
+      // batch 1: update 1, delete 2, insert 4 — and an OUT-OF-ORDER
+      // update of 3 older than its insert, which must lose
+      input.addData(mut(1, 1111, "u", 2000), mut(2, 0, "d", 2000),
+        mut(4, 4000, "c", 2000), mut(3, 9999, "u", 500))
+      q.processAllAvailable()
+      val afterB1 = Set((1L, 1111), (3L, 3000), (4L, 4000))
+      assert(current() === afterB1, s"got ${current()}")
+      // compact: state snapshot + pruned log; resolution unchanged
+      graft.stream.CdcReplay.compact(spark, log, state, version = 0L)
+      assert(current() === afterB1, s"post-compaction drift: ${current()}")
+      assert(!new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")),
+        "compaction left folded-in log partitions behind")
+      // batch 2, post-compaction: a straggler update of DELETED key 2,
+      // older than its tombstone — the compacted tombstone must win
+      // (the keepTombstones design exists for exactly this row); plus a
+      // genuine newer update of 4
+      input.addData(mut(2, 7777, "u", 1500), mut(4, 4444, "u", 3000))
+      q.processAllAvailable()
+      assert(current() === Set((1L, 1111), (3L, 3000), (4L, 4444)),
+        s"straggler resurrected a deleted key or update lost: ${current()}")
+      // convergence against the batch spelling over the FULL envelope
+      // log (the form q_cdc_upsert checks against DuckDB): same rows
+      val allMuts = Seq(
+        mut(1, 1000, "c", 1000), mut(2, 2000, "c", 1000), mut(3, 3000, "r", 1000),
+        mut(1, 1111, "u", 2000), mut(2, 0, "d", 2000), mut(4, 4000, "c", 2000),
+        mut(3, 9999, "u", 500), mut(2, 7777, "u", 1500), mut(4, 4444, "u", 3000))
+      val batchTruth = graft.ops.Cdc.resolveLatest(
+        graft.stream.CdcReplay.transformCdc(
+          allMuts.toDF("value"), contentDim)
+          .withColumn("seq", col("__ts_ms")),  // arrival == ts order here
+        Seq("id"), Seq("__ts_ms", "seq"))
+        .select($"id", $"duration_ms").as[(Long, Int)].collect().toSet
+      assert(current() === batchTruth, s"stream ${current()} != batch $batchTruth")
+    } finally q.stop()
+  }
+
   test("streaming sliding analytics equal the batch A4/A5/A6 formulation") {
     val root = java.nio.file.Files.createTempDirectory("graft_sliding").toString
     val input = MemoryStream[String]
@@ -259,7 +353,7 @@ class StreamingSpec extends SparkSpec {
       assert(gotMinutes.count() === batchMinutes.count())
       assert(gotMinutes.exceptAll(batchMinutes).count() === 0)
       // 2) sliding snapshot == batch q_sliding_10m operator on the twin
-      val gotSliding = spark.read.parquet(s"$root/sliding")
+      val gotSliding = Snapshots.read(spark, s"$root/sliding")
         .select("minute", "event_type", "access_count", "count_10m", "sum_10m")
       val wantSliding = graft.ops.Aggregates.sliding10m(batchMinutes)
         .select("minute", "event_type", "access_count", "count_10m", "sum_10m")
@@ -267,7 +361,7 @@ class StreamingSpec extends SparkSpec {
       assert(gotSliding.exceptAll(wantSliding).count() === 0)
       // 3) top-K snapshot: trailing 10 minutes = minutes 3..12 (the
       // minute-0/2 rows age out), ranked by ratio-of-sums engagement
-      val topk = spark.read.parquet(s"$root/topk").collect()
+      val topk = Snapshots.read(spark, s"$root/topk").collect()
         .map(r => r.getAs[String]("event_type") ->
           (r.getAs[Long]("access_count"), r.getAs[Double]("avg_engagement"))).toMap
       assert(topk.keySet === Set("video", "podcast", "unknown"))
@@ -379,7 +473,7 @@ class StreamingSpec extends SparkSpec {
     assert(after.size === 1 && after.head === 28401240L,
       s"old partitions must be expired, store has $after")
     // snapshots were computed BEFORE deletion and reflect the horizon
-    val topk = spark.read.parquet(s"$root/topk")
+    val topk = Snapshots.read(spark, s"$root/topk")
       .select($"event_type", $"access_count").as[(String, Long)].collect().toSet
     assert(topk === Set(("video", 3L)), s"topk reflects trailing window: $topk")
   }

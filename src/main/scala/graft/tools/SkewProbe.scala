@@ -5,27 +5,33 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Straggler measurement for the salted-join machinery (VERDICT r3
-  * "next round" #4): builds a hub-skewed fact (the sf0.1 events table
-  * replicated `rep`× with ~30% of rows remapped onto ONE user — the
-  * PERF.md §7c hub shape), then runs the q_skew_join aggregation both
-  * UNSALTED and SALTED over a non-broadcast (merge-pinned) join, and
-  * records wall time + the max single-task time of each. The salted
-  * form spreads the hub over (key, salt) reducers, so its max task
-  * should sit near the mean while the unsalted max task carries the
-  * whole hub. AQE's skew-join split is DISABLED here on the unsalted
-  * side's behalf — the probe measures the failure mode salting exists
-  * for (the joins AQE cannot split); with AQE skew handling on, Spark
-  * rescues the unsalted form at this scale, which is exactly why the
-  * default path relies on AQE first and explicit salt second.
+  * "next round" #4): materializes a hub-skewed fact table to parquet
+  * (the sf0.1 events table replicated `rep`× with ~30% of rows
+  * remapped onto ONE user — the PERF.md §7c hub shape, written as 32
+  * files so scan tasks are uniform), then runs the q_skew_join
+  * aggregation both UNSALTED and SALTED over a non-broadcast
+  * (merge-pinned) join, and records wall time + the max single-task
+  * time of each. Materializing first matters: timed in-line, the
+  * single-file source scan is one giant task in BOTH forms and buries
+  * the join straggler the probe exists to expose. The salted form
+  * spreads the hub over (key, salt) reducers, so its max task sits
+  * near the mean while the unsalted max task carries the whole hub.
+  * AQE's skew-join split is DISABLED here on the unsalted side's
+  * behalf — the probe measures the failure mode salting exists for
+  * (the joins AQE cannot split: stream-static joins, skew introduced
+  * upstream of the exchange); with AQE skew handling on, Spark rescues
+  * the unsalted form at this scale, which is exactly why the default
+  * path relies on AQE first and explicit salt second.
   *
   * Writes SKEW_PROBE.json. Usage:
   *   sbt "runMain graft.tools.SkewProbe [rep] [saltBuckets]"
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
-    val rep = args.headOption.map(_.toInt).getOrElse(20)
+    val rep = args.headOption.map(_.toInt).getOrElse(100)
     val saltBuckets = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = Files.createTempDirectory("graft_skew").toString
     val spark = SparkSession.builder().master("local[32]")
       .appName("skew-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,14 +44,20 @@ object SkewProbe {
     val listener = new DedupScaleProbe.MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    // hub fact: rep copies of events, ~30% of rows on user 7
-    val ev = graft.io.Tables.events(spark, dir)
+    // hub fact: rep copies of events, ~30% of rows on user 7 —
+    // materialized as 32 uniform files so the timed queries below
+    // scan in parallel and the join stage dominates task times
+    graft.io.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
       .crossJoin(broadcast(spark.range(rep).select(col("id").as("rep_id"))))
       .withColumn("event_id", col("event_id") * rep + col("rep_id"))
       .withColumn("uid",
         when(pmod(col("event_id"), lit(10)) < 3, lit(7L))
           .otherwise(col("user_id")))
+      .drop("rep_id")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$root/fact")
+    val ev = spark.read.parquet(s"$root/fact")
     val cust = graft.io.Tables.dim(spark, dir, "customer",
       "c_custkey", "c_mktsegment")
 
@@ -56,7 +68,7 @@ object SkewProbe {
     def timed(name: String)(df: => org.apache.spark.sql.DataFrame)
         : (Double, Long, Long) = {
       // warm-up discarded, then median-of-3
-      val runs = (0 to 3).map { i =>
+      val runs = (0 to 3).map { _ =>
         listener.reset()
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()

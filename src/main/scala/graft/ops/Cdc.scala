@@ -49,9 +49,16 @@ object Cdc {
         struct(orderCols.map(col): _*)).as("__last"))
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__last.$c").as(c)): _*)
-    if (keepTombstones) resolved
-    else resolved.filter(!coalesce(col(opCol) === "d", lit(false)))
+    if (keepTombstones) resolved else dropTombstones(resolved, opCol)
   }
+
+  /** The one spelling of "remove resolved deletes": null ops are
+    * upserts (kept), only an explicit `d` is a tombstone. Shared by
+    * [[resolveLatest]] and the merge-on-read readers in
+    * [[graft.stream.CdcReplay]] so the op policy cannot diverge
+    * between batch resolution and streaming replay. */
+  def dropTombstones(resolved: DataFrame, opCol: String = "__op"): DataFrame =
+    resolved.filter(!coalesce(col(opCol) === "d", lit(false)))
 
   /** Declared-query form: the events table read as a change log — each
     * event is a mutation of its user's row, `purchase` plays the

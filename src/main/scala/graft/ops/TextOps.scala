@@ -243,17 +243,25 @@ object TextOps {
     * measured hot-bucket sizes growing linearly with the corpus
     * (509 members at 500k docs vs a p99.9 of 3), i.e. a quadratic
     * term that at 1000× the corpus would dominate the stage. The cap
-    * keeps only the `maxBucket` lowest doc_ids per bucket (ids are
-    * admission order in a growing corpus, so this is the batch
-    * spelling of the streaming cap's "dedupe against retained
-    * members"). Default None = exact LSH semantics — the declared
-    * oracle-checked queries use None; capped form is the documented
-    * production setting for boilerplate-heavy corpora. */
+    * bounds the LEFT (smaller-id) side of the candidate join at the
+    * `maxBucket` lowest doc_ids per bucket while the right side stays
+    * complete — every document is still verified against the bucket's
+    * retained members (the streaming cap's semantics: membership is
+    * capped, verification never skipped), so per-bucket candidates are
+    * K·n instead of C(n,2). Retention differs from the streaming twin
+    * deliberately: batch keeps the LOWEST ids (deterministic, and the
+    * keeper rule prefers low ids), streaming keeps the newest its
+    * arrival order admitted. A doc beyond the cap can only miss a
+    * pair with ANOTHER beyond-cap doc in the same degenerate bucket —
+    * and only if no other band pairs them. Default None = exact LSH
+    * semantics — the declared oracle-checked queries use None; capped
+    * form is the documented production setting for boilerplate-heavy
+    * corpora. */
   def minhashPairsOf(docs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val d = minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedAll = bandedBuckets(d).drop("hsh")
-    val banded = maxBucket match {
+    val bandedA = maxBucket match {
       case None => bandedAll
       case Some(k) =>
         // rank within bucket by doc_id; the window shuffles on the
@@ -264,7 +272,7 @@ object TextOps {
               .orderBy(col("doc_id"))))
           .filter(col("__r") <= k).drop("__r")
     }
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = bandedA.as("a").join(bandedAll.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -58,17 +58,33 @@ object CdcReplay {
     * correctly — including deletes: a compacted tombstone beats an
     * older straggler mutation of the same key (the key stays deleted
     * rather than resurrecting). */
-  private def resolvedWithTombstones(spark: SparkSession, logDir: String,
+  /** The log's `batch_id=` partition directories as of NOW. Compaction
+    * must capture this listing ONCE and both read and delete exactly
+    * it: listing again at delete time would race a live stream —
+    * a partition committed between the resolution's listing and the
+    * prune would be deleted without ever entering the snapshot
+    * (silent, permanent data loss). */
+  private def logPartitions(spark: SparkSession, logDir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logPath)) Seq.empty
+    else fs.listStatus(logPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath)
+  }
+
+  private def resolvedWithTombstones(spark: SparkSession,
+      logParts: Seq[org.apache.hadoop.fs.Path], logDir: String,
       stateDir: Option[String]): DataFrame = {
     // right after a compaction the log holds no batch_id= partitions at
     // all (every one was folded into the snapshot and pruned) — a bare
-    // parquet read of the empty dir would die on schema inference
-    val logPath = new org.apache.hadoop.fs.Path(logDir)
-    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parquet read of the empty dir would die on schema inference.
+    // basePath keeps batch_id a partition column under explicit paths.
     val log =
-      if (fs.exists(logPath) && fs.listStatus(logPath).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch_id=")))
-        Some(spark.read.parquet(logDir))
+      if (logParts.nonEmpty)
+        Some(spark.read.option("basePath", logDir)
+          .parquet(logParts.map(_.toString): _*))
       else None
     val snap = stateDir
       .filter(d => Snapshots.resolve(spark, d).nonEmpty)
@@ -89,8 +105,8 @@ object CdcReplay {
     * partitions since, LWW-resolved per key, deletes applied. */
   def currentState(spark: SparkSession, logDir: String,
       stateDir: Option[String] = None): DataFrame =
-    resolvedWithTombstones(spark, logDir, stateDir)
-      .filter(!coalesce(col("__op") === "d", lit(false)))
+    Cdc.dropTombstones(resolvedWithTombstones(
+      spark, logPartitions(spark, logDir), logDir, stateDir))
 
   /** Materialize the resolved state as an atomic snapshot version
     * ([[Snapshots]] — readers never see a partial compaction) and
@@ -98,19 +114,39 @@ object CdcReplay {
     * tombstones (see [[resolvedWithTombstones]]); readers filter them.
     * Tombstones older than any possible straggler can be GC'd by age
     * (`__ts_ms` horizon) in a later compaction — not done here, the
-    * fixture corpus never outlives one. Crash windows: compaction
-    * publishes BEFORE pruning, so a crash in between leaves extra log
-    * partitions whose rows resolve identically (the snapshot carries
-    * max ordering columns) — replay-safe, never lossy. */
+    * fixture corpus never outlives one.
+    *
+    * Concurrency + crash windows:
+    *   - the partition listing is captured ONCE and both the
+    *     resolution and the prune use exactly it — a live stream can
+    *     keep appending during compaction and its new partitions are
+    *     neither folded in nor deleted (they fold into the NEXT
+    *     compaction);
+    *   - publish lands BEFORE pruning, so a crash in between leaves
+    *     extra log partitions whose rows resolve identically (the
+    *     snapshot carries max ordering columns) — replay-safe;
+    *   - a retry at a `version` that ALREADY COMMITTED (crash during
+    *     the prune) publishes nothing ([[Snapshots.publish]] skips —
+    *     no read-what-you-overwrite conflict with the resolution
+    *     plan, which reads the PREVIOUS version) and prunes NOTHING:
+    *     the captured listing may now include partitions committed
+    *     AFTER the original compaction, which the committed snapshot
+    *     does not contain — deleting them would lose their mutations.
+    *     Leftover already-folded partitions are harmless (they
+    *     resolve identically against the snapshot) and fold into the
+    *     next compaction. Distinct compactions use increasing
+    *     versions. */
   def compact(spark: SparkSession, logDir: String, stateDir: String,
       version: Long): Unit = {
-    val resolved = resolvedWithTombstones(spark, logDir, Some(stateDir))
+    val freshVersion = !Snapshots.isCommitted(spark, stateDir, version)
+    val parts = logPartitions(spark, logDir)
+    val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir))
     Snapshots.publish(resolved, stateDir, version)
-    val fs = new org.apache.hadoop.fs.Path(logDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(logDir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-      .foreach(st => fs.delete(st.getPath, true))
+    if (freshVersion) {
+      val fs = new org.apache.hadoop.fs.Path(logDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parts.foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Wire a raw envelope stream into the op log. */

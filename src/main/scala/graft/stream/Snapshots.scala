@@ -51,6 +51,13 @@ object Snapshots {
       .flatMap(st => versionOf(st.getPath.getName))
       .filter(v => f.exists(new Path(new Path(root, s"$VersionPrefix$v"), "_SUCCESS")))
 
+  /** Whether `version` of `dir` has a complete committed write job. */
+  def isCommitted(spark: SparkSession, dir: String, version: Long): Boolean = {
+    val root = new Path(dir)
+    val f = fs(spark, root)
+    f.exists(new Path(new Path(root, s"$VersionPrefix$version"), "_SUCCESS"))
+  }
+
   /** The version a reader should use: the pointer if it names a
     * committed version, else the newest committed version. */
   def resolve(spark: SparkSession, dir: String): Option[Long] = {
@@ -68,8 +75,17 @@ object Snapshots {
         else {
           val in = f.open(pointer)
           try {
+            // loop to EOF: a single read() may legally return fewer
+            // bytes than available (object-store streams), and a
+            // truncated "12" → "1" would silently resolve to a stale
+            // but still-committed grace version
             val bytes = new Array[Byte](64)
-            val n = in.read(bytes)
+            var n = 0
+            var r = in.read(bytes, 0, bytes.length)
+            while (r > 0 && n < bytes.length) {
+              n += r
+              r = in.read(bytes, n, bytes.length - n)
+            }
             if (n <= 0) None
             else new String(bytes, 0, n, "UTF-8").trim.toLongOption
           } finally in.close()
@@ -79,14 +95,23 @@ object Snapshots {
   }
 
   /** Publish `df` as snapshot `version` of `dir` (atomic for readers:
-    * see object doc). Idempotent per version — a streaming replay
-    * rewrites the same version dir and repoints to the same place. */
+    * see object doc). Idempotent per version — a streaming replay of
+    * an UNCOMMITTED version dir (crash mid-write) rewrites it; a
+    * replay of a version that already committed skips the write and
+    * only repoints. The skip is what keeps the atomicity guarantee
+    * through replays: rewriting a committed v_N would delete its
+    * `_SUCCESS` mid-write, and if v_N was the ONLY committed version
+    * readers would observe "no committed snapshot" until the rewrite
+    * lands. (Same-version replays produce the same rows by the
+    * checkpoint-replay contract — the batch id pins the input — so
+    * skipping loses nothing.) */
   def publish(df: DataFrame, dir: String, version: Long): Unit = {
     val spark = df.sparkSession
     val root = new Path(dir)
     val f = fs(spark, root)
     val vdir = new Path(root, s"$VersionPrefix$version")
-    df.write.mode("overwrite").parquet(vdir.toString)
+    if (!f.exists(new Path(vdir, "_SUCCESS")))
+      df.write.mode("overwrite").parquet(vdir.toString)
     // pointer replace: write temp, then rename into place. HDFS/local
     // rename won't clobber an existing file, so delete first — a crash
     // in between leaves no pointer and readers fall back to the newest

@@ -78,6 +78,10 @@ object DedupScaleProbe {
         val t0 = System.nanoTime()
         val rows = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // task-end events are delivered asynchronously; without a
+        // drain the final straggler task can be missing from the
+        // metrics this probe exists to record
+        org.apache.spark.sql.graft.shims.drainListenerBus(spark)
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         println(f"[scale x$scale] $name%-24s $sec%8.1f s  rows=$rows%-9d " +

@@ -58,6 +58,7 @@ object SkewProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$root/fact")
     val ev = spark.read.parquet(s"$root/fact")
+    val factRows = ev.count()   // the artifact reports measured rows, not an sf0.1 assumption
     val cust = graft.io.Tables.dim(spark, dir, "customer",
       "c_custkey", "c_mktsegment")
 
@@ -73,6 +74,9 @@ object SkewProbe {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // drain async task-end events — the unsalted straggler is the
+        // LAST task to finish, i.e. exactly the one still in flight
+        org.apache.spark.sql.graft.shims.drainListenerBus(spark)
         System.gc()
         (sec, listener.maxTaskMs, listener.tasks.toLong)
       }.drop(1).sortBy(_._1)
@@ -89,7 +93,7 @@ object SkewProbe {
         broadcastDim = false)))
 
     val json =
-      s"""{"metric":"skew_probe","fact_rows":${100000L * rep},"hub_share":0.3,""" +
+      s"""{"metric":"skew_probe","fact_rows":$factRows,"hub_share":0.3,""" +
         s""""salt_buckets":$saltBuckets,"aqe_skew_join":false,""" +
         s""""unsalted":{"sec":${f"${unsalted._1}%.3f"},"max_task_ms":${unsalted._2}},""" +
         s""""salted":{"sec":${f"${salted._1}%.3f"},"max_task_ms":${salted._2}}}"""

@@ -44,4 +44,14 @@ object shims {
       qe.analyzed.output, rdd)(spark)
     (ofRows(spark, plan), rdd)
   }
+
+  /** Block until the listener bus has delivered every queued event
+    * (`private[spark]` LiveListenerBus.waitUntilEmpty). Task-metric
+    * probes read SparkListener counters right after a job returns, but
+    * onTaskEnd events are delivered asynchronously — without a drain,
+    * the final straggler task (exactly the number a skew probe exists
+    * to record) can still be in flight and get dropped from the
+    * artifact. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
 }

@@ -243,6 +243,12 @@ class StreamingSpec extends SparkSpec {
     // its own partial leftovers
     Snapshots.publish(Seq(("b", 2L), ("c", 3L)).toDF("k", "n"), dir, 1L)
     assert(Snapshots.read(spark, dir).count() === 2L)
+    // replaying an ALREADY-COMMITTED version must not rewrite it: a
+    // rewrite would delete its _SUCCESS mid-write, and with one
+    // committed version readers would observe "no committed snapshot"
+    Snapshots.publish(Seq(("x", 99L)).toDF("k", "n"), dir, 1L)
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSet
+      === Set(("b", 2L), ("c", 3L)), "committed version was rewritten on replay")
     // pruning keeps exactly current + one grace version for in-flight readers
     Snapshots.publish(Seq(("d", 4L)).toDF("k", "n"), dir, 2L)
     Snapshots.publish(Seq(("e", 5L)).toDF("k", "n"), dir, 3L)
@@ -304,6 +310,18 @@ class StreamingSpec extends SparkSpec {
         Seq("id"), Seq("__ts_ms", "seq"))
         .select($"id", $"duration_ms").as[(Long, Int)].collect().toSet
       assert(current() === batchTruth, s"stream ${current()} != batch $batchTruth")
+      // compaction RETRIED at the committed version 0 (crash-during-
+      // prune replay) while batch-2 partitions sit in the log: it must
+      // not fold-skip-then-delete them — that would silently lose the
+      // post-compaction mutations
+      graft.stream.CdcReplay.compact(spark, log, state, version = 0L)
+      assert(new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")),
+        "retry at a committed version pruned partitions it never folded in")
+      assert(current() === batchTruth, s"retry changed state: ${current()}")
+      // the NEXT compaction (fresh version) folds and prunes them
+      graft.stream.CdcReplay.compact(spark, log, state, version = 1L)
+      assert(!new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")))
+      assert(current() === batchTruth, s"fresh compaction changed state: ${current()}")
     } finally q.stop()
   }
 

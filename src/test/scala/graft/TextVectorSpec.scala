@@ -49,6 +49,21 @@ class TextVectorSpec extends SparkSpec {
     assert(truth.subsetOf(lsh), s"missed: ${truth.diff(lsh)}")
   }
 
+  test("maxBucket cap bounds candidates one-sided: every doc still verifies against retained members") {
+    // three identical docs land in the same band buckets; with cap=1
+    // only doc 1 is RETAINED per bucket, but docs 2 and 3 must still
+    // be verified against it (streaming-cap semantics: membership is
+    // capped, verification never skipped). Pairs: (1,2),(1,3) survive;
+    // only the beyond-cap×beyond-cap pair (2,3) is sacrificed.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, txt), (2L, txt), (3L, txt)).toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) = TextOps.minhashPairsOf(docs, cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(None) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(Some(1)) === Set((1L, 2L), (1L, 3L)),
+      "capped form must keep every retained-member pair (one-sided cap)")
+  }
+
   test("cosine: orthogonal=0, identical=1, halved magnitude still 1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),

@@ -112,9 +112,19 @@ object CdcReplay {
     * ([[Snapshots]] — readers never see a partial compaction) and
     * delete the log partitions it folded in. The snapshot KEEPS delete
     * tombstones (see [[resolvedWithTombstones]]); readers filter them.
-    * Tombstones older than any possible straggler can be GC'd by age
-    * (`__ts_ms` horizon) in a later compaction — not done here, the
-    * fixture corpus never outlives one.
+    *
+    * `tombstoneRetainMs`: optional tombstone GC — without it the
+    * snapshot accumulates one tombstone per deleted key forever. A
+    * tombstone only exists to out-order stragglers of its key, so one
+    * older than the upstream's maximum delivery delay is dead weight:
+    * with `Some(ms)`, tombstones whose `__ts_ms` trails the snapshot's
+    * own max `__ts_ms` by more than `ms` are dropped at publish. The
+    * horizon is DATA-relative (max event ts, not the wall clock), so
+    * a stalled stream never GCs anything — time only advances when
+    * data does. Beyond-horizon stragglers then resurrect their key;
+    * that is the explicit contract of choosing a finite horizon
+    * (Debezium/Kafka deployments bound delivery delay by topic
+    * retention the same way).
     *
     * Concurrency + crash windows:
     *   - the partition listing is captured ONCE and both the
@@ -137,11 +147,22 @@ object CdcReplay {
     *     next compaction. Distinct compactions use increasing
     *     versions. */
   def compact(spark: SparkSession, logDir: String, stateDir: String,
-      version: Long): Unit = {
+      version: Long, tombstoneRetainMs: Option[Long] = None): Unit = {
     val freshVersion = !Snapshots.isCommitted(spark, stateDir, version)
     val parts = logPartitions(spark, logDir)
     val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir))
-    Snapshots.publish(resolved, stateDir, version)
+    val gated = tombstoneRetainMs match {
+      case None => resolved
+      case Some(ms) =>
+        // one scalar pull per compaction (an operator action, not a
+        // per-row path); data-relative horizon — see scaladoc
+        val maxTs = Option(resolved.agg(max(col("__ts_ms"))).first().get(0))
+          .map(_.asInstanceOf[Long])
+        maxTs.fold(resolved)(m => resolved.filter(
+          !(coalesce(col("__op") === "d", lit(false)) &&
+            col("__ts_ms") < lit(m - ms))))
+    }
+    Snapshots.publish(gated, stateDir, version)
     if (freshVersion) {
       val fs = new org.apache.hadoop.fs.Path(logDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -325,6 +325,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tombstone GC drops only tombstones older than the data-relative horizon") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_gc").toString
+    val (log, state) = (s"$root/log", s"$root/state")
+    def muts(rows: (Long, Long, String)*) = rows.toDF("id", "__ts_ms", "__op")
+    // key 2's tombstone (ts 2000) trails the max ts (9000) by more
+    // than retain=1000 → GC'd; key 4's (ts 8500) is within → kept
+    graft.stream.CdcReplay.logBatch(log)(muts(
+      (1L, 1000L, "c"), (2L, 2000L, "d"), (3L, 9000L, "c"), (4L, 8500L, "d")), 0L)
+    graft.stream.CdcReplay.compact(spark, log, state, 0L,
+      tombstoneRetainMs = Some(1000L))
+    val snap = Snapshots.read(spark, state)
+      .select($"id", $"__op").as[(Long, String)].collect().toMap
+    assert(snap === Map(1L -> "c", 3L -> "c", 4L -> "d"),
+      s"expected 2's tombstone GC'd and 4's kept: $snap")
+    assert(graft.stream.CdcReplay.currentState(spark, log, Some(state))
+      .select($"id").as[Long].collect().toSet === Set(1L, 3L))
+    // the explicit horizon contract: a straggler OLDER than a GC'd
+    // tombstone resurrects its key (bounded-delivery-delay trade-off)
+    graft.stream.CdcReplay.logBatch(log)(muts((2L, 1500L, "u")), 1L)
+    assert(graft.stream.CdcReplay.currentState(spark, log, Some(state))
+      .select($"id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
   test("streaming sliding analytics equal the batch A4/A5/A6 formulation") {
     val root = java.nio.file.Files.createTempDirectory("graft_sliding").toString
     val input = MemoryStream[String]

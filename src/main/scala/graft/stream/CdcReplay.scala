@@ -86,9 +86,12 @@ object CdcReplay {
         Some(spark.read.option("basePath", logDir)
           .parquet(logParts.map(_.toString): _*))
       else None
+    // resolve ONCE and read that version directly — an existence check
+    // that re-resolves inside read would double the FS listings and
+    // open a TOCTOU window where the two resolves disagree
     val snap = stateDir
-      .filter(d => Snapshots.resolve(spark, d).nonEmpty)
-      .map(d => Snapshots.read(spark, d))
+      .flatMap(d => Snapshots.resolve(spark, d)
+        .map(v => Snapshots.readVersion(spark, d, v)))
     val full = (snap, log) match {
       case (Some(s), Some(l)) => s.unionByName(l)
       case (Some(s), None) => s
@@ -127,46 +130,75 @@ object CdcReplay {
     * retention the same way).
     *
     * Concurrency + crash windows:
-    *   - the partition listing is captured ONCE and both the
-    *     resolution and the prune use exactly it — a live stream can
-    *     keep appending during compaction and its new partitions are
-    *     neither folded in nor deleted (they fold into the NEXT
-    *     compaction);
-    *   - publish lands BEFORE pruning, so a crash in between leaves
-    *     extra log partitions whose rows resolve identically (the
-    *     snapshot carries max ordering columns) — replay-safe;
-    *   - a retry at a `version` that ALREADY COMMITTED (crash during
-    *     the prune) publishes nothing ([[Snapshots.publish]] skips —
-    *     no read-what-you-overwrite conflict with the resolution
-    *     plan, which reads the PREVIOUS version) and prunes NOTHING:
-    *     the captured listing may now include partitions committed
-    *     AFTER the original compaction, which the committed snapshot
-    *     does not contain — deleting them would lose their mutations.
-    *     Leftover already-folded partitions are harmless (they
-    *     resolve identically against the snapshot) and fold into the
-    *     next compaction. Distinct compactions use increasing
-    *     versions. */
+    *   - the partition listing is captured ONCE per compaction —
+    *     a live stream can keep appending during compaction and its
+    *     new partitions are neither folded in nor deleted;
+    *   - folded partitions are NOT deleted by the compaction that
+    *     folds them: they are recorded in a `.pending_prune` manifest
+    *     and deleted by the NEXT fresh compaction. In-flight
+    *     `currentState` readers whose lazy plans captured those paths
+    *     get a full compaction interval to finish (the same grace
+    *     policy [[Snapshots]] gives superseded versions); leftover
+    *     folded partitions resolve identically against the snapshot
+    *     (it carries max ordering columns), so the deferred delete is
+    *     a pure cost question, not correctness;
+    *   - a crash anywhere leaves either a stale manifest (its entries
+    *     get pruned next run; the unrecorded fold re-folds
+    *     idempotently) or extra log partitions (harmless, as above) —
+    *     replay-safe, never lossy;
+    *   - a retry at a `version` that ALREADY COMMITTED publishes
+    *     nothing ([[Snapshots.publish]] skips) and touches neither
+    *     the manifest nor any partition: the captured listing may
+    *     include partitions committed after the original compaction,
+    *     which the committed snapshot does not contain. Distinct
+    *     compactions use increasing versions. One operational
+    *     constraint: resetting the streaming checkpoint (batch ids
+    *     restart) requires resetting the log dir with it — stale
+    *     manifest entries could otherwise name re-created partitions.
+    */
   def compact(spark: SparkSession, logDir: String, stateDir: String,
       version: Long, tombstoneRetainMs: Option[Long] = None): Unit = {
     val freshVersion = !Snapshots.isCommitted(spark, stateDir, version)
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(logDir, ".pending_prune")
+    // 1. grace expired: delete what the PREVIOUS compaction folded —
+    //    before capturing this round's listing, so the resolution
+    //    below never reads paths this call deletes
+    if (freshVersion && fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val pending =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      pending.map(new org.apache.hadoop.fs.Path(_))
+        .filter(fs.exists(_)).foreach(p => fs.delete(p, true))
+    }
+    // 2. capture + resolve + publish
     val parts = logPartitions(spark, logDir)
     val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir))
-    val gated = tombstoneRetainMs match {
-      case None => resolved
-      case Some(ms) =>
-        // one scalar pull per compaction (an operator action, not a
-        // per-row path); data-relative horizon — see scaladoc
-        val maxTs = Option(resolved.agg(max(col("__ts_ms"))).first().get(0))
-          .map(_.asInstanceOf[Long])
-        maxTs.fold(resolved)(m => resolved.filter(
-          !(coalesce(col("__op") === "d", lit(false)) &&
-            col("__ts_ms") < lit(m - ms))))
-    }
-    Snapshots.publish(gated, stateDir, version)
+      .persist() // two actions below (horizon scalar + write) — one execution
+    try {
+      val gated = tombstoneRetainMs match {
+        case None => resolved
+        case Some(ms) =>
+          // one scalar pull per compaction (an operator action, not a
+          // per-row path); data-relative horizon — see scaladoc
+          val maxTs = Option(resolved.agg(max(col("__ts_ms"))).first().get(0))
+            .map(_.asInstanceOf[Long])
+          // a tombstone with NULL __ts_ms is never GC'd (age unknowable
+          // → conservative); without the null guard three-valued logic
+          // would drop it unconditionally
+          maxTs.fold(resolved)(m => resolved.filter(
+            !(coalesce(col("__op") === "d", lit(false)) &&
+              col("__ts_ms").isNotNull && col("__ts_ms") < lit(m - ms))))
+      }
+      Snapshots.publish(gated, stateDir, version)
+    } finally resolved.unpersist()
+    // 3. record this round's fold for the next compaction's prune
     if (freshVersion) {
-      val fs = new org.apache.hadoop.fs.Path(logDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      parts.foreach(p => fs.delete(p, true))
+      val out = fs.create(manifest, true)
+      try out.write(parts.map(_.toString).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
     }
   }
 

@@ -112,20 +112,30 @@ object Snapshots {
     val vdir = new Path(root, s"$VersionPrefix$version")
     if (!f.exists(new Path(vdir, "_SUCCESS")))
       df.write.mode("overwrite").parquet(vdir.toString)
+    // the grace version is what the pointer said BEFORE this publish —
+    // NOT the numerically-second-highest version: version numbers are
+    // streaming batch ids, and a checkpoint reset restarts them at 0.
+    // A highest-two prune would then delete the version just published
+    // (committed = {old_7, old_6, new_0}.drop(2) → new_0!) and strand
+    // the pointer, silently serving stale data forever.
+    val prevPointed = resolve(spark, dir).filter(_ != version)
     // pointer replace: write temp, then rename into place. HDFS/local
     // rename won't clobber an existing file, so delete first — a crash
     // in between leaves no pointer and readers fall back to the newest
-    // committed version, which IS this one once its _SUCCESS exists.
+    // committed version (note: "newest" = highest NUMBER — after a
+    // version-counter reset that fallback prefers the pre-reset
+    // snapshot until the pointer is rewritten, which this publish does
+    // immediately).
     val tmp = new Path(root, s".$PointerName.$version.tmp")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     val pointer = new Path(root, PointerName)
     if (f.exists(pointer)) f.delete(pointer, false)
     f.rename(tmp, pointer)
-    // prune superseded versions, keeping one behind as a grace window
-    // for readers mid-read on the previous snapshot
-    val committed = committedVersions(f, root).sorted(Ordering[Long].reverse)
-    committed.drop(2).foreach { v =>
+    // prune: keep the just-published version + the one readers may
+    // still be mid-read on (the previously pointed version)
+    val keep = Set(version) ++ prevPointed
+    committedVersions(f, root).filterNot(keep).foreach { v =>
       f.delete(new Path(root, s"$VersionPrefix$v"), true)
     }
   }
@@ -134,8 +144,15 @@ object Snapshots {
     * (distinguishable from a legitimately empty snapshot). */
   def read(spark: SparkSession, dir: String): DataFrame =
     resolve(spark, dir) match {
-      case Some(v) => spark.read.parquet(s"$dir/$VersionPrefix$v")
+      case Some(v) => readVersion(spark, dir, v)
       case None => throw new IllegalStateException(
         s"no committed snapshot under $dir")
     }
+
+  /** Read a specific version directly — for callers that already
+    * resolved (avoids a second round of FS listings and the TOCTOU
+    * between a resolve-based existence check and a re-resolving
+    * read). */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$dir/$VersionPrefix$version")
 }

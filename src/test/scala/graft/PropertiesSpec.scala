@@ -103,6 +103,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("CDC resolveLatest equals a driver-side ordered replay on random logs") {
+    // random mutation logs: ~8 keys, ops weighted toward upserts,
+    // ts with deliberate collisions (the seq column breaks ties the
+    // same way for both spellings)
+    val mutGen = Gen.zip(
+      Gen.chooseNum(1L, 8L),                      // key
+      Gen.chooseNum(0L, 20L),                     // coarse ts (collisions likely)
+      Gen.frequency(3 -> Gen.const("c"), 3 -> Gen.const("u"),
+        2 -> Gen.const("d"), 1 -> Gen.const("r")),
+      Gen.chooseNum(-1000, 1000))                 // payload value
+    val logs = samples(Gen.listOfN(40, mutGen), 20)
+    val rows = logs.zipWithIndex.flatMap { case (log, i) =>
+      log.zipWithIndex.map { case ((k, ts, op, v), j) =>
+        (i.toLong, k, ts, j.toLong, op, v) }
+    }
+    val got = graft.ops.Cdc.resolveLatest(
+        rows.toDF("log_id", "id", "ts", "seq", "__op", "v"),
+        Seq("log_id", "id"), Seq("ts", "seq"))
+      .select($"log_id", $"id", $"v").as[(Long, Long, Int)].collect()
+      .map { case (l, k, v) => (l, k) -> v }.toMap
+    // driver truth: replay each log in (ts, seq) order, last writer
+    // wins, delete removes the key
+    val want = logs.zipWithIndex.flatMap { case (log, i) =>
+      val last = scala.collection.mutable.Map.empty[Long, (String, Int)]
+      log.zipWithIndex
+        .sortBy { case ((_, ts, _, _), j) => (ts, j.toLong) }
+        .foreach { case ((k, _, op, v), _) => last(k) = (op, v) }
+      last.collect { case (k, (op, v)) if op != "d" => (i.toLong, k) -> v }
+    }.toMap
+    assert(got === want,
+      s"diverged on ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("connectedComponents equals driver-side union-find on random graphs") {
     // adversarial mix per trial: random edges + a long chain (stresses
     // the pointer-jump depth) over a sparse id space (not contiguous)

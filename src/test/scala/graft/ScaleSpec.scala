@@ -23,6 +23,24 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted shuffle-form left join (broadcastDim=false) is row-equivalent, nulls included") {
+    // the q_skew_join code path: merge-pinned shuffle join with the
+    // salt in the keys. Null fact keys must behave like a plain left
+    // join (kept, unmatched) — the salt coalesce exists for them.
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", when($"event_id" % 97 === 0, lit(null).cast("long"))
+        .otherwise($"user_id"))
+    val cust = Tables.dim(spark, dir, "customer", "c_custkey", "c_mktsegment")
+    val plain = ev.join(cust, ev("k") === cust("c_custkey"), "left")
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val salted = Scale.saltedLeftJoin(ev, cust, "k", "c_custkey",
+        "event_id", saltBuckets = 8, broadcastDim = false)
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val ev = Tables.events(spark, dir)
     val direct = ev.groupBy($"event_type")

@@ -252,10 +252,18 @@ class StreamingSpec extends SparkSpec {
     // pruning keeps exactly current + one grace version for in-flight readers
     Snapshots.publish(Seq(("d", 4L)).toDF("k", "n"), dir, 2L)
     Snapshots.publish(Seq(("e", 5L)).toDF("k", "n"), dir, 3L)
-    val versions = new java.io.File(dir).listFiles()
+    def versions() = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("v_")).toSet
-    assert(versions === Set("v_2", "v_3"), s"pruning kept $versions")
+    assert(versions() === Set("v_2", "v_3"), s"pruning kept ${versions()}")
     assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("e", 5L)))
+    // version-counter RESET (checkpoint wiped, batch ids restart at 0):
+    // a highest-two prune would delete the snapshot just published and
+    // strand the pointer on stale data — the keep-set is {published,
+    // previously pointed}, not the two biggest numbers
+    Snapshots.publish(Seq(("z", 7L)).toDF("k", "n"), dir, 0L)
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("z", 7L)),
+      "reset-published snapshot was self-deleted or not served")
+    assert(versions() === Set("v_0", "v_3"), s"reset pruning kept ${versions()}")
   }
 
   test("CDC replay with updates/deletes converges to the LWW-resolved source table") {
@@ -284,11 +292,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val afterB1 = Set((1L, 1111), (3L, 3000), (4L, 4000))
       assert(current() === afterB1, s"got ${current()}")
-      // compact: state snapshot + pruned log; resolution unchanged
+      // compact: snapshot published; folded partitions DEFERRED-pruned
+      // (they stay one compaction cycle as a grace window for in-flight
+      // readers, recorded in the .pending_prune manifest); resolution
+      // unchanged either way — leftovers resolve identically
       graft.stream.CdcReplay.compact(spark, log, state, version = 0L)
       assert(current() === afterB1, s"post-compaction drift: ${current()}")
-      assert(!new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")),
-        "compaction left folded-in log partitions behind")
+      assert(new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")),
+        "folded partitions must survive one compaction cycle (reader grace)")
       // batch 2, post-compaction: a straggler update of DELETED key 2,
       // older than its tombstone — the compacted tombstone must win
       // (the keepTombstones design exists for exactly this row); plus a
@@ -312,15 +323,18 @@ class StreamingSpec extends SparkSpec {
       assert(current() === batchTruth, s"stream ${current()} != batch $batchTruth")
       // compaction RETRIED at the committed version 0 (crash-during-
       // prune replay) while batch-2 partitions sit in the log: it must
-      // not fold-skip-then-delete them — that would silently lose the
-      // post-compaction mutations
+      // neither prune nor touch the manifest — batch 2 was never folded
       graft.stream.CdcReplay.compact(spark, log, state, version = 0L)
-      assert(new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")),
+      def partsOnDisk() = new java.io.File(log).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+      assert(partsOnDisk().contains("batch_id=2"),
         "retry at a committed version pruned partitions it never folded in")
       assert(current() === batchTruth, s"retry changed state: ${current()}")
-      // the NEXT compaction (fresh version) folds and prunes them
+      // the NEXT fresh compaction prunes v0's folded partitions (grace
+      // expired), folds batch 2, and defers ITS prune in turn
       graft.stream.CdcReplay.compact(spark, log, state, version = 1L)
-      assert(!new java.io.File(log).listFiles().exists(_.getName.startsWith("batch_id=")))
+      assert(partsOnDisk() === Set("batch_id=2"),
+        s"expected batches 0/1 pruned and 2 deferred: ${partsOnDisk()}")
       assert(current() === batchTruth, s"fresh compaction changed state: ${current()}")
     } finally q.stop()
   }
@@ -341,6 +355,10 @@ class StreamingSpec extends SparkSpec {
       s"expected 2's tombstone GC'd and 4's kept: $snap")
     assert(graft.stream.CdcReplay.currentState(spark, log, Some(state))
       .select($"id").as[Long].collect().toSet === Set(1L, 3L))
+    // second compaction expires the deferred prune (the folded batch-0
+    // partition still carries 2's delete row and would mask the GC)
+    graft.stream.CdcReplay.compact(spark, log, state, 1L,
+      tombstoneRetainMs = Some(1000L))
     // the explicit horizon contract: a straggler OLDER than a GC'd
     // tombstone resurrects its key (bounded-delivery-delay trade-off)
     graft.stream.CdcReplay.logBatch(log)(muts((2L, 1500L, "u")), 1L)

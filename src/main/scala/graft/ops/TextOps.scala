@@ -287,10 +287,27 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Hot-bucket cap used by the declared capped query — interpolated
+    * into BOTH the Spark call and the oracle SQL (the MinhashK
+    * pattern) so the two spellings cannot desynchronize. */
+  val CapBucket = 64
+
   /** DuckDB spelling of [[minhashPairs]] as a CTE block ending in a
-    * relation named `np(id_a, id_b)`. */
-  def minhashPairsSqlCtes: String = {
+    * relation named `np(id_a, id_b)`. `maxBucket` mirrors
+    * [[minhashPairsOf]]'s one-sided hot-bucket cap: the candidate
+    * join's LEFT side keeps only the `k` lowest doc_ids per band
+    * bucket, the right side stays complete. */
+  def minhashPairsSqlCtes(maxBucket: Option[Int] = None): String = {
     val toksSql = tokensSql("text")
+    val candLeft = maxBucket match {
+      case None => "banded"
+      case Some(k) =>
+        s"""(SELECT doc_id, band_id, band_key FROM (
+           |    SELECT doc_id, band_id, band_key,
+           |      row_number() OVER (PARTITION BY band_id, band_key
+           |                         ORDER BY doc_id) AS rn
+           |    FROM banded) WHERE rn <= $k)""".stripMargin
+    }
     // constants interpolated from MinhashK/LshBands/LshRows — a tuning
     // change updates this oracle spelling and the Spark path together
     s"""d AS (SELECT doc_id,
@@ -302,7 +319,7 @@ object TextOps {
        |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS band_id) b),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
+       |  FROM $candLeft a JOIN banded b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
        |np AS (
@@ -579,6 +596,17 @@ object TextOps {
     // hash joins, not a cross join.
     "q_minhash_dedup" -> ((s, dir) =>
       minhashPairs(s, dir)
+        .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // The PRODUCTION form of the same pair generator: hot-bucket cap
+    // engaged (one-sided, CapBucket lowest ids retained per band
+    // bucket) — the setting that keeps boilerplate-heavy corpora
+    // linear at 1000× (PERF.md "Dedup scaling curve"). Oracle-checked
+    // with the identical cap spelled as a DuckDB window, so the cap
+    // semantics are pinned cross-engine, not just asserted.
+    "q_minhash_capped" -> ((s, dir) =>
+      minhashPairsOf(Tables.documents(s, dir), maxBucket = Some(CapBucket))
         .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -888,13 +916,19 @@ object TextOps {
            |ORDER BY 1, 2""".stripMargin,
 
       "q_minhash_dedup" ->
-        s"""WITH $minhashPairsSqlCtes
+        s"""WITH ${minhashPairsSqlCtes()}
+           |SELECT id_a, id_b,
+           |  ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS jaccard
+           |FROM np ORDER BY 1, 2""".stripMargin,
+
+      "q_minhash_capped" ->
+        s"""WITH ${minhashPairsSqlCtes(Some(CapBucket))}
            |SELECT id_a, id_b,
            |  ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS jaccard
            |FROM np ORDER BY 1, 2""".stripMargin,
 
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE $minhashPairsSqlCtes,
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
            |edges AS (SELECT id_a AS src, id_b AS dst FROM np
            |          UNION ALL SELECT id_b, id_a FROM np),
            |reach(n, r) AS (
@@ -922,7 +956,7 @@ object TextOps {
            |ORDER BY u.doc_id""".stripMargin,
 
       "q_corpus_select_dedup" ->
-        s"""WITH RECURSIVE $minhashPairsSqlCtes,
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
            |edges AS (SELECT id_a AS src, id_b AS dst FROM np
            |          UNION ALL SELECT id_b, id_a FROM np),
            |reach(n, r) AS (

@@ -56,9 +56,20 @@ object Scale {
     * aggregate on (key, salt), then final merge on key. Equivalent to
     * `df.groupBy(key).agg(count, sum)` but no single reducer ever sees
     * a whole hot key. */
+  // NULL salt ids need a guard like saltedLeftJoin's: a NULL salt
+  // groups all of a key's null-id rows onto one reducer — exactly the
+  // straggler the salt exists to prevent. Unlike the join (where the
+  // salt must equal an exploded dim value, so nulls pin to one
+  // bucket), ANY salt is correct for aggregation — the final pass
+  // re-merges on the bare key — so NULL ids spread by input partition
+  // instead of collapsing onto bucket 0.
+  private[graft] def aggSaltExpr(saltIdCol: String, saltBuckets: Int) =
+    coalesce(pmod(col(saltIdCol), lit(saltBuckets)),
+      pmod(spark_partition_id().cast("long"), lit(saltBuckets)))
+
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       saltIdCol: String, saltBuckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(col(saltIdCol), lit(saltBuckets)))
+    df.withColumn("__salt", aggSaltExpr(saltIdCol, saltBuckets))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast("decimal(18,6)")).as("__s"))

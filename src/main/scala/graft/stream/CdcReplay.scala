@@ -104,12 +104,34 @@ object CdcReplay {
       keepTombstones = true)
   }
 
+  /** Schema of the resolved state: [[transformCdc]]'s output plus the
+    * `batch_id` [[logBatch]] appends — derived by ANALYZING the real
+    * transform over empty inputs (plan-only, no job), so it can never
+    * drift from what the pipeline actually writes. */
+  def stateSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    import spark.implicits._
+    val emptyRaw = Seq.empty[String].toDF("value")
+    val emptyDim = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), graft.schemas.Schemas.content)
+    transformCdc(emptyRaw, emptyDim).withColumn("batch_id", lit(0L)).schema
+  }
+
   /** Current table state = snapshot (if any compaction ran) + the log
-    * partitions since, LWW-resolved per key, deletes applied. */
+    * partitions since, LWW-resolved per key, deletes applied.
+    *
+    * Cold start (no log partition committed yet, no snapshot) returns
+    * an EMPTY table with the pipeline's schema — a poller watching a
+    * freshly started stream sees "no rows yet", not an exception. */
   def currentState(spark: SparkSession, logDir: String,
-      stateDir: Option[String] = None): DataFrame =
-    Cdc.dropTombstones(resolvedWithTombstones(
-      spark, logPartitions(spark, logDir), logDir, stateDir))
+      stateDir: Option[String] = None): DataFrame = {
+    val parts = logPartitions(spark, logDir)
+    val hasSnap = stateDir.exists(d => Snapshots.resolve(spark, d).isDefined)
+    if (parts.isEmpty && !hasSnap)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema(spark))
+    else
+      Cdc.dropTombstones(resolvedWithTombstones(spark, parts, logDir, stateDir))
+  }
 
   /** Materialize the resolved state as an atomic snapshot version
     * ([[Snapshots]] — readers never see a partial compaction) and

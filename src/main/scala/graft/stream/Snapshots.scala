@@ -118,7 +118,7 @@ object Snapshots {
     // A highest-two prune would then delete the version just published
     // (committed = {old_7, old_6, new_0}.drop(2) → new_0!) and strand
     // the pointer, silently serving stale data forever.
-    val prevPointed = resolve(spark, dir).filter(_ != version)
+    val pointedBefore = resolve(spark, dir)
     // pointer replace: write temp, then rename into place. HDFS/local
     // rename won't clobber an existing file, so delete first — a crash
     // in between leaves no pointer and readers fall back to the newest
@@ -126,6 +126,16 @@ object Snapshots {
     // version-counter reset that fallback prefers the pre-reset
     // snapshot until the pointer is rewritten, which this publish does
     // immediately).
+    // Stale tmp files from a crash between create and rename are
+    // invisible to readers (dot-prefixed, never resolved) but would
+    // accumulate forever in a long-running stream — sweep them here.
+    // Single-writer contract (one streaming query owns a snapshot
+    // dir), so no live tmp can be swept out from under a peer.
+    if (f.exists(root)) f.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && n.startsWith(s".$PointerName.") && n.endsWith(".tmp")
+      }.foreach(st => f.delete(st.getPath, false))
     val tmp = new Path(root, s".$PointerName.$version.tmp")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
@@ -133,10 +143,18 @@ object Snapshots {
     if (f.exists(pointer)) f.delete(pointer, false)
     f.rename(tmp, pointer)
     // prune: keep the just-published version + the one readers may
-    // still be mid-read on (the previously pointed version)
-    val keep = Set(version) ++ prevPointed
-    committedVersions(f, root).filterNot(keep).foreach { v =>
-      f.delete(new Path(root, s"$VersionPrefix$v"), true)
+    // still be mid-read on (the previously pointed version). When the
+    // pointer ALREADY named this version (crash-replay repoint, or a
+    // compact retry at a committed version), pruning with
+    // keep = {version} would delete the grace version the original
+    // publish deliberately retained — collapsing the documented
+    // one-version reader grace window to zero. A no-op repoint changes
+    // nothing for readers, so it must prune nothing.
+    if (!pointedBefore.contains(version)) {
+      val keep = Set(version) ++ pointedBefore
+      committedVersions(f, root).filterNot(keep).foreach { v =>
+        f.delete(new Path(root, s"$VersionPrefix$v"), true)
+      }
     }
   }
 

@@ -31,7 +31,11 @@ object DedupScaleProbe {
     @volatile var maxTaskMs = 0L
     @volatile var failedTasks = 0
     @volatile var tasks = 0
-    def reset(): Unit = { spillBytes = 0; shuffleWriteBytes = 0
+    // synchronized on the same lock as onTaskEnd: a straggler task-end
+    // racing an unsynchronized reset could resurrect pre-reset counts
+    // into the new sample (callers also drain the listener bus first,
+    // but the lock makes the discipline unconditional)
+    def reset(): Unit = synchronized { spillBytes = 0; shuffleWriteBytes = 0
       maxTaskMs = 0; failedTasks = 0; tasks = 0 }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
       tasks += 1

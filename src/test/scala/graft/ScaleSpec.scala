@@ -52,6 +52,32 @@ class ScaleSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("salted aggregation spreads a NULL-id hot key instead of collapsing it") {
+    // a hot key whose salt-id column is NULL (the id never made it
+    // through an upstream outer join, say): without the guard every
+    // one of its rows gets a NULL salt = one reducer group, silently
+    // recreating the straggler the salt exists to prevent
+    val hot = spark.range(0, 10000).repartition(8)
+      .select(lit("hot").as("k"), lit(null).cast("long").as("sid"),
+        (col("id") % 7).cast("double").as("v"))
+    val cold = spark.range(0, 100)
+      .select(lit("cold").as("k"), col("id").as("sid"), lit(1.0).as("v"))
+    val df = hot.unionByName(cold)
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Scale.saltedCountSum(df, "k", "v", "sid", 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === direct, "NULL-id rows were lost or double-counted")
+    // the spreading itself: the partial phase must see the hot key in
+    // more than one (key, salt) group
+    val saltGroups = hot.withColumn("__salt", Scale.aggSaltExpr("sid", 16))
+      .select($"__salt").distinct().count()
+    assert(saltGroups > 1,
+      s"NULL-id hot key still collapses onto $saltGroups salt bucket(s)")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_test LOCATION '$wh/db'")

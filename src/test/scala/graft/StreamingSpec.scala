@@ -264,6 +264,34 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("z", 7L)),
       "reset-published snapshot was self-deleted or not served")
     assert(versions() === Set("v_0", "v_3"), s"reset pruning kept ${versions()}")
+    // crash-replay REPOINT (publish of the version the pointer already
+    // names): a no-op for readers, so it must prune nothing — pruning
+    // with keep={version} would delete v_3, collapsing the one-version
+    // reader grace window to zero exactly when a replay is in progress
+    Snapshots.publish(Seq(("z", 7L)).toDF("k", "n"), dir, 0L)
+    assert(versions() === Set("v_0", "v_3"),
+      s"no-op repoint pruned the grace version: kept ${versions()}")
+    // a crash between tmp-create and rename leaves an orphan tmp; the
+    // next publish must sweep it (they'd otherwise accumulate forever)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/.LATEST.9.tmp"), "9".getBytes)
+    Snapshots.publish(Seq(("w", 8L)).toDF("k", "n"), dir, 4L)
+    assert(!new java.io.File(s"$dir/.LATEST.9.tmp").exists(),
+      "stale pointer tmp survived the next publish")
+    assert(Snapshots.read(spark, dir).as[(String, Long)].collect().toSeq === Seq(("w", 8L)))
+  }
+
+  test("CDC currentState on a cold store returns an empty, correctly-typed table") {
+    // a poller watching a freshly started pipeline (no micro-batch
+    // committed, no compaction) must see "no rows yet", not a throw
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_cold").toString
+    val cold = graft.stream.CdcReplay.currentState(
+      spark, s"$root/log", Some(s"$root/state"))
+    assert(cold.count() === 0L)
+    assert(cold.schema === graft.stream.CdcReplay.stateSchema(spark))
+    assert(cold.schema.fieldNames.contains("engagement_pct") &&
+      cold.schema.fieldNames.contains("batch_id"),
+      s"cold-start schema missing pipeline columns: ${cold.schema.fieldNames.mkString(",")}")
   }
 
   test("CDC replay with updates/deletes converges to the LWW-resolved source table") {

@@ -25,6 +25,15 @@ package object functions {
   def ngram_hash_explode(tokens: Column, n: Int = 3): Column =
     shims.column(NGramHashExplode(shims.expression(tokens), n))
 
+  /** Codegen'd IVF cell assignment: index of the squared-L2-nearest
+    * centroid (ties → lowest index). */
+  def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    shims.column(NearestCentroid(shims.expression(emb), centroids))
+
+  /** Codegen'd sign-LSH bucket id over a fixed hyperplane table. */
+  def sign_lsh_bucket(emb: Column, planes: Array[Array[Double]]): Column =
+    shims.column(SignLshBucket(shims.expression(emb), planes))
+
   /** Bounded-state top-K aggregate: `array<struct<score,key>>` ranked
     * best-first (score desc, key asc). Streaming-safe (O(k) state,
     * partial-merge capable). */

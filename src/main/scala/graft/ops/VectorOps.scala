@@ -46,6 +46,16 @@ object VectorOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Squared L2 distance of a float-list column vs a double-list
+    * column, as the sequential fold ((0 + t₁²) + t₂²) + … — the DuckDB
+    * spelling of [[graft.functions.NearestCentroidUtil.nearest]]'s
+    * per-centroid loop (and [[Ivf.distSq]]), so k-means assignments
+    * match bit-for-bit cross-engine. */
+  def distSqSql(e: String, c: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> " +
+      s"(CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i]))), " +
+      s"(x, y) -> x + y)"
+
   /** Deterministic pseudo-random hyperplane weights for sign-LSH,
     * derived from md5 so the DuckDB oracle reproduces them exactly:
     * w(j,i) = (hash60("hp<j>_<i>") % 2001 − 1000) / 1000 ∈ [−1, 1]. */
@@ -62,16 +72,16 @@ object VectorOps {
     s"list_transform(range(0, 64), i -> " +
       s"(CAST(('0x' || substr(md5('hp$j' || '_' || i), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
 
-  /** Sequential-fold dot product against a literal hyperplane. */
-  private def planeDot(emb: Column, w: Array[Double]): Column =
-    aggregate(zip_with(emb, lit(w), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** 8-bit sign-LSH bucket id of an embedding. */
+  /** Sign-LSH bucket id of an embedding — the codegen'd
+    * [[graft.functions.SignLshBucket]] over the md5-derived planes
+    * (bit-identical to the interpreted zip_with/aggregate fold it
+    * replaced: same plane order, same sequential dot). Ragged vectors
+    * now yield NULL (dropped by the bucket join) instead of the old
+    * fold's all-bits-clear bucket 0 — a corrupt short vector must not
+    * alias the legitimate bucket-0 candidates. */
   def lshBucket(emb: Column, nBits: Int, dims: Int): Column =
-    (0 until nBits).map(j =>
-      when(planeDot(emb, hyperplane(j, dims)) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    graft.functions.sign_lsh_bucket(emb,
+      (0 until nBits).map(hyperplane(_, dims)).toArray)
 
   def lshBucketSql(emb: String, nBits: Int): String =
     (0 until nBits).map(j =>
@@ -222,6 +232,31 @@ object VectorOps {
         .limit(10)
     }),
 
+    // IVF with a BUILT quantizer — the production path (q_ann_ivf
+    // quantizes by ground-truth labels a real corpus doesn't have):
+    // k=8 k-means seeded by the first 8 vec_ids, 2 Lloyd iterations
+    // (map-side codegen'd assignment + decimal-exact per-dim means,
+    // so the fit is summation-order-independent and the DuckDB oracle
+    // replays it exactly), probe the 2 cells nearest the query, exact
+    // cosine rerank inside them. At scale: assignment never shuffles
+    // vectors, each iteration shuffles K×dims decimal partials, and
+    // the probe is a partition-pruned read (see Ivf.writeIndex).
+    "q_ann_ivf_built" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cells = Ivf.nearestCells(centers, qEmb.map(_.toDouble), nProbe = 2)
+      Ivf.assign(e, col("embedding"), centers)
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          roundTo(graft.functions.cosine_sim(col("embedding"),
+            typedlit(qEmb.toSeq)), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -261,6 +296,49 @@ object VectorOps {
          |FROM embeddings e JOIN probed p ON e.label = p.label, qv
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_built" -> {
+      // one Lloyd assignment pass: nearest (squared-L2, sequential
+      // fold) centroid from table `$src(cell, c)`, ties → lowest cell
+      def assignSql(src: String) =
+        s"""SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSqSql("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $src c) WHERE rn = 1""".stripMargin
+      // decimal-exact per-dimension means of one assignment
+      def meansSql(a: String) =
+        s"""SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM $a, dims GROUP BY cell, i""".stripMargin
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |a1 AS (${assignSql("seeds")}),
+         |m1d AS (${meansSql("a1")}),
+         |m1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m1d GROUP BY cell),
+         |c1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+         |       FROM seeds s LEFT JOIN m1 m USING (cell)),
+         |a2 AS (${assignSql("c1")}),
+         |m2d AS (${meansSql("a2")}),
+         |m2 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m2d GROUP BY cell),
+         |c2 AS (SELECT p.cell, COALESCE(m.c, p.c) AS c
+         |       FROM c1 p LEFT JOIN m2 m USING (cell)),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, ${distSqSql("q.q_emb", "c.c")} AS d FROM c2 c, qv q)
+         |  ORDER BY d ASC, cell ASC LIMIT 2),
+         |af AS (${assignSql("c2")})
+         |SELECT e.vec_id, e.cell,
+         |  ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |FROM af e JOIN probed p ON e.cell = p.cell CROSS JOIN qv q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "q_ann_lsh" ->
       s"""WITH b AS (

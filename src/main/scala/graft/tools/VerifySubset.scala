@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: [[graft.Verify]] for a comma-separated subset of query
+  * names — fast iteration on a single declared query without paying
+  * for the full 70-query dump.
+  * Usage: runMain graft.tools.VerifySubset <sfDir> <outDir> <q1,q2,…>
+  */
+object VerifySubset {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    graft.SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[subset] $name written")
+      } catch { case e: Throwable =>
+        System.err.println(s"[subset] $name FAILED: ${e.getMessage}")
+      } finally spark.sharedState.cacheManager.clearCache()
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(o => wanted(o._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

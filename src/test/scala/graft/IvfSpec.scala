@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Ivf
+
+/** IVF quantizer: k-means fit, assignment semantics, persistence
+  * round-trip, partition-pruned probes, and search exactness when the
+  * probe covers every cell. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.01")
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("nearest_centroid matches a driver-side argmin, ties to lowest cell") {
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    val got = Ivf.assign(emb, $"embedding", centers)
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    vecs.foreach { case (id, v) =>
+      val want = centers.zipWithIndex
+        .map { case (c, j) => (Ivf.distSq(v, c), j) }.min._2
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("duplicate of the nearest centroid still assigns the lowest index") {
+    val centers0 = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 2, iters = 1)
+    // centroid 2 duplicates centroid 0: ties must stay on 0
+    val rigged = Array(centers0(0), centers0(1), centers0(0).clone())
+    val cells = Ivf.assign(emb, $"embedding", rigged)
+      .select($"cell").distinct().as[Int].collect().toSet
+    assert(!cells.contains(2), "tie must resolve to the lowest cell index")
+  }
+
+  test("fit is invariant to input partitioning (decimal-exact means)") {
+    val a = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val b = Ivf.fit(emb.repartition(13), $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    (a zip b).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+  }
+
+  test("save/load round-trips the quantizer exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfq").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    Ivf.save(spark, centers, s"$tmp/q")
+    val back = Ivf.load(spark, s"$tmp/q")
+    assert(back.length === centers.length)
+    (back zip centers).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("index probe is partition-pruned and nProbe=K search equals brute force") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfx").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    Ivf.writeIndex(emb, $"embedding", $"vec_id", centers, s"$tmp/idx", numFiles = 4)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+
+    // probe of 2 cells: scan must prune at the partition level
+    val probed = Ivf.search(spark, s"$tmp/idx", centers, q, nProbe = 2, topK = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe must prune cell partitions, got:\n$plan")
+
+    // nProbe = K covers everything → identical to brute-force top-k
+    val full = Ivf.search(spark, s"$tmp/idx", centers, q, nProbe = 4, topK = 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val brute = emb
+      .select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(q.toSeq)).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(full === brute)
+  }
+
+  test("empty cells keep their previous centroid (stable indices)") {
+    // two far-apart 2-dim clusters, k=3 seeded so one seed empties out
+    val data = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10f, 10f)), (4L, Array(10.1f, 10f)), (5L, Array(10f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val centers = Ivf.fit(data, $"embedding", Seq($"vec_id"), k = 3, iters = 3, dims = 2)
+    assert(centers.length === 3)
+    assert(centers.forall(_.length === 2))
+    assert(centers.forall(c => c.forall(x => !x.isNaN)))
+  }
+}

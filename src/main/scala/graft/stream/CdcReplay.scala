@@ -3,7 +3,22 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.ops.{Cdc, Transforms}
+
+/** Table shape of one CDC-replayed table: primary-key columns, the
+  * columns that totally order each key's mutations (Debezium
+  * `__ts_ms` + arrival tiebreak, an LSN, a (ts, seq) pair, …), the op
+  * column, and the event-time column tombstone age-GC measures against
+  * (data-relative — see [[CdcReplay.compact]]).
+  *
+  * The round-4 lane hardcoded `Seq("id")` / (`__ts_ms`, `batch_id`);
+  * a composite-key or LSN-ordered table plugs in here instead. */
+final case class CdcSpec(
+    keyCols: Seq[String],
+    orderCols: Seq[String],
+    opCol: String = "__op",
+    ageCol: String = "__ts_ms")
 
 /** Streaming CDC replay: the full Debezium envelope stream — including
   * the updates and deletes the reference throws away
@@ -22,14 +37,19 @@ import graft.ops.{Cdc, Transforms}
   *   - [[compact]] periodically materializes the resolved state as an
   *     atomic [[Snapshots]] version and prunes the log partitions it
   *     folded in, so read cost stays O(current table + recent log), not
-  *     O(history).
+  *     O(history). [[startLog]] wires compaction in on a batch-count
+  *     cadence (`compactEvery`) — no manual operator loop needed.
   *
-  * Ordering: last-writer-wins on (`__ts_ms`, `batch_id`) — the
-  * envelope's own CDC timestamp, arrival order as tiebreak. A real
-  * Debezium feed would use the LSN the connector can attach; the
-  * envelope here carries what the reference's does (Schemas.scala).
+  * Ordering: last-writer-wins on [[CdcSpec.orderCols]] — for the
+  * engagement table (`__ts_ms`, `batch_id`): the envelope's own CDC
+  * timestamp, arrival order as tiebreak. A Debezium feed with an LSN
+  * uses `CdcSpec(keys, Seq("__lsn"))` instead.
   */
 object CdcReplay {
+
+  /** The engagement-events table's shape (reference envelope,
+    * Schemas.scala): key `id`, ordered by (`__ts_ms`, `batch_id`). */
+  val EngagementSpec: CdcSpec = CdcSpec(Seq("id"), Seq("__ts_ms", "batch_id"))
 
   /** Parse → keep ALL ops (r|c|u|d) → enrich → derive. The u/d rows
     * flow through the same enrich/derive columns as inserts — a
@@ -51,13 +71,6 @@ object CdcReplay {
       .partitionBy("batch_id")
       .parquet(logDir)
 
-  /** Snapshot + log partitions since, LWW-resolved per key WITH delete
-    * tombstones retained. The snapshot rows join the resolution as
-    * ordinary mutations carrying their original ordering columns, so a
-    * late log partition older than the snapshot still loses to it
-    * correctly — including deletes: a compacted tombstone beats an
-    * older straggler mutation of the same key (the key stays deleted
-    * rather than resurrecting). */
   /** The log's `batch_id=` partition directories as of NOW. Compaction
     * must capture this listing ONCE and both read and delete exactly
     * it: listing again at delete time would race a live stream —
@@ -74,9 +87,16 @@ object CdcReplay {
       .map(_.getPath)
   }
 
+  /** Snapshot + log partitions since, LWW-resolved per key WITH delete
+    * tombstones retained. The snapshot rows join the resolution as
+    * ordinary mutations carrying their original ordering columns, so a
+    * late log partition older than the snapshot still loses to it
+    * correctly — including deletes: a compacted tombstone beats an
+    * older straggler mutation of the same key (the key stays deleted
+    * rather than resurrecting). */
   private def resolvedWithTombstones(spark: SparkSession,
       logParts: Seq[org.apache.hadoop.fs.Path], logDir: String,
-      stateDir: Option[String]): DataFrame = {
+      stateDir: Option[String], spec: CdcSpec): DataFrame = {
     // right after a compaction the log holds no batch_id= partitions at
     // all (every one was folded into the snapshot and pruned) — a bare
     // parquet read of the empty dir would die on schema inference.
@@ -100,15 +120,15 @@ object CdcReplay {
         s"no CDC log partitions under $logDir and no snapshot" +
           stateDir.fold("")(d => s" under $d"))
     }
-    Cdc.resolveLatest(full, Seq("id"), Seq("__ts_ms", "batch_id"),
+    Cdc.resolveLatest(full, spec.keyCols, spec.orderCols, spec.opCol,
       keepTombstones = true)
   }
 
-  /** Schema of the resolved state: [[transformCdc]]'s output plus the
-    * `batch_id` [[logBatch]] appends — derived by ANALYZING the real
-    * transform over empty inputs (plan-only, no job), so it can never
-    * drift from what the pipeline actually writes. */
-  def stateSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+  /** Schema of the resolved ENGAGEMENT state: [[transformCdc]]'s output
+    * plus the `batch_id` [[logBatch]] appends — derived by ANALYZING
+    * the real transform over empty inputs (plan-only, no job), so it
+    * can never drift from what the pipeline actually writes. */
+  def stateSchema(spark: SparkSession): StructType = {
     import spark.implicits._
     val emptyRaw = Seq.empty[String].toDF("value")
     val emptyDim = spark.createDataFrame(
@@ -120,17 +140,27 @@ object CdcReplay {
     * partitions since, LWW-resolved per key, deletes applied.
     *
     * Cold start (no log partition committed yet, no snapshot) returns
-    * an EMPTY table with the pipeline's schema — a poller watching a
-    * freshly started stream sees "no rows yet", not an exception. */
+    * an EMPTY table — a poller watching a freshly started stream sees
+    * "no rows yet", not an exception. The empty table's schema is
+    * `coldSchema` when given, else the engagement pipeline's
+    * [[stateSchema]] (a non-engagement [[CdcSpec]] must pass its own —
+    * the lane cannot guess an arbitrary table's shape). */
   def currentState(spark: SparkSession, logDir: String,
-      stateDir: Option[String] = None): DataFrame = {
+      stateDir: Option[String] = None, spec: CdcSpec = EngagementSpec,
+      coldSchema: Option[StructType] = None): DataFrame = {
     val parts = logPartitions(spark, logDir)
     val hasSnap = stateDir.exists(d => Snapshots.resolve(spark, d).isDefined)
-    if (parts.isEmpty && !hasSnap)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema(spark))
-    else
-      Cdc.dropTombstones(resolvedWithTombstones(spark, parts, logDir, stateDir))
+    if (parts.isEmpty && !hasSnap) {
+      val schema = coldSchema.getOrElse {
+        if (spec != EngagementSpec) throw new IllegalStateException(
+          s"cold CDC store under $logDir: pass coldSchema for a " +
+            "non-engagement CdcSpec (the empty table's shape is not derivable)")
+        stateSchema(spark)
+      }
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else
+      Cdc.dropTombstones(
+        resolvedWithTombstones(spark, parts, logDir, stateDir, spec), spec.opCol)
   }
 
   /** Materialize the resolved state as an atomic snapshot version
@@ -142,8 +172,8 @@ object CdcReplay {
     * snapshot accumulates one tombstone per deleted key forever. A
     * tombstone only exists to out-order stragglers of its key, so one
     * older than the upstream's maximum delivery delay is dead weight:
-    * with `Some(ms)`, tombstones whose `__ts_ms` trails the snapshot's
-    * own max `__ts_ms` by more than `ms` are dropped at publish. The
+    * with `Some(ms)`, tombstones whose [[CdcSpec.ageCol]] trails the
+    * snapshot's own max by more than `ms` are dropped at publish. The
     * horizon is DATA-relative (max event ts, not the wall clock), so
     * a stalled stream never GCs anything — time only advances when
     * data does. Beyond-horizon stragglers then resurrect their key;
@@ -175,11 +205,13 @@ object CdcReplay {
     *     which the committed snapshot does not contain. Distinct
     *     compactions use increasing versions. One operational
     *     constraint: resetting the streaming checkpoint (batch ids
-    *     restart) requires resetting the log dir with it — stale
-    *     manifest entries could otherwise name re-created partitions.
+    *     restart) requires resetting the log dir with it — enforced
+    *     by [[startLog]]'s stamp file, which turns the round-4
+    *     scaladoc footgun into a hard start-time error.
     */
   def compact(spark: SparkSession, logDir: String, stateDir: String,
-      version: Long, tombstoneRetainMs: Option[Long] = None): Unit = {
+      version: Long, tombstoneRetainMs: Option[Long] = None,
+      spec: CdcSpec = EngagementSpec): Unit = {
     val freshVersion = !Snapshots.isCommitted(spark, stateDir, version)
     val fs = new org.apache.hadoop.fs.Path(logDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,7 +229,7 @@ object CdcReplay {
     }
     // 2. capture + resolve + publish
     val parts = logPartitions(spark, logDir)
-    val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir))
+    val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir), spec)
       .persist() // two actions below (horizon scalar + write) — one execution
     try {
       val gated = tombstoneRetainMs match {
@@ -205,14 +237,14 @@ object CdcReplay {
         case Some(ms) =>
           // one scalar pull per compaction (an operator action, not a
           // per-row path); data-relative horizon — see scaladoc
-          val maxTs = Option(resolved.agg(max(col("__ts_ms"))).first().get(0))
+          val maxTs = Option(resolved.agg(max(col(spec.ageCol))).first().get(0))
             .map(_.asInstanceOf[Long])
-          // a tombstone with NULL __ts_ms is never GC'd (age unknowable
+          // a tombstone with NULL age is never GC'd (age unknowable
           // → conservative); without the null guard three-valued logic
           // would drop it unconditionally
           maxTs.fold(resolved)(m => resolved.filter(
-            !(coalesce(col("__op") === "d", lit(false)) &&
-              col("__ts_ms").isNotNull && col("__ts_ms") < lit(m - ms))))
+            !(coalesce(col(spec.opCol) === "d", lit(false)) &&
+              col(spec.ageCol).isNotNull && col(spec.ageCol) < lit(m - ms))))
       }
       Snapshots.publish(gated, stateDir, version)
     } finally resolved.unpersist()
@@ -224,13 +256,94 @@ object CdcReplay {
     }
   }
 
-  /** Wire a raw envelope stream into the op log. */
-  def start(raw: DataFrame, contentDim: DataFrame, logDir: String,
-      checkpoint: String, triggerMs: Long = 1000L): StreamingQuery =
-    transformCdc(raw, contentDim).writeStream
+  /** Enforce the checkpoint↔log pairing at start time. A streaming
+    * checkpoint reset restarts batch ids at 0; replayed ids would then
+    * dynamically overwrite `batch_id=` partitions that belong to the
+    * PREVIOUS run (and a stale `.pending_prune` manifest could name
+    * re-created partitions). The stamp file in the log dir records
+    * which checkpoint owns the log; a fresh checkpoint over a
+    * non-fresh log dir — or a log dir stamped for a different
+    * checkpoint — is a hard error instead of silent corruption. */
+  private def enforceCheckpointPairing(spark: SparkSession, logDir: String,
+      checkpoint: String): Unit = {
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val checkpointStarted =
+      fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+    val stamp = new org.apache.hadoop.fs.Path(logDir, ".cdc_checkpoint_stamp")
+    val stamped: Option[String] =
+      if (!fs.exists(stamp)) None
+      else {
+        val in = fs.open(stamp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val canonical = new org.apache.hadoop.fs.Path(checkpoint).toUri.toString
+    if (!checkpointStarted &&
+        (stamped.isDefined || logPartitions(spark, logDir).nonEmpty ||
+          fs.exists(new org.apache.hadoop.fs.Path(logDir, ".pending_prune"))))
+      throw new IllegalStateException(
+        s"checkpoint $checkpoint is fresh but CDC log dir $logDir is not: " +
+          "restarted batch ids would overwrite a previous run's batch_id= " +
+          "partitions. Reset (delete) the log dir and state dir together " +
+          "with the checkpoint.")
+    if (stamped.exists(_ != canonical))
+      throw new IllegalStateException(
+        s"CDC log dir $logDir is stamped for checkpoint ${stamped.get}, " +
+          s"not $checkpoint — each replay log is owned by exactly one " +
+          "checkpoint. Use the original checkpoint or a fresh log dir.")
+    if (stamped.isEmpty) {
+      fs.mkdirs(logPath)
+      val out = fs.create(stamp, true)
+      try out.write(canonical.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Wire an already-transformed mutation stream into the op log, with
+    * optional policy-driven compaction: every `compactEvery` batches
+    * the foreachBatch hook compacts log→snapshot at `version =
+    * batch id` (monotone; a crash-replay retries the same version
+    * idempotently — [[compact]] skips the committed publish). The
+    * stamp-file pairing check runs before the query starts.
+    *
+    * `onCompact(version, seconds)` is an ops hook (metrics/logging);
+    * it runs after each completed compaction on the micro-batch
+    * thread. */
+  def startLog(mutations: DataFrame, logDir: String, checkpoint: String,
+      triggerMs: Long = 1000L, stateDir: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      tombstoneRetainMs: Option[Long] = None,
+      spec: CdcSpec = EngagementSpec,
+      onCompact: (Long, Double) => Unit = (_, _) => ()): StreamingQuery = {
+    enforceCheckpointPairing(mutations.sparkSession, logDir, checkpoint)
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    require(compactEvery.isEmpty || stateDir.isDefined,
+      "compactEvery needs a stateDir to compact into")
+    mutations.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch(logBatch(logDir) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        logBatch(logDir)(batch, batchId)
+        for (every <- compactEvery; state <- stateDir)
+          if (batchId > 0 && batchId % every == 0) {
+            val t0 = System.nanoTime()
+            compact(batch.sparkSession, logDir, state, version = batchId,
+              tombstoneRetainMs, spec)
+            onCompact(batchId, (System.nanoTime() - t0) / 1e9)
+          }
+      }
       .start()
+  }
+
+  /** Wire a raw ENGAGEMENT envelope stream into the op log (the
+    * round-4 entry point, now via [[startLog]] — same contract plus
+    * pairing enforcement and optional compaction cadence). */
+  def start(raw: DataFrame, contentDim: DataFrame, logDir: String,
+      checkpoint: String, triggerMs: Long = 1000L,
+      stateDir: Option[String] = None, compactEvery: Option[Int] = None,
+      tombstoneRetainMs: Option[Long] = None): StreamingQuery =
+    startLog(transformCdc(raw, contentDim), logDir, checkpoint, triggerMs,
+      stateDir, compactEvery, tombstoneRetainMs, EngagementSpec)
 }

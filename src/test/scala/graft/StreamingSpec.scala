@@ -857,4 +857,86 @@ class StreamingSpec extends SparkSpec {
       assert(n1 === 1L && n2 === 2L) // no replay duplication
     } finally q2.stop()
   }
+
+  test("CDC replay of a composite-key, LSN-ordered table (generalized CdcSpec)") {
+    // a non-engagement table: key (tenant, id), ordered by a single
+    // LSN column — the round-4 lane hardcoded Seq("id")/(__ts_ms,
+    // batch_id) and could not express this
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_comp").toString
+    val (log, state) = (s"$root/log", s"$root/state")
+    val spec = graft.stream.CdcSpec(
+      Seq("tenant", "id"), Seq("lsn", "batch_id"), opCol = "op", ageCol = "lsn")
+    val input = MemoryStream[(String, Long, Long, Int, String)]
+    val muts = input.toDF().toDF("tenant", "id", "lsn", "amount", "op")
+    val coldSchema = muts.withColumn("batch_id", lit(0L)).schema
+    // cold read BEFORE any batch: empty with the caller's schema
+    val cold = graft.stream.CdcReplay.currentState(
+      spark, log, Some(state), spec, Some(coldSchema))
+    assert(cold.count() === 0L && cold.schema === coldSchema)
+    val q = graft.stream.CdcReplay.startLog(muts, log, s"$root/ckpt",
+      triggerMs = 100L, stateDir = Some(state), compactEvery = Some(2),
+      spec = spec)
+    def current() = graft.stream.CdcReplay
+      .currentState(spark, log, Some(state), spec, Some(coldSchema))
+      .select($"tenant", $"id", $"amount").as[(String, Long, Int)].collect().toSet
+    try {
+      // same id under two tenants — a Seq("id") key would conflate them
+      input.addData(("a", 1L, 100L, 10, "c"), ("b", 1L, 100L, 20, "c"),
+        ("a", 2L, 101L, 30, "c"))
+      q.processAllAvailable()
+      assert(current() === Set(("a", 1L, 10), ("b", 1L, 20), ("a", 2L, 30)))
+      // update a/1, delete b/1; out-of-order straggler for a/2 (lower
+      // LSN) must lose
+      input.addData(("a", 1L, 200L, 11, "u"), ("b", 1L, 201L, 0, "d"),
+        ("a", 2L, 50L, 99, "u"))
+      q.processAllAvailable()
+      assert(current() === Set(("a", 1L, 11), ("a", 2L, 30)), s"got ${current()}")
+      // wired cadence: batch 2 (id % 2 == 0) must have auto-compacted
+      input.addData(("b", 2L, 300L, 40, "c"))
+      q.processAllAvailable()
+      assert(Snapshots.resolve(spark, state).nonEmpty,
+        "compactEvery=2 never auto-compacted into the state dir")
+      assert(current() === Set(("a", 1L, 11), ("a", 2L, 30), ("b", 2L, 40)))
+      // straggler older than b/1's compacted tombstone stays dead
+      input.addData(("b", 1L, 150L, 77, "u"))
+      q.processAllAvailable()
+      assert(current() === Set(("a", 1L, 11), ("a", 2L, 30), ("b", 2L, 40)),
+        s"straggler resurrected a composite-key tombstone: ${current()}")
+    } finally q.stop()
+  }
+
+  test("checkpoint reset over a surviving CDC log dir is a hard start-time error") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_stamp").toString
+    val (log, ckpt) = (s"$root/log", s"$root/ckpt")
+    val input = MemoryStream[(Long, Long, String)]
+    val muts = input.toDF().toDF("id", "__ts_ms", "__op")
+    val q = graft.stream.CdcReplay.startLog(muts, log, ckpt, triggerMs = 100L)
+    try {
+      input.addData((1L, 1000L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$log/.cdc_checkpoint_stamp").exists(),
+      "startLog must stamp the log dir with its checkpoint")
+    // simulate `rm -rf ckpt` (the batch-id reset footgun): restart must
+    // throw instead of silently overwriting the previous run's partitions
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    val e = intercept[IllegalStateException] {
+      graft.stream.CdcReplay.startLog(muts, log, ckpt, triggerMs = 100L)
+    }
+    assert(e.getMessage.contains("Reset (delete) the log dir"))
+    // a log dir stamped for a DIFFERENT (already-started) checkpoint is
+    // also refused — each log has exactly one owner
+    val otherCkpt = s"$root/other_ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$otherCkpt/offsets"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$otherCkpt/offsets/0"), "{}".getBytes)
+    val e2 = intercept[IllegalStateException] {
+      graft.stream.CdcReplay.startLog(muts, log, otherCkpt, triggerMs = 100L)
+    }
+    assert(e2.getMessage.contains("owned by exactly one"))
+  }
 }

@@ -101,6 +101,16 @@ object Cdc {
       import graft.stream.{CdcReplay, CdcSpec}
       val root = java.nio.file.Files
         .createTempDirectory("graft_cdc_store").toString
+      // the fixture store outlives this builder (the returned plan is
+      // lazy), so clean it at JVM exit — Verify/Bench invoke this
+      // repeatedly in one process and must not accumulate stores
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }))
       val (log, state) = (s"$root/log", s"$root/state")
       val spec = CdcSpec(Seq("user_id"), Seq("ts", "event_id"), ageCol = "ts")
       val muts = eventLog(s, dir)

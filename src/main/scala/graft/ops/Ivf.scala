@@ -73,9 +73,12 @@ object Ivf {
     require(centers.nonEmpty, "k-means needs a non-empty corpus")
     var it = 0
     while (it < iters) {
+      // ragged vectors assign to NULL — excluded from the means (a
+      // NULL group would read back as cell 0 and corrupt its centroid)
       val assigned = df.select(
         graft.functions.nearest_centroid(embCol, centers).as("cell"),
         embCol.as("e"))
+        .filter(col("cell").isNotNull)
       val meanCols = (0 until dims).map(i =>
         (sum(element_at(col("e"), i + 1).cast("double").cast(Dec)).cast("double")
           / count(lit(1))).as(s"c$i"))

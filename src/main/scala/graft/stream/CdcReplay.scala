@@ -144,7 +144,17 @@ object CdcReplay {
     * "no rows yet", not an exception. The empty table's schema is
     * `coldSchema` when given, else the engagement pipeline's
     * [[stateSchema]] (a non-engagement [[CdcSpec]] must pass its own —
-    * the lane cannot guess an arbitrary table's shape). */
+    * the lane cannot guess an arbitrary table's shape).
+    *
+    * READER CONTRACT under live compaction: the returned plan pins the
+    * snapshot version and log partitions resolved NOW; both get one
+    * compaction cycle of deferred-prune grace. A reader that starts
+    * its action more than a cycle after planning (or polls at a
+    * cadence comparable to the compaction interval) can lose the race
+    * and fail on a pruned path — re-resolve by calling currentState
+    * again and retrying the action, exactly the snapshot-isolation-
+    * conflict retry Delta/Hudi readers perform. CdcSoakProbe measures
+    * the race frequency under a deliberately aggressive cadence. */
   def currentState(spark: SparkSession, logDir: String,
       stateDir: Option[String] = None, spec: CdcSpec = EngagementSpec,
       coldSchema: Option[StructType] = None): DataFrame = {
@@ -268,9 +278,12 @@ object CdcReplay {
       checkpoint: String): Unit = {
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val offsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    // the checkpoint may live on a different FileSystem than the log
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val ckptFs = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offsets = new org.apache.hadoop.fs.Path(ckptPath, "offsets")
     val checkpointStarted =
-      fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+      ckptFs.exists(offsets) && ckptFs.listStatus(offsets).nonEmpty
     val stamp = new org.apache.hadoop.fs.Path(logDir, ".cdc_checkpoint_stamp")
     val stamped: Option[String] =
       if (!fs.exists(stamp)) None
@@ -279,7 +292,8 @@ object CdcReplay {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    val canonical = new org.apache.hadoop.fs.Path(checkpoint).toUri.toString
+    // qualify so "/tmp/x" and "file:/tmp/x" stamp identically
+    val canonical = ckptFs.makeQualified(ckptPath).toUri.toString
     if (!checkpointStarted &&
         (stamped.isDefined || logPartitions(spark, logDir).nonEmpty ||
           fs.exists(new org.apache.hadoop.fs.Path(logDir, ".pending_prune"))))

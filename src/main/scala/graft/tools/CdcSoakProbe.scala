@@ -105,15 +105,31 @@ object CdcSoakProbe {
 
     // poller: every ~2 s read the merged state and record the costs
     val samples = scala.collection.mutable.ArrayBuffer[String]()
+    var readRetries = 0
     val t0 = System.nanoTime()
     val logPath = new org.apache.hadoop.fs.Path(log)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     while ((System.nanoTime() - t0) / 1e9 < seconds) {
       Thread.sleep(2000)
       val tR = System.nanoTime()
+      // reader contract (CdcReplay.currentState scaladoc): a reader
+      // racing a compaction prune re-resolves and retries — the same
+      // snapshot-isolation-conflict retry Delta/Hudi readers use. The
+      // retry count is recorded; it measures how often the race fires
+      // at this (deliberately aggressive) compaction cadence.
+      def readOnce(): Long =
+        CdcReplay.currentState(spark, log, Some(state)).count()
       val rows =
-        try CdcReplay.currentState(spark, log, Some(state)).count()
-        catch { case scala.util.control.NonFatal(_) => -1L }
+        try readOnce()
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            readRetries += 1
+            try readOnce()
+            catch { case scala.util.control.NonFatal(e) =>
+              println(s"[cdc-soak] read failed twice: " +
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+              -1L }
+        }
       val readSec = (System.nanoTime() - tR) / 1e9
       val logParts =
         if (!fs.exists(logPath)) 0
@@ -155,6 +171,7 @@ object CdcSoakProbe {
     val json = s"""{"metric":"cdc_soak","key_space":$keySpace,"eps":$eps,""" +
       s""""seconds":$seconds,"compact_every":$compactEvery,""" +
       s""""mutations_written":$written,"compaction_cycles":$cycles,""" +
+      s""""read_retries":$readRetries,""" +
       s""""read_latency_growth_ratio":${f"$readGrowth%.3f"},""" +
       s""""compactions":[$compactJson],"samples":[${samples.mkString(",")}]}"""
     Files.writeString(Paths.get(outJson), json)

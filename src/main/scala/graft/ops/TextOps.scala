@@ -591,6 +591,60 @@ object TextOps {
     // — this is the formulation that survives 100 TB.
     "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // Repetition-based quality (Gopher-style rules adapted to this
+    // corpus's whitespace-token shape): distinct-token ratio,
+    // top-token dominance, duplicate-bigram fraction. Fully MAP-SIDE
+    // over the token array (array_distinct / nested filter / bigram
+    // transform — no explode, no shuffle except the output sort); the
+    // keep predicate uses the ROUNDED metrics so the cross-engine
+    // decision boundary is exact.
+    "q_rep_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val nTokD = nTok.cast("double")
+      val nDist = size(array_distinct(toks)).cast("double")
+      val topFreq = coalesce(
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))), lit(0)).cast("double")
+      val bigrams = when(nTok >= 2,
+        transform(sequence(lit(1), nTok - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val nBg = size(bigrams).cast("double")
+      val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
+        greatest(nBg, lit(1.0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          roundTo(nDist / greatest(nTokD, lit(1.0)), 4).as("distinct_ratio"),
+          roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
+          roundTo(dupBg, 4).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("distinct_ratio") >= 0.5 && col("top_token_frac") <= 0.2 &&
+            col("dup_bigram_frac") <= 0.1)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
+    // 3-gram shingle hashes with a held-out eval set (doc_id % 97 == 0
+    // plays the benchmark). INVERTED-INDEX shape like q_ngram_jaccard,
+    // but asymmetric: the eval side is tiny and BROADCAST, so corpus
+    // shingles never shuffle — candidate counting is a map-side hash
+    // join + partial-agg'd (doc, eval) count. The production
+    // decontamination shape: eval suites are MBs, corpora are TBs.
+    "q_decontaminate" -> ((s, dir) => {
+      val ex = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
+      val evalSet = ex.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), Seq("h"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter(col("shared_shingles") >= 3)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, verified
     // with exact Jaccard — the scale path: pair space comes from band
     // hash joins, not a cross join.
@@ -914,6 +968,40 @@ object TextOps {
            |       JOIN sz sb ON c.id_b = sb.doc_id
            |WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.5
            |ORDER BY 1, 2""".stripMargin,
+
+      "q_rep_quality" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |u AS (
+           |  SELECT doc_id, toks,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    CAST(len(toks) AS DOUBLE) AS n_tok_d,
+           |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+           |    CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+           |      t -> len(list_filter(toks, x -> x = t)))), 0) AS DOUBLE) AS top_freq,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+           |  FROM t),
+           |v AS (
+           |  SELECT doc_id, n_tokens,
+           |    ${roundToSql("n_dist / GREATEST(n_tok_d, 1.0)", 4)} AS distinct_ratio,
+           |    ${roundToSql("top_freq / GREATEST(n_tok_d, 1.0)", 4)} AS top_token_frac,
+           |    ${roundToSql(
+              "(CAST(len(bigrams) AS DOUBLE) - CAST(len(list_distinct(bigrams)) AS DOUBLE))" +
+              " / GREATEST(CAST(len(bigrams) AS DOUBLE), 1.0)", 4)} AS dup_bigram_frac
+           |  FROM u)
+           |SELECT doc_id, n_tokens, distinct_ratio, top_token_frac, dup_bigram_frac,
+           |  (distinct_ratio >= 0.5 AND top_token_frac <= 0.2
+           |    AND dup_bigram_frac <= 0.1) AS keep
+           |FROM v ORDER BY doc_id""".stripMargin,
+
+      "q_decontaminate" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+           |ex AS (SELECT doc_id, unnest(hsh) AS h FROM d)
+           |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
+           |FROM ex c JOIN ex e ON c.h = e.h
+           |WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+           |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
 
       "q_minhash_dedup" ->
         s"""WITH ${minhashPairsSqlCtes()}

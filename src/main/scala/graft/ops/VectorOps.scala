@@ -257,6 +257,42 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Int8 scalar quantization — the 4× memory/storage lever for
+    // serving ANN at 100 TB: per-dimension (min, max) over the corpus
+    // (exact picks, order-independent), q = floor((x−min)/scale + .5)
+    // ∈ [0,255], rerank by DEQUANTIZED cosine against the full-
+    // precision query. Quantization is a map-side transform against
+    // 2×64 broadcast constants; the min/max build is one aggregation
+    // of 64 values per input partition. The query output carries both
+    // the exact and the quantized cosine, so the fidelity loss is
+    // directly visible (and oracle-pinned).
+    "q_embed_quant" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val mm = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+        .orderBy("dim").collect()
+      val mns = mm.map(_.getDouble(1))
+      val scs = mm.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+      val mnLit = typedlit(mns.toSeq)
+      val scLit = typedlit(scs.toSeq)
+      val dq = transform(sequence(lit(1), lit(64)), i => {
+        val x = element_at(col("embedding"), i).cast("double")
+        val mn = element_at(mnLit, i)
+        val sc = element_at(scLit, i)
+        when(sc === 0.0, mn).otherwise(mn + floor((x - mn) / sc + 0.5) * sc)
+      })
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("cos_exact"),
+          roundTo(cosine(dq, col("q_emb")), 6).as("cos_q8"))
+        .orderBy(col("cos_q8").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -361,6 +397,28 @@ object VectorOps {
          |  ${roundToSql(cosineSql("a.embedding", "b.embedding"), 6)} AS cos_sim
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+    "q_embed_quant" ->
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |mm AS (
+         |  SELECT i AS dim, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings, dims GROUP BY 1),
+         |mv AS (SELECT list(mn ORDER BY dim) AS mns,
+         |              list((mx - mn) / 255.0 ORDER BY dim) AS scs FROM mm),
+         |dq AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    list_transform(range(1, 65), i -> CASE WHEN mv.scs[i] = 0.0
+         |      THEN mv.mns[i]
+         |      ELSE mv.mns[i] + floor((CAST(e.embedding[i] AS DOUBLE) - mv.mns[i])
+         |        / mv.scs[i] + 0.5) * mv.scs[i] END) AS deq
+         |  FROM embeddings e, mv),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT d.vec_id,
+         |  ${roundToSql(cosineSql("d.embedding", "q.q_emb"), 6)} AS cos_exact,
+         |  ${roundToSql(cosineSql("d.deq", "q.q_emb"), 6)} AS cos_q8
+         |FROM dq d, qv q WHERE d.vec_id <> 0
+         |ORDER BY cos_q8 DESC, d.vec_id ASC LIMIT 10""".stripMargin,
 
     "q_similarity_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -213,4 +213,49 @@ class TextVectorSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(l2 === Map(1L -> 1L, 2L -> 1L), s"null endpoints must be dropped: $l2")
   }
+
+  test("rep-quality flags repetitive docs and keeps diverse ones") {
+    val rows = graft.SparkEntry.queries("q_rep_quality")(spark, dir).collect()
+    assert(rows.length === 500)
+    // metrics are well-formed fractions
+    rows.foreach { r =>
+      val dr = r.getDouble(2); val tf = r.getDouble(3); val db = r.getDouble(4)
+      assert(dr >= 0 && dr <= 1 && tf >= 0 && tf <= 1 && db >= 0 && db <= 1,
+        s"metric out of range: $r")
+    }
+    // the 30-word-vocab corpus must produce BOTH outcomes, or the
+    // thresholds are vacuous
+    val kept = rows.count(_.getBoolean(5))
+    assert(kept > 0 && kept < rows.length,
+      s"keep split degenerate: $kept of ${rows.length}")
+  }
+
+  test("decontaminate splits sides correctly and catches a planted copy") {
+    val rows = graft.SparkEntry.queries("q_decontaminate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (docId, evalId, shared) =>
+      assert(docId % 97 != 0, s"eval doc $docId flagged as corpus")
+      assert(evalId % 97 == 0, s"non-eval doc $evalId on the eval side")
+      assert(shared >= 3)
+    }
+    // planted-copy recall on a CorpusGenerator corpus (the driver
+    // testdata has no exact dups): id 8 copies block base 0, and
+    // 0 % 97 == 0 puts the base in the eval set — the copy must be hit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    tools.CorpusGenerator.write(spark, tmp, 500L)
+    val planted = graft.SparkEntry.queries("q_decontaminate")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.contains((8L, 0L)),
+      s"planted exact copy (8 of eval 0) missed: ${planted.take(8).toSeq}")
+  }
+
+  test("int8 quantized cosine tracks the exact cosine closely") {
+    val rows = graft.SparkEntry.queries("q_embed_quant")(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val exact = r.getDouble(1); val q8 = r.getDouble(2)
+      assert(math.abs(exact - q8) < 0.01,
+        s"quantization error too large: exact=$exact q8=$q8")
+    }
+  }
 }

@@ -134,4 +134,41 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("FileScan".length).count(_ == "FileScan") === 1,
       "documents must be scanned exactly once")
   }
+
+  test("q_rep_quality is map-side: no join, no aggregation exchange") {
+    val p = plan("q_rep_quality")
+    assert(!p.contains("Join"), s"rep-quality must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"rep-quality metrics must stay inside the row, not aggregate:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") === 1,
+      "documents must be scanned exactly once")
+  }
+
+  test("q_decontaminate broadcasts the eval side — corpus shingles never shuffle to join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shingles shuffled into a merge join:\n$p")
+    // overlap count must partial-aggregate map-side before the
+    // (doc, eval) exchange
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q_embed_quant broadcasts the query and take-orders the top-k") {
+    val p = plan("q_embed_quant")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"quantized rerank must not shuffle the corpus:\n$p")
+  }
+
+  test("q_ann_ivf_built probes via partition-level cell filtering, no corpus shuffle") {
+    val p = plan("q_ann_ivf_built")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"IVF probe must not shuffle the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
+    // cell assignment is the codegen'd expression, not a UDF
+    assert(p.contains("nearest_centroid"), s"native cell assignment missing:\n$p")
+  }
 }

@@ -594,30 +594,40 @@ object TextOps {
     // Repetition-based quality (Gopher-style rules adapted to this
     // corpus's whitespace-token shape): distinct-token ratio,
     // top-token dominance, duplicate-bigram fraction. Fully MAP-SIDE
-    // over the token array (array_distinct / nested filter / bigram
-    // transform — no explode, no shuffle except the output sort); the
-    // keep predicate uses the ROUNDED metrics so the cross-engine
-    // decision boundary is exact.
+    // (no explode-groupBy, no shuffle except the output sort).
+    //
+    // Evaluation shape matters here: higher-order functions are
+    // CodegenFallback, so a lambda body that references the outer
+    // `split(text)` expression re-tokenizes the text on EVERY lambda
+    // invocation (measured 31 s at sf0.1). Binding the token array
+    // ONCE as a lambda variable (`transform(array(tokens), t => …)`)
+    // and expanding the metric struct through a generator (`inline`)
+    // makes every inner reference a bound-array access — 30× faster,
+    // byte-identical output.
     "q_rep_quality" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks)
-      val nTokD = nTok.cast("double")
-      val nDist = size(array_distinct(toks)).cast("double")
-      val topFreq = coalesce(
-        array_max(transform(array_distinct(toks),
-          t => size(filter(toks, x => x === t)))), lit(0)).cast("double")
-      val bigrams = when(nTok >= 2,
-        transform(sequence(lit(1), nTok - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val nBg = size(bigrams).cast("double")
-      val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
-        greatest(nBg, lit(1.0))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), nTok.as("n_tokens"),
-          roundTo(nDist / greatest(nTokD, lit(1.0)), 4).as("distinct_ratio"),
+      val metrics = transform(array(tokens(col("text"))), t => {
+        val nTok = size(t)
+        val nTokD = nTok.cast("double")
+        val dist = array_distinct(t)
+        val topFreq = coalesce(
+          array_max(transform(dist, u => size(filter(t, x => x === u)))),
+          lit(0)).cast("double")
+        val bigrams = when(nTok >= 2,
+          transform(sequence(lit(1), nTok - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val nBg = size(bigrams).cast("double")
+        val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
+          greatest(nBg, lit(1.0))
+        struct(
+          nTok.as("n_tokens"),
+          roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
+            .as("distinct_ratio"),
           roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
           roundTo(dupBg, 4).as("dup_bigram_frac"))
+      })
+      Tables.documents(s, dir)
+        .select(col("doc_id"), inline(metrics))
         .withColumn("keep",
           col("distinct_ratio") >= 0.5 && col("top_token_frac") <= 0.2 &&
             col("dup_bigram_frac") <= 0.1)

@@ -121,6 +121,40 @@ object Ivf {
       .repartition(numFiles, col("cell"), pmod(hash(idCol), lit(4)))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
+  /** Streaming index maintenance: each micro-batch of (id, embedding)
+    * rows is cell-assigned MAP-SIDE against the persisted quantizer
+    * and appended as `cell=…/batch_id=…` partitions with dynamic
+    * overwrite — the same idempotent-replay contract as the warehouse
+    * sinks (a replayed batch rewrites exactly its own slices, never
+    * duplicates). `cell` stays the OUTER partition level, so probe
+    * reads prune identically to the batch-built index; `batch_id`
+    * nesting inside keeps replay surgical. The quantizer is fixed at
+    * wiring time (IVF serving practice: re-fit offline, swap
+    * atomically — a drifting quantizer would silently re-route new
+    * vectors while old ones stay in stale cells). */
+  def appendStream(vectors: DataFrame, embCol: Column,
+      centers: Array[Array[Double]], indexDir: String, checkpoint: String,
+      triggerMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, embCol, centers, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[appendStream]] — exposed for replay tests. */
+  def appendBatch(batch: DataFrame, embCol: Column,
+      centers: Array[Array[Double]], indexDir: String, batchId: Long): Unit =
+    assign(batch, embCol, centers)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(indexDir)
+
   /** The nProbe cells nearest to a query — a K-row driver-side scan of
     * the quantizer table, ties to the lowest cell id. */
   def nearestCells(centers: Array[Array[Double]], q: Array[Double],

@@ -75,6 +75,43 @@ class IvfSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("streaming index appends are idempotent and search-equivalent to batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivfs").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "raw")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"))
+    val q = Ivf.appendStream(vecs, $"embedding", centers, s"$tmp/idx",
+      s"$tmp/ckpt", triggerMs = 100L)
+    try {
+      val (first, second) = all.splitAt(all.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // replay batch 1 (crash-after-write, before checkpoint commit):
+    // dynamic overwrite must rewrite, not duplicate
+    val secondHalf = all.drop(all.length / 2).toSeq.toDF("vec_id", "raw")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"))
+    Ivf.appendBatch(secondHalf, $"embedding", centers, s"$tmp/idx", 1L)
+    assert(spark.read.parquet(s"$tmp/idx").count() === all.length.toLong,
+      "replayed batch duplicated rows")
+    // full-probe search over the streamed index == brute force
+    val qEmb = all.find(_._1 == 0L).get._2.toArray
+    val got = Ivf.search(spark, s"$tmp/idx", centers, qEmb, nProbe = 4, topK = 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val brute = emb
+      .select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(qEmb.toSeq)).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === brute, s"streamed-index search diverged: $got vs $brute")
+  }
+
   test("empty cells keep their previous centroid (stable indices)") {
     // two far-apart 2-dim clusters, k=3 seeded so one seed empties out
     val data = Seq(

@@ -41,6 +41,20 @@ package object functions {
     shims.column(TopKByScore(shims.expression(score), shims.expression(key), k)
       .toAggregateExpression())
 
+  /** Evaluate a foldable `array<array<double>>` argument (the SQL
+    * spelling of a centroid/hyperplane table) into the reference-
+    * object matrix the native expressions take. */
+  private def toMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Double]] = {
+    require(e.foldable,
+      s"${e.sql}: the centroid/plane table must be a literal (foldable)")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements())(j => inner.getDouble(j))
+    }
+  }
+
   /** Register the native functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -57,5 +71,9 @@ package object functions {
       exprs => NGramHashExplode(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
           .getOrElse(3)), "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      exprs => NearestCentroid(exprs.head, toMatrix(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("sign_lsh_bucket",
+      exprs => SignLshBucket(exprs.head, toMatrix(exprs(1))), "built-in")
   }
 }

@@ -37,6 +37,27 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("IVF/LSH native functions reachable from SQL with literal tables") {
+    graft.functions.registerAll(spark)
+    graft.io.Tables.embeddings(spark, sf("sf0.01"))
+      .createOrReplaceTempView("embeddings")
+    // the table argument must be a FOLDABLE literal (HOF-built arrays
+    // are not foldable at function-resolution time)
+    def arr(vals: Seq[Double]) = vals.map(v => s"${v}D").mkString("array(", ",", ")")
+    // nearest_centroid over a 2-cell literal quantizer: total split
+    val c1 = arr(Seq.fill(64)(0.5)); val c2 = arr(Seq.fill(64)(-0.5))
+    val cells = spark.sql(
+      s"SELECT nearest_centroid(embedding, array($c1, $c2)) AS cell FROM embeddings")
+    val seen = cells.distinct().collect().map(_.getInt(0)).toSet
+    assert(seen.subsetOf(Set(0, 1)) && seen.nonEmpty, s"cells: $seen")
+    // sign_lsh_bucket over 2 literal planes: buckets in [0, 4)
+    val p1 = arr((1 to 64).map(_ / 64.0))
+    val p2 = arr((1 to 64).map(i => 1.0 - i / 32.0))
+    val buckets = spark.sql(
+      s"SELECT sign_lsh_bucket(embedding, array($p1, $p2)) AS b FROM embeddings")
+    assert(buckets.collect().forall { r => val b = r.getLong(0); b >= 0 && b < 4 })
+  }
+
   test("approx_count_distinct tracks the exact global distinct within HLL++ error") {
     // the approximate sketch can't be oracle-hashed (Spark's HLL++ !=
     // DuckDB's); bound it against q_distinct_approx's exact twin here

@@ -43,6 +43,8 @@ object NearestCentroidUtil {
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_centroid: ragged centroid table (rows of unequal dims)")
   private val dims = centroids(0).length
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true

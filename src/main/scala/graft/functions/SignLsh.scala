@@ -39,6 +39,8 @@ case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
   require(planes.nonEmpty && planes.length <= 63,
     "sign_lsh_bucket needs 1..63 hyperplanes")
+  require(planes.forall(_.length == planes(0).length),
+    "sign_lsh_bucket: ragged plane table (rows of unequal dims)")
   private val dims = planes(0).length
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -46,9 +46,13 @@ package object functions {
     * object matrix the native expressions take. */
   private def toMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     require(e.foldable,
       s"${e.sql}: the centroid/plane table must be a literal (foldable)")
-    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // widen int/float element literals to double before evaluating
+    val widened = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, ArrayType(ArrayType(DoubleType)))
+    val ad = widened.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     Array.tabulate(ad.numElements()) { i =>
       val inner = ad.getArray(i)
       Array.tabulate(inner.numElements())(j => inner.getDouble(j))

@@ -149,6 +149,61 @@ object TextOps {
     docs.select(cols: _*)
   }
 
+  /** Repetition metrics of q_rep_quality as a 1-element struct array
+    * — bound-once token array + generator expansion (see the HOF
+    * re-evaluation note in PERF.md: a lambda body must only reference
+    * bound variables, and multi-metric results leave the row through
+    * `inline`, or the text re-tokenizes per lambda invocation). One
+    * definition shared by q_rep_quality and q_corpus_pipeline. */
+  def repMetrics(text: Column): Column =
+    transform(array(tokens(text)), t => {
+      val nTok = size(t)
+      val nTokD = nTok.cast("double")
+      val dist = array_distinct(t)
+      val topFreq = coalesce(
+        array_max(transform(dist, u => size(filter(t, x => x === u)))),
+        lit(0)).cast("double")
+      val bigrams = when(nTok >= 2,
+        transform(sequence(lit(1), nTok - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val nBg = size(bigrams).cast("double")
+      val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
+        greatest(nBg, lit(1.0))
+      struct(
+        nTok.as("n_tokens"),
+        roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
+          .as("distinct_ratio"),
+        roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
+        roundTo(dupBg, 4).as("dup_bigram_frac"))
+    })
+
+  /** The keep decision over [[repMetrics]]' ROUNDED columns (exact
+    * cross-engine boundary). */
+  val repKeepPredicate: Column =
+    col("distinct_ratio") >= 0.5 && col("top_token_frac") <= 0.2 &&
+      col("dup_bigram_frac") <= 0.1
+
+  /** DuckDB CTEs (`rt`, `rq`) of [[repMetrics]] + keep — names chosen
+    * not to collide with [[qualityCtesSql]]'s `t`/`u` or the minhash
+    * CTEs, so composite oracles can stack them. */
+  def repCtesSql: String = {
+    val toksSqlV = tokensSql("text")
+    s"""rt AS (SELECT doc_id, $toksSqlV AS toks FROM documents),
+       |rq AS (
+       |  SELECT doc_id,
+       |    ${roundToSql("CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0)", 4)} AS distinct_ratio,
+       |    ${roundToSql(
+          "CAST(COALESCE(list_max(list_transform(list_distinct(toks), " +
+          "t -> len(list_filter(toks, x -> x = t)))), 0) AS DOUBLE)" +
+          " / GREATEST(CAST(len(toks) AS DOUBLE), 1.0)", 4)} AS top_token_frac,
+       |    ${roundToSql(
+          "(CAST(len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS DOUBLE)" +
+          " - CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE))" +
+          " / GREATEST(CAST(len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS DOUBLE), 1.0)", 4)} AS dup_bigram_frac
+       |  FROM rt)""".stripMargin
+  }
+
   /** DuckDB spelling of [[scoredDocs]] as CTEs `t`, `u` — `u` carries
     * (doc_id, lang[, h], n_tokens, quality_score, marker_hits). */
   def qualityCtesSql(withDigest: Boolean): String = {
@@ -604,35 +659,11 @@ object TextOps {
     // and expanding the metric struct through a generator (`inline`)
     // makes every inner reference a bound-array access — 30× faster,
     // byte-identical output.
-    "q_rep_quality" -> ((s, dir) => {
-      val metrics = transform(array(tokens(col("text"))), t => {
-        val nTok = size(t)
-        val nTokD = nTok.cast("double")
-        val dist = array_distinct(t)
-        val topFreq = coalesce(
-          array_max(transform(dist, u => size(filter(t, x => x === u)))),
-          lit(0)).cast("double")
-        val bigrams = when(nTok >= 2,
-          transform(sequence(lit(1), nTok - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val nBg = size(bigrams).cast("double")
-        val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
-          greatest(nBg, lit(1.0))
-        struct(
-          nTok.as("n_tokens"),
-          roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
-            .as("distinct_ratio"),
-          roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
-          roundTo(dupBg, 4).as("dup_bigram_frac"))
-      })
+    "q_rep_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), inline(metrics))
-        .withColumn("keep",
-          col("distinct_ratio") >= 0.5 && col("top_token_frac") <= 0.2 &&
-            col("dup_bigram_frac") <= 0.1)
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"), inline(repMetrics(col("text"))))
+        .withColumn("keep", repKeepPredicate)
+        .orderBy("doc_id")),
 
     // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // 3-gram shingle hashes with a held-out eval set (doc_id % 97 == 0
@@ -728,6 +759,47 @@ object TextOps {
       scoredDocs(Tables.documents(s, dir), withDigest = false)
         .join(keepers, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.3 && col("marker_hits") > 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // THE END-TO-END TRAINING-DATA SELECTION — every pipeline stage
+    // composed in one declared query: a doc survives iff it
+    //   (1) is the keeper of its CONNECTED near-dup cluster,
+    //   (2) clears the quality/lang gates (scoredDocs),
+    //   (3) clears the repetition gates (repMetrics),
+    //   (4) is not part of the held-out eval set (doc_id % 97), and
+    //   (5) shares < 3 shingle hashes with every eval doc
+    //       (decontamination).
+    // Composition shapes: keeper and rep-keep are SKINNY id semi-
+    // joins, contamination a skinny id anti-join — text is scanned in
+    // map-side projections and never shuffles; the only heavy lifting
+    // is the dedup clustering the corpus already pays for. The oracle
+    // stacks the same CTEs (recursive CC + quality + repetition +
+    // shingle overlap) — the split across engines must be invisible.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = clusterAssignments(s, dir)
+        .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+      val repKeep = docs
+        .select(col("doc_id"), inline(repMetrics(col("text"))))
+        .filter(repKeepPredicate).select(col("doc_id"))
+      val shingled = docs
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
+      val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("doc_id")).distinct()
+      scoredDocs(docs, withDigest = false)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(repKeep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0 &&
+          col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
         .orderBy("doc_id")
     }),
@@ -1066,6 +1138,37 @@ object TextOps {
            |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
            |FROM u JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
            |WHERE u.quality_score >= 0.3 AND u.marker_hits > 0
+           |ORDER BY u.doc_id""".stripMargin,
+
+      "q_corpus_pipeline" ->
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+           |${qualityCtesSql(withDigest = false)},
+           |$repCtesSql,
+           |sd AS (SELECT doc_id,
+           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+           |sex AS (SELECT doc_id, unnest(hsh) AS h FROM sd),
+           |cont AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n
+           |    FROM sex c JOIN sex e ON c.h = e.h
+           |    WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+           |    GROUP BY 1, 2 HAVING count(*) >= 3))
+           |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
+           |FROM u
+           |JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
+           |JOIN rq ON rq.doc_id = u.doc_id
+           |WHERE rq.distinct_ratio >= 0.5 AND rq.top_token_frac <= 0.2
+           |  AND rq.dup_bigram_frac <= 0.1
+           |  AND u.doc_id % 97 <> 0
+           |  AND u.doc_id NOT IN (SELECT doc_id FROM cont)
+           |  AND u.quality_score >= 0.3 AND u.marker_hits > 0
            |ORDER BY u.doc_id""".stripMargin,
 
       "q_simhash" ->

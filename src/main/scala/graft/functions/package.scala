@@ -19,6 +19,10 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     shims.column(CosineSim(shims.expression(a), shims.expression(b)))
 
+  /** Codegen'd dot product of two float vectors. */
+  def dot_product(a: Column, b: Column): Column =
+    shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+
   /** Generator: explode the distinct 60-bit word-n-gram shingle hashes
     * of a token array in one pass (use with `Dataset.select`, like
     * `explode`). */
@@ -68,6 +72,8 @@ package object functions {
       exprs => SimHash60Md5(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",
       exprs => TopKByScore(exprs.head, exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")

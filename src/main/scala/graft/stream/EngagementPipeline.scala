@@ -148,7 +148,12 @@ object EngagementPipeline {
     * search ≥ analytics freshness). With the idempotent fan-out both
     * row stores must agree EXACTLY; returns one row per store plus the
     * lag between them, so a scheduler can alert on `lag != 0`. Cost is
-    * metadata-only (parquet footer row counts), safe to poll. */
+    * metadata-only per FILE (an empty-schema scan counts from parquet
+    * row-group metadata) but the directory LISTING is proportional to
+    * total batch count — an ops poll (minutes), not a per-trigger
+    * path; a store old enough for listing to hurt wants the bounded
+    * [[verifyBatchWrites]] form instead, which touches only one
+    * batch's partitions (the r3/r4 verdict note, recorded here). */
   def reconcile(spark: SparkSession, warehouseDir: String, searchDir: String)
       : DataFrame = {
     import spark.implicits._

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Ivf, Pq}
+
+/** Product-quantization properties: codebook round-trip, code range,
+  * ADC exactness in the k=n limit, and retrieval sanity. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.01")
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("codes are in [0, k) and save/load round-trips the codebooks") {
+    val cb = Pq.fit(emb, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 1)
+    assert(cb.length === 8 && cb.forall(_.length === 16) &&
+      cb.forall(_.forall(_.length === 8)))
+    val codes = Pq.encode(emb, $"embedding", cb)
+      .select($"pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    Pq.save(spark, cb, s"$tmp/cb")
+    val back = Pq.load(spark, s"$tmp/cb")
+    assert(back.length === cb.length)
+    for (s <- cb.indices; j <- cb(s).indices)
+      assert(back(s)(j).toSeq === cb(s)(j).toSeq, s"codebook ($s,$j) drifted")
+  }
+
+  test("ADC distance is exact when every point is its own codebook entry (k = n)") {
+    // 8 vectors, k = 8, 1 iteration: seeds are the points themselves
+    // and each point quantizes to itself → dq(x) = x, so the ADC sum
+    // of per-subspace distances equals the exact ||q−x||² up to fold
+    // association (subspace sums vs one 64-term fold)
+    val tiny = emb.orderBy("vec_id").limit(8).cache()
+    val cb = Pq.fit(tiny, $"embedding", Seq($"vec_id"), m = 8, k = 8, iters = 1)
+    val q = tiny.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val adc = Pq.search(Pq.encode(tiny, $"embedding", cb), $"vec_id", cb, q, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = tiny.select($"vec_id", $"embedding").collect().map { r =>
+      val x = r.getSeq[Float](1).toArray.map(_.toDouble)
+      r.getLong(0) -> Ivf.distSq(q.map(_.toDouble), x)
+    }.toMap
+    // tolerance 1e-6, not 0: the decimal(28,9) means round a single-
+    // member cell's centroid at the 9th decimal, so dq(x) ≈ x within
+    // ~1e-9 per component (64 components compound)
+    exact.foreach { case (id, d) =>
+      assert(math.abs(adc(id) - d) < 1e-6, s"vec $id: adc=${adc(id)} exact=$d")
+    }
+    tiny.unpersist()
+  }
+
+  test("PQ top-10 lands inside the exact-L2 top-100 (coarse-rank sanity)") {
+    // 8-byte codes cannot rank near-ties inside a cluster (classic PQ
+    // regime — the 2k-vector corpus's true top-10 are close same-
+    // cluster neighbors), but every PQ hit must still be a genuinely
+    // close vector: top-5% of the corpus by exact distance. The exact
+    // ADC test above pins the machinery; PqProbe measures real recall
+    // at 2M vectors.
+    val cb = Pq.fit(emb, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 2)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val got = Pq.search(Pq.encode(emb.filter($"vec_id" =!= 0), $"embedding", cb),
+        $"vec_id", cb, q, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    // exact L2 rank via the native dot: ||x||² − 2·q·x ranks ||q−x||²
+    val qLit = typedlit(q.toSeq)
+    val exact100 = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        (graft.functions.dot_product($"embedding", $"embedding")
+          - lit(2.0) * graft.functions.dot_product($"embedding", qLit)).as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(100)
+      .select($"vec_id").as[Long].collect().toSet
+    val overlap = got.intersect(exact100).size
+    assert(overlap >= 8, s"PQ hits outside the exact top-5%: $overlap/10 " +
+      s"(got=$got)")
+  }
+}

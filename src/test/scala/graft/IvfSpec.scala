@@ -112,6 +112,20 @@ class IvfSpec extends SparkSpec {
     assert(got === brute, s"streamed-index search diverged: $got vs $brute")
   }
 
+  test("ragged embeddings assign to NULL and are excluded from fit means") {
+    val data = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f)), (2L, Array(0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val centers = Ivf.fit(data, $"embedding", Seq($"vec_id"), k = 1, iters = 1, dims = 2)
+    // the 1-element vector must not enter the mean (a NULL cell group
+    // would alias cell 0): centroid = mean(v0, v2) exactly
+    assert(math.abs(centers(0)(0) - 0.05) < 1e-6 &&
+      math.abs(centers(0)(1) - 0.05) < 1e-6,
+      s"ragged vector corrupted the centroid: ${centers(0).toSeq}")
+    val cells = Ivf.assign(data, $"embedding", centers).select($"cell").collect()
+    assert(cells.count(_.isNullAt(0)) === 1, "ragged vector must assign to NULL")
+  }
+
   test("empty cells keep their previous centroid (stable indices)") {
     // two far-apart 2-dim clusters, k=3 seeded so one seed empties out
     val data = Seq(

@@ -51,10 +51,15 @@ object VectorOps {
     * spelling of [[graft.functions.NearestCentroidUtil.nearest]]'s
     * per-centroid loop (and [[Ivf.distSq]]), so k-means assignments
     * match bit-for-bit cross-engine. */
-  def distSqSql(e: String, c: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> " +
-      s"(CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i]))), " +
-      s"(x, y) -> x + y)"
+  def distSqSql(e: String, c: String): String = distSqSliceSql(e, c, 1, 64)
+
+  /** [[distSqSql]] over a SLICE of `e`: elements `start…start+len−1`
+    * (1-based) against a len-element centroid list — the PQ subspace
+    * form (the slice is never materialized; indexing is offset). */
+  def distSqSliceSql(e: String, c: String, start: Int, len: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${len + 1}), i -> " +
+      s"(CAST($e[${start - 1} + i] AS DOUBLE) - $c[i]) * " +
+      s"(CAST($e[${start - 1} + i] AS DOUBLE) - $c[i]))), (x, y) -> x + y)"
 
   /** Deterministic pseudo-random hyperplane weights for sign-LSH,
     * derived from md5 so the DuckDB oracle reproduces them exactly:
@@ -293,6 +298,31 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Product quantization end-to-end as an ORACLE-CHECKED query:
+    // m=4 subspaces × 16 dims, k=4 codebook entries per subspace,
+    // 1 Lloyd iteration (seeds = first 4 vectors' slices), encode via
+    // per-subspace argmin, then ADC: the query's distance to every
+    // doc is Σ_s lut_s[code_s(doc)] — 4 table lookups per row, no
+    // vector data touched at scoring time. The DuckDB oracle replays
+    // the per-subspace k-means (sequential-fold slice distances,
+    // decimal means), re-derives the codes, and scores through the
+    // same lookup sums — the whole PQ chain is pinned cross-engine.
+    // (Production sizing is m=16, k=256 + exact rerank — PQ_SCALE.json;
+    // this query pins SEMANTICS at an oracle-replayable size.)
+    "q_pq_adc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.fit(e, col("embedding"), Seq(col("vec_id")),
+        m = 4, dims = 64, k = 4, iters = 1)
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val lut = Pq.lutL2(cb, qEmb.map(_.toDouble))
+      Pq.encode(e.filter(col("vec_id") =!= 0), col("embedding"), cb)
+        .select(col("vec_id"),
+          roundTo(Pq.adcDistSq(col("pq_code"), lut), 6).as("adc_dist_sq"))
+        .orderBy(col("adc_dist_sq").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -397,6 +427,51 @@ object VectorOps {
          |  ${roundToSql(cosineSql("a.embedding", "b.embedding"), 6)} AS cos_sim
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+    "q_pq_adc" -> {
+      // one PQ subspace: seeds → 1 Lloyd assignment → decimal means →
+      // final codebook → per-doc code → query lookup table
+      def sub(s: Int): String = {
+        val st = s * 16 + 1
+        def dss(e: String, c: String) = distSqSliceSql(e, c, st, 16)
+        s"""seeds$s AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |    list_transform(range(1, 17), i -> CAST(embedding[${st - 1} + i] AS DOUBLE)) AS c
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |a$s AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN seeds$s c) WHERE rn = 1),
+           |md$s AS (
+           |  SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[${st - 1} + i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM a$s, sdims GROUP BY cell, i),
+           |m$s AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM md$s GROUP BY cell),
+           |cb$s AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+           |         FROM seeds$s s LEFT JOIN m$s m USING (cell)),
+           |code$s AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb$s c) WHERE rn = 1),
+           |lut$s AS (SELECT c.cell, ${dss("q.q_emb", "c.c")} AS d FROM cb$s c, qv q)""".stripMargin
+      }
+      s"""WITH sdims AS (SELECT unnest(range(1, 17)) AS i),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |${(0 until 4).map(sub).mkString(",\n")}
+         |SELECT e.vec_id,
+         |  ${roundToSql("l0.d + l1.d + l2.d + l3.d", 6)} AS adc_dist_sq
+         |FROM embeddings e
+         |${(0 until 4).map(s =>
+            s"JOIN code$s k$s ON k$s.vec_id = e.vec_id " +
+              s"JOIN lut$s l$s ON l$s.cell = k$s.cell").mkString("\n")}
+         |WHERE e.vec_id <> 0
+         |ORDER BY adc_dist_sq ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "q_embed_quant" ->
       s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),

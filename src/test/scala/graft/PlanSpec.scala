@@ -163,6 +163,14 @@ class PlanSpec extends SparkSpec {
       s"quantized rerank must not shuffle the corpus:\n$p")
   }
 
+  test("q_pq_adc scores through code lookups: no join, no corpus shuffle") {
+    val p = plan("q_pq_adc")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"ADC scoring must be lookup-only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
+    assert(p.contains("nearest_centroid"), s"native encode missing:\n$p")
+  }
+
   test("q_ann_ivf_built probes via partition-level cell filtering, no corpus shuffle") {
     val p = plan("q_ann_ivf_built")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

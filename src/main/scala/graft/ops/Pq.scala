@@ -88,6 +88,10 @@ object Pq {
     val lut = lutL2(codebooks, q.map(_.toDouble))
     encoded.select(idCol.as("vec_id"),
         adcDistSq(col("pq_code"), lut).as("adc_dist_sq"))
+      // a ragged vector encodes to NULL codes → NULL distance; Spark
+      // sorts NULLS FIRST ascending, which would rank garbage at the
+      // top (and diverge from DuckDB's NULLS LAST) — drop them
+      .filter(col("adc_dist_sq").isNotNull)
       .orderBy(col("adc_dist_sq").asc, col("vec_id").asc)
       .limit(topK)
   }

@@ -319,6 +319,9 @@ object VectorOps {
       Pq.encode(e.filter(col("vec_id") =!= 0), col("embedding"), cb)
         .select(col("vec_id"),
           roundTo(Pq.adcDistSq(col("pq_code"), lut), 6).as("adc_dist_sq"))
+        // NULL-dist guard (ragged vectors): Spark would sort them
+        // FIRST asc, DuckDB last — see Pq.search
+        .filter(col("adc_dist_sq").isNotNull)
         .orderBy(col("adc_dist_sq").asc, col("vec_id").asc)
         .limit(10)
     }),

@@ -167,4 +167,51 @@ class PropertiesSpec extends SparkSpec {
       assert(got === truth, s"trial $t: ${edges.size} edges diverged")
     }
   }
+
+  test("nearest_centroid equals a driver-side argmin with lowest-index ties (generated)") {
+    val dims = 6
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-8, 8).map(_.toFloat / 4f))
+    val vecs = samples(vecGen, 120).map(_.toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    // small value lattice (quarters in [-2,2]) makes distance TIES
+    // common — the lowest-index rule is actually exercised
+    val centers = samples(vecGen, 7, seed = 99L).map(_.map(_.toDouble).toArray).toArray
+    val got = vecs.toDF("id", "emb")
+      .select($"id", graft.functions.nearest_centroid(
+        $"emb".cast("array<float>"), centers).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = centers.zipWithIndex.map { case (c, j) =>
+        (ops.Ivf.distSq(v.map(_.toDouble), c), j) }.min._2
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("PQ ADC distance equals the sum of per-subspace exact distances (generated)") {
+    // ADC is EXACT per subspace against the chosen codebook entry —
+    // for any codebook (not just fitted ones) and any code assignment
+    val dims = 8; val m = 2; val k = 3
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-10.0, 10.0).map(_.toFloat))
+    val q = samples(vecGen, 1, seed = 7L).head.toArray
+    val cbGen = Gen.listOfN(dims / m, Gen.chooseNum(-10.0, 10.0))
+    val codebooks = Array.tabulate(m)(s =>
+      samples(cbGen, k, seed = 100L + s).map(_.toArray).toArray)
+    val vecs = samples(vecGen, 60).map(_.toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val lut = ops.Pq.lutL2(codebooks, q.map(_.toDouble))
+    val rows = ops.Pq.encode(vecs.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding")),
+        $"embedding", codebooks)
+      .select($"vec_id", $"pq_code",
+        ops.Pq.adcDistSq($"pq_code", lut).as("d"))
+      .as[(Long, Seq[Int], Double)].collect()
+    rows.foreach { case (id, code, d) =>
+      val sub = dims / m
+      val expect = (0 until m).map { s =>
+        val qs = q.map(_.toDouble).slice(s * sub, (s + 1) * sub)
+        ops.Ivf.distSq(qs, codebooks(s)(code(s)))
+      }.reduce(_ + _)
+      assert(math.abs(d - expect) < 1e-12, s"vec $id: adc=$d expect=$expect")
+    }
+  }
 }

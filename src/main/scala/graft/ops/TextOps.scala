@@ -474,6 +474,70 @@ object TextOps {
   val ChunkSize = 64
   val ChunkStride = 48
 
+  /** The q_corpus_pipeline selection (see that query's scaladoc):
+    * near-dup-cluster keepers ∧ quality/lang ∧ repetition gates ∧
+    * eval-set exclusion ∧ decontamination — exposed as a function so
+    * the write side ([[writeTrainingShards]]) and the declared query
+    * share one definition. */
+  def corpusPipelineKeepers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keepers = clusterAssignments(s, dir)
+      .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+    val repKeep = docs
+      .select(col("doc_id"), inline(repMetrics(col("text"))))
+      .filter(repKeepPredicate).select(col("doc_id"))
+    val shingled = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
+    val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .select(col("doc_id")).distinct()
+    scoredDocs(docs, withDigest = false)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 97 =!= 0 &&
+        col("quality_score") >= 0.3 && col("marker_hits") > 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+  }
+
+  /** THE WRITE SIDE of the training-data pipeline: materialize the
+    * selected corpus as chunked training shards. The keeper set
+    * (skinny ids) semi-joins back to the documents, each doc is cut
+    * into chunk/stride token windows WITH text, and rows land
+    * shard-partitioned by a DETERMINISTIC hash of (doc_id, chunk_idx)
+    * — a re-run writes byte-identical shard membership (the idempotent
+    * discipline of the streaming sinks, applied to the batch export).
+    * Chunk text is produced map-side inside the same projection that
+    * computes the window (`slice` + `concat_ws` — codegen'd, not a
+    * lambda; the HOF re-evaluation trap does not apply), so document
+    * text is scanned once and only chunk rows ever shuffle — and the
+    * only shuffle is the shard-key repartition that controls output
+    * file count. */
+  def writeTrainingShards(docs: DataFrame, keepers: DataFrame, outDir: String,
+      nShards: Int = 64, chunk: Int = ChunkSize, stride: Int = ChunkStride): Unit =
+    docs.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        size(col("toks")).as("n"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .select(col("doc_id"), col("lang"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunk)))
+          .as("chunk_text"))
+      .withColumn("shard",
+        pmod(hash(col("doc_id"), col("chunk_idx")), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
   def chunkDocs(docs: DataFrame, chunk: Int = ChunkSize,
       stride: Int = ChunkStride): DataFrame =
     docs
@@ -777,32 +841,8 @@ object TextOps {
     // is the dedup clustering the corpus already pays for. The oracle
     // stacks the same CTEs (recursive CC + quality + repetition +
     // shingle overlap) — the split across engines must be invisible.
-    "q_corpus_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val keepers = clusterAssignments(s, dir)
-        .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
-      val repKeep = docs
-        .select(col("doc_id"), inline(repMetrics(col("text"))))
-        .filter(repKeepPredicate).select(col("doc_id"))
-      val shingled = docs
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
-      val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
-        .groupBy(col("doc_id"), col("eval_id"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 3)
-        .select(col("doc_id")).distinct()
-      scoredDocs(docs, withDigest = false)
-        .join(keepers, Seq("doc_id"), "left_semi")
-        .join(repKeep, Seq("doc_id"), "left_semi")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") % 97 =!= 0 &&
-          col("quality_score") >= 0.3 && col("marker_hits") > 0)
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
-        .orderBy("doc_id")
-    }),
+    "q_corpus_pipeline" -> ((s, dir) =>
+      corpusPipelineKeepers(s, dir).orderBy("doc_id")),
 
     // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
     // (context-window chunks of 64 tokens, stride 48 → 16-token

@@ -249,6 +249,34 @@ class TextVectorSpec extends SparkSpec {
       s"planted exact copy (8 of eval 0) missed: ${planted.take(8).toSeq}")
   }
 
+  test("training-shard export: keepers only, deterministic shards, chunk math matches") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val keepers = TextOps.corpusPipelineKeepers(spark, dir)
+    TextOps.writeTrainingShards(
+      graft.io.Tables.documents(spark, dir), keepers, s"$out/shards", nShards = 8)
+    val shards = spark.read.parquet(s"$out/shards")
+    // only selected docs appear, and every selected doc appears
+    val shardDocs = shards.select($"doc_id").distinct().as[Long].collect().toSet
+    val keeperIds = keepers.select($"doc_id").as[Long].collect().toSet
+    assert(shardDocs === keeperIds)
+    // chunk counts match the declared chunking math for the same docs
+    val wantChunks = TextOps.chunkDocs(
+        graft.io.Tables.documents(spark, dir)
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .count()
+    assert(shards.count() === wantChunks)
+    // shard assignment is within range and a rewrite is idempotent
+    assert(shards.select($"shard").distinct().as[Int].collect()
+      .forall(s => s >= 0 && s < 8))
+    TextOps.writeTrainingShards(
+      graft.io.Tables.documents(spark, dir), keepers, s"$out/shards", nShards = 8)
+    // re-read: the overwrite replaced the files the old plan listed
+    val rewritten = spark.read.parquet(s"$out/shards")
+    assert(rewritten.count() === wantChunks, "rewrite changed the shard store")
+    // chunk text is real tokens: non-empty for every row
+    assert(rewritten.filter(length($"chunk_text") === 0).count() === 0L)
+  }
+
   test("int8 quantized cosine tracks the exact cosine closely") {
     val rows = graft.SparkEntry.queries("q_embed_quant")(spark, dir).collect()
     assert(rows.length === 10)

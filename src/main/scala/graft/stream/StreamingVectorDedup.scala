@@ -30,6 +30,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `maxPerBucket` (evicting oldest, flagged on the verdict, like
   * [[StreamingDedup]]); run on the RocksDB store for large corpora.
   * No watermark: dedup state is corpus knowledge and never expires.
+  *
+  * Cluster maintenance: [[StreamingDedup.updateClusterStore]] is
+  * verdict-shaped, not text-shaped — rename `vec_id`→`doc_id` on
+  * [[VVerdict]] rows and the same incremental (id → cluster_rep)
+  * store machinery maintains embedding near-dup clusters.
   */
 object StreamingVectorDedup {
 

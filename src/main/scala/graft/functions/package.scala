@@ -29,6 +29,11 @@ package object functions {
   def ngram_hash_explode(tokens: Column, n: Int = 3): Column =
     shims.column(NGramHashExplode(shims.expression(tokens), n))
 
+  /** Array form of the same pass: distinct 60-bit shingle hashes as
+    * `array<long>` — for projections that keep the hash set in-row. */
+  def ngram_hashes(tokens: Column, n: Int = 3): Column =
+    shims.column(NGramHashes(shims.expression(tokens), n))
+
   /** Codegen'd IVF cell assignment: index of the squared-L2-nearest
     * centroid (ties → lowest index). */
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
@@ -79,6 +84,10 @@ package object functions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
+          .getOrElse(3)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NGramHashes(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
           .getOrElse(3)), "built-in")
     reg.createOrReplaceTempFunction("nearest_centroid",

@@ -149,6 +149,31 @@ object TextOps {
     docs.select(cols: _*)
   }
 
+  /** The four repetition fields over a BOUND token array `t` — the
+    * shared body of [[repMetrics]] and [[docFeatures]]; one definition
+    * so the standalone query and the fused feature scan cannot drift. */
+  private def repFields(t: Column): Seq[Column] = {
+    val nTok = size(t)
+    val nTokD = nTok.cast("double")
+    val dist = array_distinct(t)
+    val topFreq = coalesce(
+      array_max(transform(dist, u => size(filter(t, x => x === u)))),
+      lit(0)).cast("double")
+    val bigrams = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nBg = size(bigrams).cast("double")
+    val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
+      greatest(nBg, lit(1.0))
+    Seq(
+      nTok.as("n_tokens"),
+      roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
+        .as("distinct_ratio"),
+      roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
+      roundTo(dupBg, 4).as("dup_bigram_frac"))
+  }
+
   /** Repetition metrics of q_rep_quality as a 1-element struct array
     * — bound-once token array + generator expansion (see the HOF
     * re-evaluation note in PERF.md: a lambda body must only reference
@@ -156,27 +181,52 @@ object TextOps {
     * `inline`, or the text re-tokenizes per lambda invocation). One
     * definition shared by q_rep_quality and q_corpus_pipeline. */
   def repMetrics(text: Column): Column =
+    transform(array(tokens(text)), t => struct(repFields(t): _*))
+
+  /** THE fused per-document feature struct — everything the corpus
+    * pipeline needs from the text body, computed in ONE bound-once
+    * pass so `documents` is scanned exactly once end to end:
+    * repetition metrics ([[repFields]]), the quality/lang fields of
+    * [[scoredDocs]] (identical expression trees — bit-identical
+    * doubles), and the hashed shingle set `hsh` that feeds BOTH
+    * near-dup pair generation (minhash signatures derive from it) and
+    * decontamination (its explode equals `ngram_hash_explode` by the
+    * generator's own contract). At 100 TB this is the restructure that
+    * matters: text bytes are read once, and every downstream stage —
+    * CC, contamination, gates — runs off the skinny persisted feature
+    * table. */
+  def docFeatures(text: Column, nChars: Column, withRep: Boolean = true): Column =
     transform(array(tokens(text)), t => {
-      val nTok = size(t)
-      val nTokD = nTok.cast("double")
-      val dist = array_distinct(t)
-      val topFreq = coalesce(
-        array_max(transform(dist, u => size(filter(t, x => x === u)))),
-        lit(0)).cast("double")
-      val bigrams = when(nTok >= 2,
-        transform(sequence(lit(1), nTok - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val nBg = size(bigrams).cast("double")
-      val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
-        greatest(nBg, lit(1.0))
-      struct(
-        nTok.as("n_tokens"),
-        roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
-          .as("distinct_ratio"),
-        roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
-        roundTo(dupBg, 4).as("dup_bigram_frac"))
+      val nTokD = size(t).cast("double")
+      val punct = length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+      val stopHits = size(filter(t, x => x.isInCollection(stopwords))).cast("double")
+      val quality =
+        least(nChars.cast("double") / 500.0, lit(1.0)) * 0.4 +
+          least(stopHits / greatest(nTokD, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
+          least(punct.cast("double") * 10.0 / greatest(length(text), lit(1)), lit(1.0)) * 0.3
+      val allMarkers = langMarkers.flatMap(_._2)
+      // withRep=false drops the O(distinct·n) repetition fields for
+      // consumers that only gate on quality (q_corpus_select_dedup)
+      val base = if (withRep) repFields(t) else Seq(size(t).as("n_tokens"))
+      val fields = base ++ Seq(
+        roundTo(quality, 4).as("quality_score"),
+        size(filter(t, x => x.isInCollection(allMarkers))).as("marker_hits"),
+        // native single-pass twin of shingleHashes(shingles(t)) — same
+        // values/order by NGramHashExplode.distinctHashes' contract
+        graft.functions.ngram_hashes(t).as("hsh"))
+      struct(fields: _*)
     })
+
+  /** One-scan per-document feature table:
+    * (doc_id, lang, dig, n_tokens[, distinct_ratio, top_token_frac,
+    * dup_bigram_frac], quality_score, marker_hits, hsh). The caller
+    * persists it; every corpus-pipeline stage reads from here instead
+    * of re-scanning text. */
+  def corpusFeatures(s: SparkSession, dir: String, withRep: Boolean = true): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(normText(col("text"))).as("dig"),
+        inline(docFeatures(col("text"), col("n_chars"), withRep)))
 
   /** The keep decision over [[repMetrics]]' ROUNDED columns (exact
     * cross-engine boundary). */
@@ -312,8 +362,16 @@ object TextOps {
     * semantics — the declared oracle-checked queries use None; capped
     * form is the documented production setting for boilerplate-heavy
     * corpora. */
-  def minhashPairsOf(docs: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
-    val d = minhashSignatures(docs)
+  def minhashPairsOf(docs: DataFrame, maxBucket: Option[Int] = None): DataFrame =
+    minhashPairsOfHashes(minhashSignatures(docs).select("doc_id", "hsh"), maxBucket)
+
+  /** [[minhashPairsOf]] starting from a (doc_id, hsh) frame of
+    * pre-hashed shingle sets — the entry point for callers that
+    * already own the hashes (the fused corpus feature table), so pair
+    * generation never touches text a second time. Signature
+    * computation from `hsh` is k cheap affine folds, no re-hashing. */
+  def minhashPairsOfHashes(hashed: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val d = hashed.withColumn("sig", minhashSig(col("hsh"), MinhashK))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedAll = bandedBuckets(d).drop("hsh")
     val bandedA = maxBucket match {
@@ -442,10 +500,38 @@ object TextOps {
       .groupBy(col("h")).agg(min(col("r")).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val pairs = minhashPairsOf(reps).select(col("id_a"), col("id_b"))
+    ccExpand(d2g, pairs, maxRounds)
+  }
+
+  /** The shared CC + expansion tail of cluster assignment: run
+    * connected components over the rep-level pair graph and expand
+    * labels back through the (doc_id, grp) exact-dup map. */
+  private def ccExpand(d2g: DataFrame, pairs: DataFrame, maxRounds: Int): DataFrame = {
     val labels = Graph.connectedComponents(pairs, maxRounds)
     d2g
       .join(labels.withColumnRenamed("node", "grp"), Seq("grp"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("grp")).as("cluster_rep"))
+  }
+
+  /** [[clusterAssignments]] from the fused feature table
+    * (doc_id, dig, hsh, …) — NO text scan: the exact-dup group map is
+    * a window over the digest, the per-group representative carries
+    * its pre-hashed shingle set through one skinny struct-min shuffle,
+    * and pair generation runs [[minhashPairsOfHashes]] over the reps.
+    * (Identical labels to the text form: docs sharing a normalized-
+    * text digest share the token sequence, hence the hash set, so any
+    * group member's `hsh` is THE group's `hsh`.) */
+  def clusterAssignmentsOfFeatures(feats: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val win = Window.partitionBy(col("dig"))
+    val d2g = feats.select(col("doc_id"), col("dig"))
+      .withColumn("grp", min(col("doc_id")).over(win))
+      .select(col("doc_id"), col("grp"))
+    val reps = feats
+      .select(col("dig"), struct(col("doc_id"), col("hsh")).as("r"))
+      .groupBy(col("dig")).agg(min(col("r")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.hsh").as("hsh"))
+    val pairs = minhashPairsOfHashes(reps).select(col("id_a"), col("id_b"))
+    ccExpand(d2g, pairs, maxRounds)
   }
 
   def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
@@ -478,17 +564,24 @@ object TextOps {
     * near-dup-cluster keepers ∧ quality/lang ∧ repetition gates ∧
     * eval-set exclusion ∧ decontamination — exposed as a function so
     * the write side ([[writeTrainingShards]]) and the declared query
-    * share one definition. */
+    * share one definition.
+    *
+    * PLAN SHAPE (the round-6 restructure, PlanSpec-pinned): documents
+    * is scanned exactly ONCE — [[corpusFeatures]] computes digest,
+    * shingle hashes, quality, and repetition metrics in a single
+    * fused projection and the skinny result is persisted; cluster
+    * assignment ([[clusterAssignmentsOfFeatures]]), decontamination
+    * (explode of the stored `hsh`, identical values to
+    * `ngram_hash_explode` by the generator's contract), and every
+    * gate run off the cache. The previous form re-scanned the full
+    * text body ~5× — at 100 TB that is ~500 TB of text I/O where one
+    * scan + a feature table a fraction of the corpus size suffices. */
   def corpusPipelineKeepers(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val keepers = clusterAssignments(s, dir)
+    val feats = corpusFeatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = clusterAssignmentsOfFeatures(feats)
       .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
-    val repKeep = docs
-      .select(col("doc_id"), inline(repMetrics(col("text"))))
-      .filter(repKeepPredicate).select(col("doc_id"))
-    val shingled = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
+    val shingled = feats.select(col("doc_id"), explode(col("hsh")).as("h"))
     val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
@@ -496,11 +589,10 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 3)
       .select(col("doc_id")).distinct()
-    scoredDocs(docs, withDigest = false)
+    feats
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(repKeep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 97 =!= 0 &&
+      .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
         col("quality_score") >= 0.3 && col("marker_hits") > 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
   }
@@ -816,11 +908,15 @@ object TextOps {
     // skinny id semi-join. Oracle: the WITH-RECURSIVE reachability CC
     // composed with the quality CTE.
     "q_corpus_select_dedup" -> ((s, dir) => {
-      // keeper-only path: cluster assignments without the size agg /
-      // keeper-flag join dedupClusters would add and this query discards
-      val keepers = clusterAssignments(s, dir)
+      // ONE text scan (round-6 restructure): the fused feature scan
+      // (digest + shingle hashes + quality, repetition fields skipped)
+      // is persisted, cluster keepers derive from it, and the gate
+      // reads the cached quality columns — no scored re-scan.
+      val feats = corpusFeatures(s, dir, withRep = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepers = clusterAssignmentsOfFeatures(feats)
         .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
-      scoredDocs(Tables.documents(s, dir), withDigest = false)
+      feats
         .join(keepers, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))

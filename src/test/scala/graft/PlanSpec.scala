@@ -171,6 +171,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("nearest_centroid"), s"native encode missing:\n$p")
   }
 
+  /** Count FileSourceScanExec nodes over the documents table,
+    * descending into cached subplans (each distinct InMemoryRelation's
+    * underlying scan counts ONCE — that is what a materialization
+    * actually reads) and through AQE wrappers. The honest "how many
+    * times do we read text bytes" metric for the corpus queries. */
+  private def documentScans(name: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = scala.collection.mutable.Set.empty[Int]
+    var n = 0
+    def walk(q: SparkPlan): Unit = {
+      q match {
+        case f: FileSourceScanExec =>
+          if (f.toString.contains("documents")) n += 1
+        case im: InMemoryTableScanExec =>
+          if (seen.add(System.identityHashCode(im.relation.cacheBuilder)))
+            walk(im.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+      q.children.foreach(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+    n
+  }
+
+  test("q_corpus_pipeline reads document text exactly once (fused feature scan)") {
+    // the round-5 verdict's top finding: the pipeline used to scan the
+    // full text ~5×; the fused corpusFeatures scan + persisted skinny
+    // feature table must keep it at ONE text read per materialization
+    assert(documentScans("q_corpus_pipeline") === 1,
+      "q_corpus_pipeline must read documents exactly once")
+  }
+
+  test("q_corpus_select_dedup reads document text exactly once") {
+    assert(documentScans("q_corpus_select_dedup") === 1,
+      "q_corpus_select_dedup must read documents exactly once")
+  }
+
   test("q_ann_ivf_built probes via partition-level cell filtering, no corpus shuffle") {
     val p = plan("q_ann_ivf_built")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

@@ -34,6 +34,19 @@ package object functions {
   def ngram_hashes(tokens: Column, n: Int = 3): Column =
     shims.column(NGramHashes(shims.expression(tokens), n))
 
+  /** One-pass token statistics (integer counts) for the corpus
+    * feature scan: struct(n_tokens, n_distinct, top_freq, n_bigrams,
+    * n_distinct_bigrams, stop_hits, marker_hits). */
+  def token_stats(tokens: Column, stopwords: Seq[String],
+      markers: Seq[String]): Column =
+    shims.column(TokenStats(shims.expression(tokens), stopwords, markers))
+
+  /** One-pass k-permutation MinHash signature over pre-reduced
+    * shingle hashes. */
+  def minhash_sigs(hashes: Column, coefA: Array[Long], coefB: Array[Long],
+      p: Long): Column =
+    shims.column(MinhashSigs(shims.expression(hashes), coefA, coefB, p))
+
   /** Codegen'd IVF cell assignment: index of the squared-L2-nearest
     * centroid (ties → lowest index). */
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =

@@ -93,8 +93,21 @@ object TextOps {
   def shingleHashesSql(sh: String): String =
     s"list_transform($sh, s -> ${hash60Sql("s")} % $MinhashP)"
 
-  /** k-permutation signature over the pre-computed base hashes. */
+  /** k-permutation signature over the pre-computed base hashes —
+    * native one-pass expression (all k minima maintained in one
+    * traversal; the composed form below re-walked the array k times
+    * through interpreted HOFs). Bit-identical values by the
+    * expression's contract; [[minhashSigComposed]] stays as the
+    * reference spelling for the equivalence spec. */
   def minhashSig(hs: Column, k: Int): Column =
+    graft.functions.minhash_sigs(hs,
+      Array.tabulate(k)(minhashCoefA), Array.tabulate(k)(minhashCoefB),
+      MinhashP)
+
+  /** The composed-HOF spelling of [[minhashSig]] — the definition the
+    * native expression is tested against (and the exact shape
+    * [[minhashSigSql]] mirrors in DuckDB). */
+  def minhashSigComposed(hs: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(hs,
         h => (h * minhashCoefA(i) + minhashCoefB(i)) % MinhashP))): _*)
@@ -149,84 +162,97 @@ object TextOps {
     docs.select(cols: _*)
   }
 
-  /** The four repetition fields over a BOUND token array `t` — the
-    * shared body of [[repMetrics]] and [[docFeatures]]; one definition
-    * so the standalone query and the fused feature scan cannot drift. */
-  private def repFields(t: Column): Seq[Column] = {
-    val nTok = size(t)
-    val nTokD = nTok.cast("double")
-    val dist = array_distinct(t)
-    val topFreq = coalesce(
-      array_max(transform(dist, u => size(filter(t, x => x === u)))),
-      lit(0)).cast("double")
-    val bigrams = when(nTok >= 2,
-      transform(sequence(lit(1), nTok - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val nBg = size(bigrams).cast("double")
-    val dupBg = (nBg - size(array_distinct(bigrams)).cast("double")) /
-      greatest(nBg, lit(1.0))
+  /** The four repetition fields from a [[graft.functions.TokenStats]]
+    * struct `st` — the shared tail of [[repMetrics]] and
+    * [[corpusFeatures]]; one definition so the standalone query and
+    * the fused feature scan cannot drift. The INTEGER counts come out
+    * of the native one-pass expression (the composed
+    * `array_max(transform(array_distinct…))` spelling was the measured
+    * hot loop — O(distinct·n) per doc through interpreted HOF eval);
+    * the DOUBLE ratio/rounding math here is unchanged, so the DuckDB
+    * oracle parity ([[repCtesSql]]) is untouched. */
+  private def repFieldsOfStats(st: Column): Seq[Column] = {
+    val nTokD = st("n_tokens").cast("double")
+    val nBg = st("n_bigrams").cast("double")
     Seq(
-      nTok.as("n_tokens"),
-      roundTo(size(dist).cast("double") / greatest(nTokD, lit(1.0)), 4)
+      st("n_tokens").as("n_tokens"),
+      roundTo(st("n_distinct").cast("double") / greatest(nTokD, lit(1.0)), 4)
         .as("distinct_ratio"),
-      roundTo(topFreq / greatest(nTokD, lit(1.0)), 4).as("top_token_frac"),
-      roundTo(dupBg, 4).as("dup_bigram_frac"))
+      roundTo(st("top_freq").cast("double") / greatest(nTokD, lit(1.0)), 4)
+        .as("top_token_frac"),
+      roundTo((nBg - st("n_distinct_bigrams").cast("double")) /
+        greatest(nBg, lit(1.0)), 4).as("dup_bigram_frac"))
   }
 
   /** Repetition metrics of q_rep_quality as a 1-element struct array
-    * — bound-once token array + generator expansion (see the HOF
-    * re-evaluation note in PERF.md: a lambda body must only reference
-    * bound variables, and multi-metric results leave the row through
-    * `inline`, or the text re-tokenizes per lambda invocation). One
-    * definition shared by q_rep_quality and q_corpus_pipeline. */
+    * — the token array is traversed ONCE by the native
+    * [[graft.functions.TokenStats]] pass, whose result struct is
+    * bound as the lambda variable (the bind-once discipline of the
+    * PERF.md HOF note: a lambda body must only reference bound
+    * variables, and multi-metric results leave the row through
+    * `inline`). One definition shared by q_rep_quality and
+    * q_corpus_pipeline. */
   def repMetrics(text: Column): Column =
-    transform(array(tokens(text)), t => struct(repFields(t): _*))
+    transform(array(graft.functions.token_stats(tokens(text), Nil, Nil)),
+      st => struct(repFieldsOfStats(st): _*))
 
-  /** THE fused per-document feature struct — everything the corpus
-    * pipeline needs from the text body, computed in ONE bound-once
-    * pass so `documents` is scanned exactly once end to end:
-    * repetition metrics ([[repFields]]), the quality/lang fields of
-    * [[scoredDocs]] (identical expression trees — bit-identical
-    * doubles), and the hashed shingle set `hsh` that feeds BOTH
-    * near-dup pair generation (minhash signatures derive from it) and
-    * decontamination (its explode equals `ngram_hash_explode` by the
-    * generator's own contract). At 100 TB this is the restructure that
-    * matters: text bytes are read once, and every downstream stage —
-    * CC, contamination, gates — runs off the skinny persisted feature
-    * table. */
-  def docFeatures(text: Column, nChars: Column, withRep: Boolean = true): Column =
-    transform(array(tokens(text)), t => {
-      val nTokD = size(t).cast("double")
-      val punct = length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
-      val stopHits = size(filter(t, x => x.isInCollection(stopwords))).cast("double")
-      val quality =
-        least(nChars.cast("double") / 500.0, lit(1.0)) * 0.4 +
-          least(stopHits / greatest(nTokD, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
-          least(punct.cast("double") * 10.0 / greatest(length(text), lit(1)), lit(1.0)) * 0.3
-      val allMarkers = langMarkers.flatMap(_._2)
-      // withRep=false drops the O(distinct·n) repetition fields for
-      // consumers that only gate on quality (q_corpus_select_dedup)
-      val base = if (withRep) repFields(t) else Seq(size(t).as("n_tokens"))
-      val fields = base ++ Seq(
-        roundTo(quality, 4).as("quality_score"),
-        size(filter(t, x => x.isInCollection(allMarkers))).as("marker_hits"),
-        // native single-pass twin of shingleHashes(shingles(t)) — same
-        // values/order by NGramHashExplode.distinctHashes' contract
-        graft.functions.ngram_hashes(t).as("hsh"))
-      struct(fields: _*)
-    })
+  /** The bound-once text-derived core of the fused feature scan: ONE
+    * tokenization, ONE [[graft.functions.TokenStats]] counting pass,
+    * ONE shingle-hash pass — emitted as a 1-element struct array for
+    * `inline` expansion (generator outputs are concrete attributes, so
+    * downstream field references are free). */
+  private def tokenFeatureStruct(text: Column): Column =
+    transform(array(tokens(text)), t => struct(
+      graft.functions.token_stats(t, stopwords, langMarkers.flatMap(_._2))
+        .as("st"),
+      // native single-pass twin of shingleHashes(shingles(t)) — same
+      // values/order by NGramHashExplode.distinctHashes' contract
+      graft.functions.ngram_hashes(t).as("hsh")))
 
   /** One-scan per-document feature table:
     * (doc_id, lang, dig, n_tokens[, distinct_ratio, top_token_frac,
     * dup_bigram_frac], quality_score, marker_hits, hsh). The caller
     * persists it; every corpus-pipeline stage reads from here instead
-    * of re-scanning text. */
-  def corpusFeatures(s: SparkSession, dir: String, withRep: Boolean = true): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
+    * of re-scanning text.
+    *
+    * Everything the corpus pipeline needs from the text body is
+    * computed in ONE pass so `documents` is scanned exactly once end
+    * to end: repetition counts and quality/lang hits from the native
+    * [[graft.functions.TokenStats]] expression (same integers as the
+    * composed [[scoredDocs]]/repetition spellings — the double math
+    * below is their exact expression trees, so the values stay
+    * bit-identical), and the hashed shingle set `hsh` that feeds BOTH
+    * near-dup pair generation (minhash signatures derive from it) and
+    * decontamination (its explode equals `ngram_hash_explode` by the
+    * generator's own contract). At 100 TB this is the restructure
+    * that matters: text bytes are read once, and every downstream
+    * stage — CC, contamination, gates — runs off the skinny persisted
+    * feature table. */
+  def corpusFeatures(s: SparkSession, dir: String, withRep: Boolean = true): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
         md5(normText(col("text"))).as("dig"),
-        inline(docFeatures(col("text"), col("n_chars"), withRep)))
+        inline(tokenFeatureStruct(col("text"))))
+    val st = col("st")
+    val nTokD = st("n_tokens").cast("double")
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val quality =
+      least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+        least(st("stop_hits").cast("double") / greatest(nTokD, lit(1.0)) * 5.0,
+          lit(1.0)) * 0.3 +
+        least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)),
+          lit(1.0)) * 0.3
+    // withRep=false keeps the skinny quality-only shape for consumers
+    // that never gate on repetition (q_corpus_select_dedup)
+    val repCols =
+      if (withRep) repFieldsOfStats(st)
+      else Seq(st("n_tokens").as("n_tokens"))
+    base.select(Seq(col("doc_id"), col("lang"), col("dig")) ++ repCols ++ Seq(
+      roundTo(quality, 4).as("quality_score"),
+      st("marker_hits").as("marker_hits"),
+      col("hsh")): _*)
+  }
 
   /** The keep decision over [[repMetrics]]' ROUNDED columns (exact
     * cross-engine boundary). */
@@ -321,13 +347,19 @@ object TextOps {
   val LshBands = 4
   val LshRows = 4
 
-  /** (doc_id, hsh, sig) signature projection — works on batch AND
-    * streaming inputs (pure column ops, no aggregation). */
-  def minhashSignatures(docs: DataFrame): DataFrame = docs
+  /** (doc_id, hsh) hashed-shingle projection — the text-derived half
+    * of signature computation, split out so [[minhashPairsOf]] can
+    * hand the hashes straight to [[minhashPairsOfHashes]] without a
+    * signature column that would only be dropped and recomputed. */
+  def minhashHashes(docs: DataFrame): DataFrame = docs
     .withColumn("toks", tokens(col("text")))
     .select(col("doc_id"), shingles(col("toks")).as("sh"))
     .select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
-    .withColumn("sig", minhashSig(col("hsh"), MinhashK))
+
+  /** (doc_id, hsh, sig) signature projection — works on batch AND
+    * streaming inputs (pure column ops, no aggregation). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashHashes(docs).withColumn("sig", minhashSig(col("hsh"), MinhashK))
 
   /** Explode a signature row into its (band_id, band_key) LSH buckets;
     * extra columns pass through. */
@@ -363,13 +395,24 @@ object TextOps {
     * form is the documented production setting for boilerplate-heavy
     * corpora. */
   def minhashPairsOf(docs: DataFrame, maxBucket: Option[Int] = None): DataFrame =
-    minhashPairsOfHashes(minhashSignatures(docs).select("doc_id", "hsh"), maxBucket)
+    minhashPairsOfHashes(minhashHashes(docs), maxBucket)
 
   /** [[minhashPairsOf]] starting from a (doc_id, hsh) frame of
     * pre-hashed shingle sets — the entry point for callers that
     * already own the hashes (the fused corpus feature table), so pair
     * generation never touches text a second time. Signature
-    * computation from `hsh` is k cheap affine folds, no re-hashing. */
+    * computation from `hsh` is k cheap affine folds, no re-hashing.
+    *
+    * CACHE LIFECYCLE: the (doc_id, hsh, sig) subtree is persisted
+    * because banding consumes it once and verification joins it twice
+    * more — without the cache the signature work runs 3×. The
+    * VERIFIED pair set (orders of magnitude smaller than the corpus:
+    * only colliding-AND-jaccard-confirmed pairs survive) is
+    * materialized eagerly and the wide signature cache is released
+    * before returning, so a long-lived session never accumulates
+    * per-invocation signature frames. The returned frame is persisted
+    * and owned by the caller; session teardown or
+    * `cacheManager.clearCache()` reclaims it. */
   def minhashPairsOfHashes(hashed: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val d = hashed.withColumn("sig", minhashSig(col("hsh"), MinhashK))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -391,13 +434,17 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
     val sets = d.select(col("doc_id"), col("hsh"))
-    cand
+    val pairs = cand
       .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("h_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("h_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("h_a")) + size(col("h_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize the small verified set, then drop the wide cache
+    d.unpersist(false)
+    pairs
   }
 
   /** Hot-bucket cap used by the declared capped query — interpolated
@@ -540,10 +587,14 @@ object TextOps {
       .persist(MEMORY_AND_DISK) // consumed by the size agg + final join
     val sizes = expanded.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
-    expanded.join(sizes, Seq("cluster_rep"))
+    val out = expanded.join(sizes, Seq("cluster_rep"))
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
         (col("doc_id") === col("cluster_rep")).as("is_keeper"))
       .orderBy("doc_id")
+      .persist(MEMORY_AND_DISK)
+    out.count() // materialize, then release the assignment cache
+    expanded.unpersist(false)
+    out
   }
 
   /** Sliding-window document chunking over a (doc_id, text, …) frame:
@@ -589,12 +640,21 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 3)
       .select(col("doc_id")).distinct()
-    feats
+    val selected = feats
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
         col("quality_score") >= 0.3 && col("marker_hits") > 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CACHE LIFECYCLE: materialize the (skinny, gate-surviving) result,
+    // then release the wide feature cache — the hsh arrays are the bulk
+    // of it, and a long-lived session (Verify + Bench in one JVM) must
+    // not accumulate one per invocation. The returned frame stays
+    // persisted and is owned by the caller.
+    selected.count()
+    feats.unpersist(false)
+    selected
   }
 
   /** THE WRITE SIDE of the training-data pipeline: materialize the
@@ -916,11 +976,15 @@ object TextOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepers = clusterAssignmentsOfFeatures(feats)
         .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
-      feats
+      val selected = feats
         .join(keepers, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.3 && col("marker_hits") > 0)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
         .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      selected.count() // materialize, then release the wide feature cache
+      feats.unpersist(false)
+      selected
     }),
 
     // THE END-TO-END TRAINING-DATA SELECTION — every pipeline stage

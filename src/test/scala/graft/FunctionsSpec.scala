@@ -189,4 +189,58 @@ class FunctionsSpec extends SparkSpec {
     assert(r(1L) === 0L)
     assert(r(2L) > 0L && (r(2L) >> 60) === 0L)
   }
+
+  test("token_stats matches the composed HOF spellings count-for-count") {
+    val stop = TextOps.stopwords
+    val markers = TextOps.langMarkers.flatMap(_._2)
+    val docs = graft.io.Tables.documents(spark, sf("sf0.01")).limit(200)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .union(Seq(
+        (-1L, Seq.empty[String]),                   // empty doc
+        (-2L, Seq("the")),                          // 1 token, stopword
+        (-3L, Seq("a", "a", "a")),                  // all-repeat
+        (-4L, Seq("el", "que", "der", "und", "x"))  // marker mix
+      ).toDF("doc_id", "toks"))
+    // the pre-native expression trees, verbatim
+    val t = col("toks")
+    val nTok = size(t)
+    val dist = array_distinct(t)
+    val topFreq = coalesce(
+      array_max(transform(dist, u => size(filter(t, x => x === u)))), lit(0))
+    val bigrams = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val composed = docs.select($"doc_id",
+      nTok.as("c1"), size(dist).as("c2"), topFreq.as("c3"),
+      size(bigrams).as("c4"), size(array_distinct(bigrams)).as("c5"),
+      size(filter(t, x => x.isInCollection(stop))).as("c6"),
+      size(filter(t, x => x.isInCollection(markers))).as("c7"))
+    val native = docs.select($"doc_id",
+      graft.functions.token_stats($"toks", stop, markers).as("st"))
+      .select($"doc_id", $"st.n_tokens", $"st.n_distinct", $"st.top_freq",
+        $"st.n_bigrams", $"st.n_distinct_bigrams", $"st.stop_hits",
+        $"st.marker_hits")
+    val a = composed.as[(Long, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    val b = native.as[(Long, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("minhash_sigs matches the composed k-pass spelling, incl. empty input") {
+    val docs = graft.io.Tables.documents(spark, sf("sf0.01")).limit(200)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shingleHashes(TextOps.shingles($"toks")).as("hsh"))
+      .union(Seq((-1L, Seq.empty[Long])).toDF("doc_id", "hsh"))
+    val rows = docs.select($"doc_id",
+      TextOps.minhashSig($"hsh", TextOps.MinhashK).as("native"),
+      TextOps.minhashSigComposed($"hsh", TextOps.MinhashK).as("composed"))
+      .as[(Long, Seq[Option[Long]], Seq[Option[Long]])].collect()
+    rows.foreach { case (id, n, c) => assert(n === c, s"doc $id") }
+    // the empty row must be k nulls on both paths
+    val empty = rows.find(_._1 == -1L).get
+    assert(empty._2 === Seq.fill(TextOps.MinhashK)(None))
+  }
 }

@@ -178,18 +178,26 @@ class PlanSpec extends SparkSpec {
     * times do we read text bytes" metric for the corpus queries. */
   private def documentScans(name: String): Int = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val seen = scala.collection.mutable.Set.empty[Int]
     var n = 0
     def walk(q: SparkPlan): Unit = {
       q match {
         case f: FileSourceScanExec =>
-          if (f.toString.contains("documents")) n += 1
+          // match the relation's location basename, not the rendered
+          // plan string — a testdata path containing "documents" must
+          // not make every scan count
+          if (f.relation.location.rootPaths.exists(
+              _.getName.startsWith("documents"))) n += 1
         case im: InMemoryTableScanExec =>
           if (seen.add(System.identityHashCode(im.relation.cacheBuilder)))
             walk(im.relation.cachedPlan)
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // an EXECUTED adaptive plan (the builders materialize their
+        // caches eagerly now) is a tree of query stages whose subtrees
+        // hang off `plan`, not `children`
+        case qs: QueryStageExec => walk(qs.plan)
         case _ =>
       }
       q.children.foreach(walk)

@@ -105,13 +105,17 @@ object Snapshots {
     * lands. (Same-version replays produce the same rows by the
     * checkpoint-replay contract — the batch id pins the input — so
     * skipping loses nothing.) */
-  def publish(df: DataFrame, dir: String, version: Long): Unit = {
+  def publish(df: DataFrame, dir: String, version: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val root = new Path(dir)
     val f = fs(spark, root)
     val vdir = new Path(root, s"$VersionPrefix$version")
-    if (!f.exists(new Path(vdir, "_SUCCESS")))
-      df.write.mode("overwrite").parquet(vdir.toString)
+    if (!f.exists(new Path(vdir, "_SUCCESS"))) {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(vdir.toString)
+    }
     // the grace version is what the pointer said BEFORE this publish —
     // NOT the numerically-second-highest version: version numbers are
     // streaming batch ids, and a checkpoint reset restarts them at 0.

@@ -137,4 +137,79 @@ class IvfSpec extends SparkSpec {
     assert(centers.forall(_.length === 2))
     assert(centers.forall(c => c.forall(x => !x.isNaN)))
   }
+
+  /** Live batch_id slice dirs currently on disk (the small-file
+    * metric compaction must bound). */
+  private def liveSlices(idx: String): Seq[String] = {
+    val root = new java.io.File(idx)
+    if (!root.exists()) return Seq.empty
+    root.listFiles().toSeq.filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .flatMap(_.listFiles().toSeq.filter(d =>
+        d.isDirectory && d.getName.startsWith("batch_id=")))
+      .map(_.toString)
+  }
+
+  private def topIds(idx: String, centers: Array[Array[Double]],
+      q: Array[Float]): Seq[Long] =
+    Ivf.search(spark, idx, centers, q, nProbe = 4, topK = 10)
+      .select($"vec_id").as[Long].collect().toSeq
+
+  test("index compaction bounds live slices, dedups exactly, and survives retry") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfc").toString
+    val idx = s"$tmp/idx"
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val qEmb = all.find(_._1 == 0L).get._2.toArray
+    // 6 micro-batches of appends
+    val chunks = all.grouped(math.max(1, all.length / 6)).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      Ivf.appendBatch(c.toSeq.toDF("vec_id", "raw")
+        .select($"vec_id", $"raw".cast("array<float>").as("embedding")),
+        $"embedding", centers, idx, i.toLong)
+    }
+    val preSlices = liveSlices(idx).size
+    assert(preSlices >= 6, s"expected >=6 live slices, got $preSlices")
+    val preTop = topIds(idx, centers, qEmb)
+
+    // first compaction: fold everything; folded slices stay on disk
+    // (reader grace) but the reader must not see duplicates
+    val f1 = Ivf.compactIndex(spark, idx)
+    assert(f1.exists(_ >= chunks.length - 1L))
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong,
+      "compacted reader saw folded-slice duplicates or losses")
+    assert(topIds(idx, centers, qEmb) === preTop,
+      "probe results changed across compaction")
+
+    // retry at the same horizon is a no-op (nothing new to fold)
+    assert(Ivf.compactIndex(spark, idx) === f1)
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong)
+
+    // new appends land live and are visible beyond the horizon
+    Ivf.appendBatch(all.take(0).toSeq.toDF("vec_id", "raw")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding")),
+      $"embedding", centers, idx, 100L) // empty batch: harmless slice
+    val extra = Seq((9999L, all.head._2)).toDF("vec_id", "raw")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"))
+    Ivf.appendBatch(extra, $"embedding", centers, idx, 101L)
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong + 1)
+    val midTop = topIds(idx, centers, qEmb) // incl. the live tail row
+
+    // second compaction folds the tail AND prunes the first round's
+    // folded slices — live slice count is now bounded by the cadence,
+    // not the stream's lifetime
+    Ivf.compactIndex(spark, idx)
+    val postSlices = liveSlices(idx).size
+    assert(postSlices <= 2, s"folded slices not pruned: $postSlices live dirs")
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong + 1)
+    val postTop = topIds(idx, centers, qEmb)
+    assert(postTop === midTop, "probe results drifted after second compaction")
+
+    // probes on the compacted generation still prune cell partitions
+    val plan = Ivf.search(spark, idx, centers, qEmb, nProbe = 2, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell") ||
+      plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"compacted probe lost partition pruning:\n$plan")
+  }
 }

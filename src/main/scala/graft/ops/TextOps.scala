@@ -670,6 +670,13 @@ object TextOps {
     * text is scanned once and only chunk rows ever shuffle — and the
     * only shuffle is the shard-key repartition that controls output
     * file count. */
+  /** Deterministic scratch location for the declared read-back query:
+    * one shard set per (JVM tmpdir, source dir) — re-runs overwrite
+    * idempotently by [[writeTrainingShards]]'s contract. */
+  def trainingShardsDir(sourceDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_training_shards_" +
+      Integer.toHexString(sourceDir.hashCode)
+
   def writeTrainingShards(docs: DataFrame, keepers: DataFrame, outDir: String,
       nShards: Int = 64, chunk: Int = ChunkSize, stride: Int = ChunkStride): Unit =
     docs.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -1004,6 +1011,24 @@ object TextOps {
     "q_corpus_pipeline" -> ((s, dir) =>
       corpusPipelineKeepers(s, dir).orderBy("doc_id")),
 
+    // THE WRITE SIDE, read back (round-6 verdict item 3 — the last
+    // un-oracled pipeline stage): materialize the selected corpus as
+    // chunked training shards ([[writeTrainingShards]] — idempotent
+    // shard-partitioned rewrite), then re-read WHAT ACTUALLY LANDED
+    // ON DISK and hash-match it against a DuckDB replay of the full
+    // selection + chunking (keeper membership, chunk boundaries,
+    // chunk TEXT). The `shard` column stays out of the compared
+    // schema: it is Spark-Murmur3-derived (not DuckDB-expressible);
+    // its determinism and partition layout are spec-pinned instead.
+    "q_training_shards" -> ((s, dir) => {
+      val out = trainingShardsDir(dir)
+      writeTrainingShards(Tables.documents(s, dir),
+        corpusPipelineKeepers(s, dir), out)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
     // (context-window chunks of 64 tokens, stride 48 → 16-token
     // overlap; the tail chunk may be short; an empty doc yields one
@@ -1114,6 +1139,40 @@ object TextOps {
 
   val oracle: Map[String, String] = {
     val toksSql = tokensSql("text")
+    // The full training-data selection as a CTE stack ending in
+    // `keep` — ONE definition shared by q_corpus_pipeline and
+    // q_training_shards so the two oracles can never drift from each
+    // other (the Spark side already shares corpusPipelineKeepers).
+    val corpusKeepCtes =
+      s"""${minhashPairsSqlCtes()},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION ALL SELECT id_b, id_a FROM np),
+         |reach(n, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |${qualityCtesSql(withDigest = false)},
+         |$repCtesSql,
+         |sd AS (SELECT doc_id,
+         |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+         |sex AS (SELECT doc_id, unnest(hsh) AS h FROM sd),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n
+         |    FROM sex c JOIN sex e ON c.h = e.h
+         |    WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+         |    GROUP BY 1, 2 HAVING count(*) >= 3)),
+         |keep AS (
+         |  SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
+         |  FROM u
+         |  JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
+         |  JOIN rq ON rq.doc_id = u.doc_id
+         |  WHERE rq.distinct_ratio >= 0.5 AND rq.top_token_frac <= 0.2
+         |    AND rq.dup_bigram_frac <= 0.1
+         |    AND u.doc_id % 97 <> 0
+         |    AND u.doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND u.quality_score >= 0.3 AND u.marker_hits > 0)""".stripMargin
     Map(
       "q_dedup_exact" ->
         s"""SELECT md5(${normTextSql("text")}) AS text_hash,
@@ -1341,35 +1400,22 @@ object TextOps {
            |ORDER BY u.doc_id""".stripMargin,
 
       "q_corpus_pipeline" ->
-        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
-           |          UNION ALL SELECT id_b, id_a FROM np),
-           |reach(n, r) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
-           |${qualityCtesSql(withDigest = false)},
-           |$repCtesSql,
-           |sd AS (SELECT doc_id,
-           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-           |sex AS (SELECT doc_id, unnest(hsh) AS h FROM sd),
-           |cont AS (
-           |  SELECT DISTINCT doc_id FROM (
-           |    SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n
-           |    FROM sex c JOIN sex e ON c.h = e.h
-           |    WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
-           |    GROUP BY 1, 2 HAVING count(*) >= 3))
-           |SELECT u.doc_id, u.lang, u.n_tokens, u.quality_score
-           |FROM u
-           |JOIN lbl ON u.doc_id = lbl.doc_id AND lbl.cluster_rep = u.doc_id
-           |JOIN rq ON rq.doc_id = u.doc_id
-           |WHERE rq.distinct_ratio >= 0.5 AND rq.top_token_frac <= 0.2
-           |  AND rq.dup_bigram_frac <= 0.1
-           |  AND u.doc_id % 97 <> 0
-           |  AND u.doc_id NOT IN (SELECT doc_id FROM cont)
-           |  AND u.quality_score >= 0.3 AND u.marker_hits > 0
-           |ORDER BY u.doc_id""".stripMargin,
+        s"""WITH RECURSIVE $corpusKeepCtes
+           |SELECT doc_id, lang, n_tokens, quality_score
+           |FROM keep ORDER BY doc_id""".stripMargin,
+
+      "q_training_shards" ->
+        s"""WITH RECURSIVE $corpusKeepCtes,
+           |ct AS (SELECT d.doc_id, d.lang, $toksSql AS toks
+           |  FROM documents d
+           |  WHERE d.doc_id IN (SELECT doc_id FROM keep)),
+           |ce AS (SELECT doc_id, lang, toks, len(toks) AS n FROM ct),
+           |cw AS (SELECT doc_id, lang, toks, n,
+           |    unnest(range(0, GREATEST(n, 1), $ChunkStride)) AS start FROM ce)
+           |SELECT doc_id, lang,
+           |  CAST(start // $ChunkStride AS INTEGER) AS chunk_idx,
+           |  array_to_string(toks[start + 1:start + $ChunkSize], ' ') AS chunk_text
+           |FROM cw ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q_simhash" ->
         s"""WITH h AS (SELECT doc_id,

@@ -77,6 +77,56 @@ object Multimodal {
     }
   }
 
+  /** Image-aware decoder: REAL container metadata for image payloads —
+    * [[ImageHeader]]'s pure-JVM PNG IHDR / GIF LSD / JPEG SOFn parsing,
+    * no codec dependency — inside the same per-partition lifecycle;
+    * audio/video fall back to the stub (this container has no A/V
+    * codecs, and header-only sniffing is the image-specific win). An
+    * image payload that does not parse keeps the stub features: the
+    * decoder is a featurizer, not a validator — corrupt-payload
+    * filtering is a gate the pipeline composes on top. */
+  class ImageHeaderDecoder extends StubDecoder {
+    override def decode(row: MediaRow): MediaFeatures = {
+      val base = super.decode(row)
+      if (row.kind != "image") base
+      else ImageHeader.parse(row.payload) match {
+        case Some(m) => base.copy(width = m.width, height = m.height,
+          n_frames = 1, duration_ms = 0L)
+        case None => base
+      }
+    }
+  }
+
+  /** Deterministic REAL-encoder image fixture: one tiny image per
+    * document row, encoded by the JDK's own ImageIO writers (PNG,
+    * JPEG, GIF round-robin by id) at dimensions derived from the id —
+    * so the header parser is exercised against genuine encoder output
+    * (JFIF APP0 segments, quantization/Huffman tables before the SOF,
+    * palette GIFs), not hand-crafted byte strings, and the expected
+    * dimensions stay SQL-expressible for the oracle. */
+  def imagesFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fmt = ImageFixture.formatOf(id)
+        MediaRow(id, "image", ImageFixture.encode(fmt,
+          ImageFixture.widthOf(id), ImageFixture.heightOf(id), id),
+          s"synthetic/$fmt", None)
+      }
+  }
+
+  /** Parsed image-container metadata, map-side (no payload shuffle):
+    * (media_id, format, width, height). Unparseable payloads are
+    * dropped — this is the resolution/format gate shape. */
+  def imageMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ImageHeader.parse(r.payload)
+        .map(m => (r.media_id, m.format, m.width, m.height))
+    }.toDF("media_id", "format", "width", "height")
+  }
+
   /** Fixture: wrap the documents table as media rows (text bytes as the
     * opaque payload) — exercises the identical plumbing a real binary
     * ingest would use. */

@@ -65,4 +65,57 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.forall(s => s.byte_offset == s.frame_idx.toLong * bpf))
     }
   }
+
+  test("image headers parse real encoder output for png, jpeg, and gif") {
+    import graft.multimodal.{ImageFixture, ImageHeader}
+    Seq(("png", 17, 23), ("jpeg", 640, 480), ("gif", 4, 4),
+        ("png", 1, 1), ("jpeg", 1, 1)).foreach { case (fmt, w, h) =>
+      val bytes = ImageFixture.encode(fmt, w, h, id = 42L)
+      val m = ImageHeader.parse(bytes)
+      assert(m.contains(ImageHeader.ImageMeta(fmt, w, h)),
+        s"$fmt ${w}x$h parsed as $m")
+    }
+  }
+
+  test("image header parser rejects truncated, corrupt, and non-image bytes") {
+    import graft.multimodal.{ImageFixture, ImageHeader}
+    val png = ImageFixture.encode("png", 10, 10, 1L)
+    val jpg = ImageFixture.encode("jpeg", 10, 10, 1L)
+    assert(ImageHeader.parse(png.take(20)).isEmpty, "truncated png")
+    assert(ImageHeader.parse(jpg.take(3)).isEmpty, "truncated jpeg")
+    assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(ImageHeader.parse(null).isEmpty)
+    // corrupt jpeg: break segment sync after SOI
+    val corrupt = jpg.clone(); corrupt(2) = 0x00
+    assert(ImageHeader.parse(corrupt).isEmpty, "desynced jpeg")
+    // jpeg walk must skip an injected APP1 (EXIF-style) segment and
+    // still find the SOF behind it: FF E1, len=0x0008 (2 len bytes +
+    // 6 payload bytes: "Exif\0\0")
+    val app1 = Array(0xff, 0xe1, 0x00, 0x08,
+      'E'.toInt, 'x'.toInt, 'i'.toInt, 'f'.toInt, 0x00, 0x00).map(_.toByte)
+    val withApp1 = jpg.take(2) ++ app1 ++ jpg.drop(2)
+    assert(ImageHeader.parse(withApp1).contains(
+      ImageHeader.ImageMeta("jpeg", 10, 10)), "APP1 not skipped")
+  }
+
+  test("ImageHeaderDecoder yields real dimensions inside the partition lifecycle") {
+    import graft.multimodal.Multimodal, graft.multimodal.ImageFixture
+    val media = Multimodal.imagesFromDocuments(spark, dir)
+    val feats = Multimodal.extractFeatures(media,
+      () => new Multimodal.ImageHeaderDecoder).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width === ImageFixture.widthOf(f.media_id), s"media ${f.media_id}")
+      assert(f.height === ImageFixture.heightOf(f.media_id))
+      assert(f.n_frames === 1 && f.duration_ms === 0L)
+    }
+    // non-image kinds keep stub features (no codecs for a/v)
+    val av = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, dir).filter(_.kind != "image"),
+      () => new Multimodal.ImageHeaderDecoder).collect()
+    val stub = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, dir).filter(_.kind != "image")).collect()
+    assert(av.sortBy(_.media_id).toSeq === stub.sortBy(_.media_id).toSeq)
+  }
 }

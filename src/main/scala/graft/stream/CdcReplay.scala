@@ -274,7 +274,7 @@ object CdcReplay {
     * which checkpoint owns the log; a fresh checkpoint over a
     * non-fresh log dir — or a log dir stamped for a different
     * checkpoint — is a hard error instead of silent corruption. */
-  private def enforceCheckpointPairing(spark: SparkSession, logDir: String,
+  private[graft] def enforceCheckpointPairing(spark: SparkSession, logDir: String,
       checkpoint: String): Unit = {
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -309,8 +309,65 @@ object CdcReplay {
           "checkpoint. Use the original checkpoint or a fresh log dir.")
     if (stamped.isEmpty) {
       fs.mkdirs(logPath)
-      val out = fs.create(stamp, true)
-      try out.write(canonical.getBytes("UTF-8")) finally out.close()
+      // adopting a pre-stamp-era log (checkpoint already started,
+      // partitions on disk, no stamp) is the legal upgrade path, but
+      // it is also what a MIS-PAIRED manual wiring looks like — say so
+      // instead of stamping silently (ADVICE r6)
+      if (checkpointStarted && logPartitions(spark, logDir).nonEmpty)
+        System.err.println(
+          s"[cdc] adopting unstamped CDC log $logDir for checkpoint " +
+            s"$canonical — verify this is the log that checkpoint wrote")
+      // ATOMIC claim: two concurrent startLog calls on the same fresh
+      // log dir both observe "no stamp" above; an overwriting create
+      // would let the second clobber the first and BOTH queries run,
+      // silently violating the one-checkpoint-per-log invariant.
+      // Exactly one claim wins; the loser re-reads and re-validates —
+      // same checkpoint is a benign self-race, a different one is the
+      // hard error the stamp exists to throw.
+      if (!claimStamp(fs, stamp, canonical)) {
+        val winner = {
+          val in = fs.open(stamp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        if (winner != canonical)
+          throw new IllegalStateException(
+            s"CDC log dir $logDir was concurrently stamped for " +
+              s"checkpoint $winner, not $checkpoint — each replay log " +
+              "is owned by exactly one checkpoint.")
+      }
+    }
+  }
+
+  /** Create `stamp` with `content` EXCLUSIVELY — returns false if some
+    * other writer (concurrent or prior) owns it. On a local filesystem
+    * Hadoop's `create(…, overwrite = false)` is check-then-act (both
+    * racers pass the exists probe, the second truncates the first), so
+    * the local path commits via hardlink instead: write a private temp
+    * file, then `Files.createLink(stamp, tmp)` — POSIX link(2) fails
+    * EEXIST atomically and publishes the full content in one step (no
+    * empty-stamp window for a concurrent reader). Non-local
+    * filesystems keep `create(false)`, which IS atomic on HDFS-likes. */
+  private def claimStamp(fs: org.apache.hadoop.fs.FileSystem,
+      stamp: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val bytes = content.getBytes("UTF-8")
+    if (fs.getUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(stamp.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, ".cdc_stamp_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try { java.nio.file.Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(stamp, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(stamp) => false
+      }
     }
   }
 

@@ -939,4 +939,55 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("owned by exactly one"))
   }
+
+  test("concurrent startLog stamping: at most one checkpoint ever wins a log dir") {
+    // the pairing check is startLog's pre-start critical section —
+    // race it directly: two threads, different checkpoints, same fresh
+    // log dir, released together. The atomic no-overwrite create must
+    // let AT MOST one through per trial (the loser re-reads and gets
+    // the hard error), and the stamp must name the winner. With the
+    // old overwriting create, both threads pass whenever both read
+    // "no stamp" before either writes — the barrier makes that likely,
+    // so a regression fails within a few of the 20 trials.
+    val enforce = (log: String, ckpt: String) =>
+      graft.stream.CdcReplay.enforceCheckpointPairing(spark, log, ckpt)
+    (1 to 20).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_stamp_race_$trial").toString
+      val log = s"$root/log"
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+      val threads = Seq("a", "b").map { name =>
+        new Thread(() => {
+          gate.await()
+          try enforce(log, s"$root/ckpt_$name")
+          catch { case t: Throwable => results.put(name, t); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val failures = results.size()
+      assert(failures >= 1,
+        s"trial $trial: both checkpoints claimed the same fresh log dir")
+      results.values().forEach(t =>
+        assert(t.isInstanceOf[IllegalStateException], s"trial $trial: $t"))
+      // the stamp names exactly the surviving checkpoint
+      val stamped = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$log/.cdc_checkpoint_stamp")), "UTF-8").trim
+      val winners = Seq("a", "b").filterNot(results.containsKey)
+      winners.foreach(w => assert(stamped.endsWith(s"ckpt_$w"),
+        s"trial $trial: stamp '$stamped' does not name winner $w"))
+    }
+    // benign self-race: the SAME checkpoint from two threads must
+    // always succeed on both sides (lost create + matching re-read)
+    val root = java.nio.file.Files.createTempDirectory("graft_stamp_same").toString
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map(_ => new Thread(() => {
+      gate.await()
+      try enforce(s"$root/log", s"$root/ckpt")
+      catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"same-checkpoint self-race must be benign: $errs")
+  }
 }

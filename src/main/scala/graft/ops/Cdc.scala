@@ -97,34 +97,48 @@ object Cdc {
     // log, LWW across the union, tombstones applied at the end). The
     // oracle resolves the FULL envelope log directly: the split must
     // be invisible.
-    "q_cdc_store" -> ((s, dir) => {
-      import graft.stream.{CdcReplay, CdcSpec}
+    "q_cdc_store" -> ((s, dir) =>
+      lwwView(graft.stream.CdcReplay.currentState(s, s"${storeFor(s, dir)}/log",
+        Some(s"${storeFor(s, dir)}/state"), storeSpec)))
+  )
+
+  private val storeSpec =
+    graft.stream.CdcSpec(Seq("user_id"), Seq("ts", "event_id"), ageCol = "ts")
+
+  /** q_cdc_store's fixture store, built ONCE PER (JVM, source dir) —
+    * the store derives deterministically from the source tables, so a
+    * repeat invocation (Verify + Bench + QTime reps in one process)
+    * reuses it instead of accumulating one temp store and one shutdown
+    * hook per call (ADVICE r6). One hook sweeps the whole cache. */
+  private val storeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val storeSweeper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      storeCache.values().forEach(root => rm(new java.io.File(root)))
+    }))
+  }
+
+  private def storeFor(s: SparkSession, dir: String): String =
+    storeCache.computeIfAbsent(dir, _ => {
+      storeSweeper
+      import graft.stream.CdcReplay
       val root = java.nio.file.Files
         .createTempDirectory("graft_cdc_store").toString
-      // the fixture store outlives this builder (the returned plan is
-      // lazy), so clean it at JVM exit — Verify/Bench invoke this
-      // repeatedly in one process and must not accumulate stores
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(root))
-      }))
       val (log, state) = (s"$root/log", s"$root/state")
-      val spec = CdcSpec(Seq("user_id"), Seq("ts", "event_id"), ageCol = "ts")
       val muts = eventLog(s, dir)
       (0 to 3).foreach(b => CdcReplay.logBatch(log)(
         muts.filter(pmod(col("event_id"), lit(6)) === b), b.toLong))
-      CdcReplay.compact(s, log, state, version = 0L, spec = spec)
+      CdcReplay.compact(s, log, state, version = 0L, spec = storeSpec)
       // second compaction expires the deferred prune → the trailing
       // log below is genuinely the ONLY un-snapshotted history
-      CdcReplay.compact(s, log, state, version = 1L, spec = spec)
+      CdcReplay.compact(s, log, state, version = 1L, spec = storeSpec)
       (4 to 5).foreach(b => CdcReplay.logBatch(log)(
         muts.filter(pmod(col("event_id"), lit(6)) === b), b.toLong))
-      lwwView(CdcReplay.currentState(s, log, Some(state), spec))
+      root
     })
-  )
 
   val oracle: Map[String, String] = Map(
     // same log + LWW resolution, window-spelled (DuckDB sorts are fine

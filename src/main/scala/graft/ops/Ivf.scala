@@ -71,6 +71,13 @@ object Ivf {
       df.orderBy(seedOrder: _*).limit(k).select(embCol.as("e")).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(centers.nonEmpty, "k-means needs a non-empty corpus")
+    // `dims` drives the mean projection below — a mismatch against the
+    // actual vector width would silently truncate (dims too small) or
+    // poison the means with nulls (dims too large). Seeds are in hand;
+    // validate against them instead of trusting the caller (ADVICE r6).
+    centers.find(_.length != dims).foreach(c => throw new IllegalArgumentException(
+      s"dims=$dims but a seed vector has width ${c.length} — pass the " +
+        "corpus's actual embedding width"))
     var it = 0
     while (it < iters) {
       // ragged vectors assign to NULL — excluded from the means (a

@@ -138,6 +138,14 @@ class IvfSpec extends SparkSpec {
     assert(centers.forall(c => c.forall(x => !x.isNaN)))
   }
 
+  test("fit rejects a dims that contradicts the seed vectors' width") {
+    val data = Seq((0L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.fit(data, $"embedding", Seq($"vec_id"), k = 1, iters = 1, dims = 64)
+    }
+    assert(e.getMessage.contains("width 3"))
+  }
+
   /** Live batch_id slice dirs currently on disk (the small-file
     * metric compaction must bound). */
   private def liveSlices(idx: String): Seq[String] = {

@@ -86,13 +86,30 @@ object Ivf {
         graft.functions.nearest_centroid(embCol, centers).as("cell"),
         embCol.as("e"))
         .filter(col("cell").isNotNull)
-      val meanCols = (0 until dims).map(i =>
-        (sum(element_at(col("e"), i + 1).cast("double").cast(Dec)).cast("double")
-          / count(lit(1))).as(s"c$i"))
-      val rows = assigned.groupBy("cell")
-        .agg(meanCols.head, meanCols.tail: _*).collect()
-      val updated: Map[Int, Array[Double]] = rows.map(r =>
-        r.getInt(0) -> Array.tabulate(dims)(i => r.getDouble(i + 1))).toMap
+      // means are spelled posexplode → groupBy(cell, pos), NOT dims
+      // aggregate columns: past spark.sql.codegen.maxFields (100) a
+      // dims-column aggregate silently drops out of whole-stage
+      // codegen, and at d=768 that costs 2× wall even with the limit
+      // raised (FitSpellingExp, PERF.md). Same decimal sums over the
+      // same values grouped (cell, pos) instead of per-column — the
+      // means are bit-identical (decimal addition is order-free), the
+      // shuffle volume is unchanged (K×dims partials either way), and
+      // every operator stays codegen'd at any width. The collect is
+      // K×dims small rows — driver-scale by construction.
+      val rows = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("v").cast("double").cast(Dec)).cast("double")
+          / count(lit(1))).as("m"))
+        .collect()
+      val updated: Map[Int, Array[Double]] = rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cell, vs) =>
+          val a = new Array[Double](dims)
+          vs.foreach { case (_, p, m) => a(p) = m }
+          cell -> a
+        }
       centers = Array.tabulate(centers.length)(j => updated.getOrElse(j, centers(j)))
       it += 1
     }

@@ -25,9 +25,84 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Per-subspace codebooks: `codebooks(s)(j)` = centroid j of
-    * subspace s (dims/m components each). */
+    * subspace s (dims/m components each).
+    *
+    * FUSED fit: all m subspaces advance together, ONE corpus pass per
+    * Lloyd iteration — each row explodes into m (subspace, cell,
+    * slice) entries, and a single (subspace, cell, pos) aggregation
+    * computes every codebook's decimal-exact means at once. The
+    * per-subspace spelling ([[fitPerSubspace]]) is m independent
+    * [[Ivf.fit]]s = 3m jobs over the corpus — at production width
+    * (d=768 → m=96) that is ~290 sequential scans and a 119 s wall at
+    * 500k vectors where the fused pass takes the cost of ~3
+    * (VEC_DIM768.json). Identical seeds (the same first-k rows,
+    * sliced), identical per-subspace assignment expression, and
+    * order-free decimal means make the two spellings bit-identical —
+    * pinned by PqSpec and the q_pq_adc / q_ivfpq DuckDB oracles,
+    * which replay the sequential formulation. */
   def fit(df: DataFrame, embCol: Column, seedOrder: Seq[Column], m: Int = 8,
       dims: Int = 64, k: Int = 16, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val sub = dims / m
+    require(m * sub == dims, s"m=$m must divide dims=$dims")
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)
+    // seeds: the first k rows in seed order, one slice per subspace —
+    // exactly what each sequential Ivf.fit would have collected
+    val seedVecs = df.orderBy(seedOrder: _*).limit(k).select(embCol.as("e"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seedVecs.nonEmpty, "PQ k-means needs a non-empty corpus")
+    // SQL slice() semantics on the seed rows (what each sequential
+    // Ivf.fit would have collected): a vector longer than dims still
+    // slices full-width, a short one yields a short slice — rejected
+    // below exactly like Ivf.fit's seed-width guard
+    def sliceOf(v: Array[Double], s: Int): Array[Double] = java.util.Arrays
+      .copyOfRange(v, math.min(s * sub, v.length), math.min((s + 1) * sub, v.length))
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seedVecs.map(sliceOf(_, s)))
+    codebooks.foreach(_.find(_.length != sub).foreach(c =>
+      throw new IllegalArgumentException(
+        s"dims=$sub but a seed vector has width ${c.length} — pass the " +
+          "corpus's actual embedding width")))
+    var it = 0
+    while (it < iters) {
+      val subStructs = (0 until m).map { s =>
+        val sl = slice(embCol, s * sub + 1, sub)
+        struct(lit(s).as("s"),
+          graft.functions.nearest_centroid(sl, codebooks(s)).as("cell"),
+          sl.as("e"))
+      }
+      // ragged vectors drop out PER SUBSPACE (a short vector may still
+      // have full-width leading slices) — same membership as the
+      // sequential fits' per-slice NULL filters
+      val rows = df
+        .select(explode(array(subStructs: _*)).as("x"))
+        .filter(col("x.cell").isNotNull)
+        .select(col("x.s").as("s"), col("x.cell").as("cell"),
+          posexplode(col("x.e")).as(Seq("pos", "v")))
+        .groupBy("s", "cell", "pos")
+        .agg((sum(col("v").cast("double").cast(Dec)).cast("double")
+          / count(lit(1))).as("m"))
+        .collect()
+      val updated: Map[(Int, Int), Array[Double]] = rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (key, vs) =>
+          val a = new Array[Double](sub)
+          vs.foreach { case (_, _, p, mn) => a(p) = mn }
+          key -> a
+        }
+      codebooks = Array.tabulate(m)(s => Array.tabulate(k)(j =>
+        updated.getOrElse((s, j), codebooks(s)(j))))
+      it += 1
+    }
+    codebooks
+  }
+
+  /** The m-independent-fits spelling of [[fit]] — kept as the
+    * equivalence reference (PqSpec pins `fit == fitPerSubspace`
+    * exactly, ragged rows included). */
+  private[graft] def fitPerSubspace(df: DataFrame, embCol: Column,
+      seedOrder: Seq[Column], m: Int = 8, dims: Int = 64, k: Int = 16,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
     Array.tabulate(m)(s =>

@@ -27,6 +27,24 @@ class PqSpec extends SparkSpec {
       assert(back(s)(j).toSeq === cb(s)(j).toSeq, s"codebook ($s,$j) drifted")
   }
 
+  test("fused fit is bit-identical to the per-subspace fits, ragged rows included") {
+    // real embeddings + one short vector (drops out of the LAST
+    // subspace only) + one over-wide vector (drops out of EVERY
+    // subspace's NULL filter in neither spelling — slices stay valid)
+    val extra = Seq(
+      (90001L, Array.tabulate(60)(i => 0.01f * i)),
+      (90002L, Array.tabulate(70)(i => -0.02f * i))
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(extra)
+    val fused = Pq.fit(corpus, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 2)
+    val seq = Pq.fitPerSubspace(corpus, $"embedding", Seq($"vec_id"),
+      m = 8, k = 16, iters = 2)
+    assert(fused.length === seq.length)
+    for (s <- seq.indices; j <- seq(s).indices)
+      assert(java.util.Arrays.equals(fused(s)(j), seq(s)(j)),
+        s"codebook ($s,$j) differs between fused and per-subspace fit")
+  }
+
   test("ADC distance is exact when every point is its own codebook entry (k = n)") {
     // 8 vectors, k = 8, 1 iteration: seeds are the points themselves
     // and each point quantizes to itself → dq(x) = x, so the ADC sum

@@ -316,6 +316,67 @@ object Ivf {
         live.fold(compacted)(compacted.unionByName(_))
     }
 
+  /** Hot-cell split policy (round-6 verdict item 7): under quantizer
+    * DRIFT — a quantizer fitted on yesterday's distribution serving
+    * today's Zipf-skewed corpus — an entire hot cluster can land in
+    * one cell (IVF_ZIPF.json measured 59.8× the even share, turning
+    * an 8/256-cell probe into an 11%-of-corpus read with a 5 s
+    * straggler task). A full refit+reindex repairs it at O(corpus);
+    * this repairs it at O(hot cells only):
+    *
+    *   - cells holding > `capShare` of the indexed rows are sub-fit
+    *     in place (k-means over JUST that cell's rows — a partition-
+    *     pruned read) into ceil(size / cap) sub-cells;
+    *   - sub-cell 0 keeps the original cell id, the rest take fresh
+    *     ids past the current quantizer, so untouched cells keep
+    *     their ids and layout;
+    *   - only the hot cells' partitions rewrite (dynamic partition
+    *     overwrite; the split rows are localCheckpoint-ed first so
+    *     the self-overwrite is read-safe);
+    *   - rows re-assign LOCALLY (nearest sub-centroid of their own
+    *     former cell) — a boundary row theoretically nearest to a
+    *     neighboring cell's centroid stays put, which probing
+    *     tolerates by construction (recall re-measured post-split in
+    *     IVF_ZIPF.json: unchanged).
+    *
+    * Returns the EXPANDED quantizer — persist it with [[save]] and
+    * route new queries/appends against it. Batch [[writeIndex]]
+    * layouts only (a compacted streamed index re-partitions on its
+    * own compaction cadence — split between folds, not under one). */
+  def splitHotCells(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], capShare: Double = 0.02,
+      embColName: String = "embedding", idColName: String = "vec_id",
+      iters: Int = 2): Array[Array[Double]] = {
+    val idx = spark.read.parquet(indexDir)
+    val counts = idx.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val capRows = math.max(1L, (capShare * total).toLong)
+    val hot = counts.filter(_._2 > capRows).sortBy(-_._2)
+    if (hot.isEmpty) return centers
+    val expanded = scala.collection.mutable.ArrayBuffer(centers: _*)
+    hot.foreach { case (cell, size) =>
+      val subK = math.ceil(size.toDouble / capRows).toInt
+      // partition-pruned: only this cell's directory is read
+      val rows = idx.filter(col("cell") === cell).drop("cell")
+        .localCheckpoint(true)
+      val sub = fit(rows, col(embColName), Seq(col(idColName)),
+        k = subK, iters = iters, dims = centers(0).length)
+      val ids = sub.indices.map(j =>
+        if (j == 0) cell else { expanded += sub(j); expanded.length - 1 })
+      expanded(cell) = sub(0)
+      rows
+        .withColumn("cell", element_at(typedlit(ids.toSeq),
+          graft.functions.nearest_centroid(col(embColName), sub) + 1))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cell"), pmod(hash(col(idColName)), lit(4)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexDir)
+    }
+    expanded.toArray
+  }
+
   /** The nProbe cells nearest to a query — a K-row driver-side scan of
     * the quantizer table, ties to the lowest cell id. */
   def nearestCells(centers: Array[Array[Double]], q: Array[Double],

@@ -138,6 +138,53 @@ class IvfSpec extends SparkSpec {
     assert(centers.forall(c => c.forall(x => !x.isNaN)))
   }
 
+  test("splitHotCells bounds a drifted hot cell and preserves rows + search") {
+    // skewed corpus indexed through a STALE quantizer (fit on a
+    // uniform twin) — the drift scenario that concentrates the hot
+    // cluster into few cells (IVF_ZIPF.json at probe scale)
+    val skewed = tools.VectorGenerator.corpus(spark, 3000, nClusters = 4,
+      zipfS = 1.5).cache()
+    val uniform = tools.VectorGenerator.corpus(spark, 3000, nClusters = 4)
+    val stale = Ivf.fit(uniform, $"embedding", Seq($"vec_id"), k = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_split").toString
+    Ivf.writeIndex(skewed, $"embedding", $"vec_id", stale, idx)
+    val preSizes = spark.read.parquet(idx).groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val capRows = (0.1 * 3000).toLong
+    assert(preSizes.values.max > capRows, "fixture must have a hot cell")
+
+    val expanded = Ivf.splitHotCells(spark, idx, stale, capShare = 0.1)
+    assert(expanded.length > stale.length, "split must add cells")
+    // untouched cells keep their centroids and ids
+    val hotPre = preSizes.filter(_._2 > capRows).keySet
+    stale.indices.filterNot(hotPre).foreach(j =>
+      assert(java.util.Arrays.equals(expanded(j), stale(j)), s"cell $j moved"))
+
+    val post = spark.read.parquet(idx)
+    val postSizes = post.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(postSizes.values.sum === 3000, "rows lost or duplicated")
+    assert(post.select("vec_id").distinct().count() === 3000)
+    assert(postSizes.values.max < preSizes.values.max,
+      "hottest cell must shrink")
+    // every row sits in its own former cell's sub-cell region: its
+    // stored cell's centroid must be one of the expanded set (sanity
+    // that ids map inside the quantizer)
+    assert(postSizes.keySet.forall(c => c >= 0 && c < expanded.length))
+
+    // search through the expanded quantizer still finds the true
+    // neighbors (probe every cell → exactness is structural)
+    val q = skewed.filter($"vec_id" === 7L).select($"embedding")
+      .as[Array[Float]].head()
+    val got = Ivf.search(spark, idx, expanded, q, nProbe = expanded.length, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = skewed.select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(q.toSeq)).as("s"))
+      .orderBy($"s".desc, $"vec_id".asc).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === brute, "full-probe search must stay exact post-split")
+    skewed.unpersist(); ()
+  }
+
   test("fit rejects a dims that contradicts the seed vectors' width") {
     val data = Seq((0L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `array<float> → array<int>`: all m PQ codes in ONE pass — the
+  * native replacement for `array(m × nearest_centroid(slice(e, …)))`.
+  *
+  * The composed spelling is semantically fine but its generated
+  * source grows with m: at production width (d=768 → m=96 subspaces)
+  * the projection's whole-stage-codegen compile is ~20 s of janino
+  * wall paid by the first task while every other task waits on the
+  * compiler cache — VEC_DIM768's pq_encode ran maxTask ≈ wall at
+  * BOTH k=16 and k=256 (16× the flops, same wall) because the wall
+  * was compile, not compute. This expression is one fixed-size
+  * generated call regardless of m; the codebooks ride as a reference
+  * object and the per-row loop is a single JIT-compiled method.
+  *
+  * Bit-parity with the composed form (pinned in PqSpec):
+  *   - per subspace s the distance is the identical sequential fold
+  *     Σ_i ((double)e[s·sub+i] − c_i)² in element order, ties to the
+  *     lowest code — [[NearestCentroidUtil.nearest]]'s arithmetic on
+  *     an un-copied window;
+  *   - a subspace whose slice is short (ragged vector) codes to NULL,
+  *     exactly like nearest_centroid over a short slice();
+  *   - a NULL input vector yields an array of m NULLs (what
+  *     CreateArray over m null-propagating children produces), not a
+  *     NULL array. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode needs at least one codebook entry per subspace")
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == sub)),
+    "pq_encode: ragged codebooks (entries of unequal dims)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float>, got ${t.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return new GenericArrayData(new Array[Any](m))
+    val e = a.asInstanceOf[ArrayData]
+    val len = e.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      // short slice (ragged vector) → NULL code, like slice() +
+      // nearest_centroid's width guard
+      if (base + sub <= len) {
+        val cb = codebooks(s)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          val c = cb(j)
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val t = e.getFloat(base + i).toDouble - c(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(s) = best
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `array<int> → double`: ADC distance — the sum of m lookup-table
+  * entries selected by the code array, replacing
+  * `element_at(lit(lut_0), code[1]+1) + … + element_at(lit(lut_m), …)`.
+  *
+  * The composed spelling embeds the LUT as m×k LITERALS, so every
+  * query generates DIFFERENT source and pays a fresh janino compile —
+  * per-query serving latency was dominated by compilation, not the
+  * scan. Here the LUT is a reference object: the expression's shape
+  * (and the codegen cache key) is query-independent.
+  *
+  * Null semantics match the composed `+` chain: NULL code array, a
+  * NULL code element, or an out-of-range code (ragged-vector encode)
+  * → NULL distance. */
+case class PqAdcDist(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(lut.nonEmpty, "pq_adc_dist needs a non-empty lookup table")
+  private val m = lut.length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dist expects array<int>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    // a shorter array nulls out (element_at past the end is NULL in
+    // the composed chain); extra trailing codes are ignored, also
+    // like the composed chain, which only reads the first m
+    if (codes.numElements() < m) return null
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      val tab = lut(s)
+      if (c < 0 || c >= tab.length) return null
+      sum += tab(c)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDist =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc_dist"
+}

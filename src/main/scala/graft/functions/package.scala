@@ -52,6 +52,16 @@ package object functions {
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
     shims.column(NearestCentroid(shims.expression(emb), centroids))
 
+  /** All m PQ codes in one pass (codebooks ride as a reference
+    * object — compile cost independent of m). */
+  def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    shims.column(PqEncode(shims.expression(emb), codebooks))
+
+  /** ADC distance of a PQ code array behind a per-query lookup table
+    * (reference object — no per-query codegen recompile). */
+  def pq_adc_dist(code: Column, lut: Array[Array[Double]]): Column =
+    shims.column(PqAdcDist(shims.expression(code), lut))
+
   /** Codegen'd sign-LSH bucket id over a fixed hyperplane table. */
   def sign_lsh_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     shims.column(SignLshBucket(shims.expression(emb), planes))

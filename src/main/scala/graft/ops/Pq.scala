@@ -109,9 +109,18 @@ object Pq {
       Ivf.fit(df, slice(embCol, s * sub + 1, sub), seedOrder, k, iters, sub))
   }
 
-  /** Add the `pq_code` column (array<int>, m entries) — one pass, m
-    * codegen'd nearest-centroid scans. */
+  /** Add the `pq_code` column (array<int>, m entries) — ONE native
+    * pass over all m subspaces ([[graft.functions.PqEncode]]; the
+    * m-expression composed spelling paid an m-proportional
+    * whole-stage-codegen compile, ~20 s of first-task wall at m=96).
+    * Bit-parity with the composed form is pinned in PqSpec. */
   def encode(df: DataFrame, embCol: Column,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.withColumn("pq_code", graft.functions.pq_encode(embCol, codebooks))
+
+  /** The m-expression composed spelling of [[encode]] — kept as the
+    * equivalence reference for PqSpec. */
+  private[graft] def encodeComposed(df: DataFrame, embCol: Column,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val sub = codebooks(0)(0).length
     df.withColumn("pq_code", array(codebooks.indices.map(s =>
@@ -149,8 +158,25 @@ object Pq {
   }
 
   /** Approximate squared L2 distance of a coded vector to the query
-    * behind `lut` — m element_at lookups, fully map-side. */
+    * behind `lut` — fully map-side. Native ([[graft.functions
+    * .PqAdcDist]]): the composed element_at chain embedded the LUT as
+    * m×k literals, so every query generated fresh source and paid a
+    * janino recompile before its scan; as a reference object the
+    * expression's codegen shape is query-independent. Same
+    * left-to-right double fold in subspace order — bit-identical
+    * distances on well-formed codes (PqSpec pins it against the
+    * composed chain), and CORRECT NULL on ragged codes where the
+    * composed chain silently evaluated 0.0 (element_at over a
+    * non-nullable literal array with a NULL index skips the null
+    * branch — an ADC distance of 0.0 would rank the ragged row
+    * FIRST; PqSpec pins both behaviors). */
   def adcDistSq(codeCol: Column, lut: Array[Array[Double]]): Column =
+    graft.functions.pq_adc_dist(codeCol, lut)
+
+  /** The literal element_at chain — equivalence reference for
+    * PropertiesSpec. */
+  private[graft] def adcDistSqComposed(codeCol: Column,
+      lut: Array[Array[Double]]): Column =
     lut.indices.map(s =>
       element_at(typedlit(lut(s).toSeq), element_at(codeCol, s + 1) + 1))
       .reduce(_ + _)

@@ -45,6 +45,47 @@ class PqSpec extends SparkSpec {
         s"codebook ($s,$j) differs between fused and per-subspace fit")
   }
 
+  test("native encode and ADC are bit-identical to the composed spellings") {
+    val extra = Seq(
+      (90001L, Array.tabulate(60)(i => 0.01f * i)), // ragged: last subspace NULL
+      (90002L, Array.tabulate(70)(i => -0.02f * i)) // over-wide: all slices valid
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(extra)
+    val cb = Pq.fit(emb, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 1)
+
+    val nat = Pq.encode(corpus, $"embedding", cb)
+      .select($"vec_id", $"pq_code").as[(Long, Seq[Option[Int]])]
+      .collect().toMap
+    val comp = Pq.encodeComposed(corpus, $"embedding", cb)
+      .select($"vec_id", $"pq_code").as[(Long, Seq[Option[Int]])]
+      .collect().toMap
+    assert(nat === comp, "pq_encode diverges from the composed spelling")
+    assert(nat(90001L).last.isEmpty && nat(90001L).init.forall(_.isDefined),
+      "ragged row must NULL exactly its short subspace")
+
+    val q = emb.orderBy($"vec_id").select($"embedding").as[Array[Float]].head()
+    val lut = Pq.lutL2(cb, q.map(_.toDouble))
+    val both = Pq.encode(corpus, $"embedding", cb)
+      .select($"vec_id",
+        Pq.adcDistSq($"pq_code", lut).as("n"),
+        Pq.adcDistSqComposed($"pq_code", lut).as("c"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    both.filter(_._1 != 90001L).foreach { case (id, n, c) =>
+      assert(n === c, s"vec $id: native adc $n != composed $c (bit compare)")
+    }
+    // the ragged row is where the spellings MUST diverge: element_at
+    // over a non-nullable literal array with a NULL index silently
+    // evaluates to 0.0 (the literal's containsNull=false makes the
+    // whole chain claim non-nullable, so codegen skips the null
+    // branch) — an ADC "distance" of 0.0 would rank the ragged row
+    // FIRST. The native expression restores the documented contract:
+    // NULL distance, dropped by search()'s isNotNull gate.
+    val ragged = both.find(_._1 == 90001L).get
+    assert(ragged._2.isEmpty, "native ADC must NULL a ragged row's distance")
+    assert(ragged._3 === Some(0.0),
+      "composed chain's silent-zero quirk changed — revisit the scaladoc")
+  }
+
   test("ADC distance is exact when every point is its own codebook entry (k = n)") {
     // 8 vectors, k = 8, 1 iteration: seeds are the points themselves
     // and each point quantizes to itself → dq(x) = x, so the ADC sum

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -137,4 +137,94 @@ case class PqAdcDist(child: Expression, lut: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): PqAdcDist =
     copy(child = newChild)
   override def prettyName: String = "pq_adc_dist"
+}
+
+/** Generator: `array<float> → rows of (s, cell, pos, v)` — one row
+  * per (subspace, in-subspace position) of a vector, tagged with the
+  * subspace's PQ cell assignment. This IS one fused-PQ-fit Lloyd
+  * iteration's input: `groupBy(s, cell, pos).agg(decimal mean of v)`
+  * advances every codebook at once.
+  *
+  * Why a generator and not `pq_encode` + `posexplode`: the optimizer
+  * collapses adjacent projections THROUGH a Generate, so a codes
+  * column computed next to an explode is inlined into the consuming
+  * projection and re-evaluated once per EXPLODED row — dims
+  * re-evaluations of an m×k×sub assignment per vector (measured as a
+  * pq_fit leg that went from 114 s to not terminating). A generator's
+  * expression evaluates ONCE per input row by construction; no rule
+  * can inline work into its output side.
+  *
+  * Emission contract (bit-parity with the per-subspace fits'
+  * membership, PqSpec-pinned):
+  *   - a subspace with a short slice (ragged vector) emits nothing —
+  *     its sequential twin's NULL-cell filter;
+  *   - positions past m·sub (over-wide vector) emit nothing;
+  *   - a NULL element emits (s, cell, pos, NULL) — the decimal sum
+  *     skips it, exactly like summing an exploded NULL; the
+  *     assignment distance reads it as 0.0f, exactly like
+  *     [[NearestCentroidUtil.nearest]] over the raw array;
+  *   - a NULL vector emits nothing. */
+case class PqFitExplode(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with Generator with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_fit_explode needs at least one codebook entry per subspace")
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == sub)),
+    "pq_fit_explode: ragged codebooks (entries of unequal dims)")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", FloatType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_fit_explode expects array<float>, got ${t.sql}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) return Iterator.empty
+    val e = a.asInstanceOf[ArrayData]
+    val len = e.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](m * sub)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      if (base + sub <= len) {
+        val cb = codebooks(s)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          val c = cb(j)
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val t = e.getFloat(base + i).toDouble - c(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < sub) {
+          val v: Any = if (e.isNullAt(base + i)) null else e.getFloat(base + i)
+          out += InternalRow(s, best, i, v)
+          i += 1
+        }
+      }
+      s += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqFitExplode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_fit_explode"
 }

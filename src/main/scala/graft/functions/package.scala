@@ -62,6 +62,13 @@ package object functions {
   def pq_adc_dist(code: Column, lut: Array[Array[Double]]): Column =
     shims.column(PqAdcDist(shims.expression(code), lut))
 
+  /** Generator feeding one fused-PQ-fit Lloyd iteration: rows of
+    * (s, cell, pos, v) per vector — assignment evaluated once per
+    * input row by construction (use with `Dataset.select`, like
+    * `explode`). */
+  def pq_fit_explode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    shims.column(PqFitExplode(shims.expression(emb), codebooks))
+
   /** Codegen'd sign-LSH bucket id over a fixed hyperplane table. */
   def sign_lsh_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     shims.column(SignLshBucket(shims.expression(emb), planes))

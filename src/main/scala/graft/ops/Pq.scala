@@ -64,20 +64,16 @@ object Pq {
           "corpus's actual embedding width")))
     var it = 0
     while (it < iters) {
-      val subStructs = (0 until m).map { s =>
-        val sl = slice(embCol, s * sub + 1, sub)
-        struct(lit(s).as("s"),
-          graft.functions.nearest_centroid(sl, codebooks(s)).as("cell"),
-          sl.as("e"))
-      }
-      // ragged vectors drop out PER SUBSPACE (a short vector may still
-      // have full-width leading slices) — same membership as the
-      // sequential fits' per-slice NULL filters
+      // ONE native generator emits each vector's (s, cell, pos, v)
+      // rows with the per-subspace assignment computed exactly once
+      // per input row. NOT spelled as pq_encode + posexplode: the
+      // optimizer collapses projections THROUGH a Generate, inlining
+      // the encode into the consuming projection and re-evaluating it
+      // per EXPLODED row — dims × (m·k·sub) flops per vector, a
+      // non-terminating fit at d=768 (see PqFitExplode's scaladoc).
       val rows = df
-        .select(explode(array(subStructs: _*)).as("x"))
-        .filter(col("x.cell").isNotNull)
-        .select(col("x.s").as("s"), col("x.cell").as("cell"),
-          posexplode(col("x.e")).as(Seq("pos", "v")))
+        .select(graft.functions.pq_fit_explode(embCol, codebooks)
+          .as(Seq("s", "cell", "pos", "v")))
         .groupBy("s", "cell", "pos")
         .agg((sum(col("v").cast("double").cast(Dec)).cast("double")
           / count(lit(1))).as("m"))

@@ -58,6 +58,10 @@ object IvfZipfProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 512 MB over 32 files coalesces to ~4 input partitions at the
+      // default 128 MB split — 16 MB splits keep the map-side fit at
+      // full local width (see VecDimProbe; cluster default is right)
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -59,6 +59,12 @@ object VecDimProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 1.5 GB over 32 files coalesces to ~12 input partitions at the
+      // default 128 MB split — a 32-core box runs the map-side fit /
+      // encode at 12-wide with maxTask ≈ wall. 32 MB splits restore
+      // full width locally; on a real cluster the default is right
+      // (the corpus is many files ≫ cores).
+      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -89,9 +95,13 @@ object VecDimProbe {
       Ivf.writeIndex(corpus, col("embedding"), col("vec_id"), centers, s"$dir/index")
     }
 
+    // sorted: collect() order is partition order, and the PQ legs
+    // take a 16-query prefix — an unsorted prefix would silently
+    // change the query subset whenever the split size changes
     val qRows = corpus.filter(col("vec_id") < NQueries)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
     val queries = qRows.toSeq.toDF("q_id", "q_emb")
 
     def topkOf(candidates: DataFrame): DataFrame =

@@ -71,3 +71,67 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid"
 }
+
+/** `array<float> → array<int>`: the `nProbe` nearest centroids
+  * (squared-L2 ascending, ties → lowest cell), i.e. DISTRIBUTED IVF
+  * probe routing — the expression twin of the driver-side
+  * [[graft.ops.Ivf.nearestCells]] for batch serving, where routing a
+  * query FRAME through a collect would serialize on the driver.
+  * Identical arithmetic (the same sequential fold per centroid) and
+  * identical ordering, pinned against the driver form in IvfSpec.
+  * Ragged vectors (length ≠ centroid dims) yield NULL, like
+  * [[NearestCentroid]]. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.nonEmpty, "nearest_cells needs at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_cells: ragged centroid table (rows of unequal dims)")
+  require(nProbe > 0, "nearest_cells: nProbe must be positive")
+  private val dims = centroids(0).length
+  private val n = math.min(nProbe, centroids.length)
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    if (e.numElements() != dims) return null
+    // insertion-select the n best (d asc, cell asc); iterating cells
+    // in ascending order makes strict `<` keep the LOWEST cell on
+    // distance ties — the exact order sortBy((d, cell)) produces
+    val bd = Array.fill(n)(Double.PositiveInfinity)
+    val bc = Array.fill(n)(-1)
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      var d = 0.0
+      var i = 0
+      while (i < dims) {
+        val t = e.getFloat(i).toDouble - c(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bd(n - 1)) {
+        var j = n - 1
+        while (j > 0 && d < bd(j - 1)) {
+          bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+        }
+        bd(j) = d; bc(j) = k
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+}

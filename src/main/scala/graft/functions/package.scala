@@ -52,6 +52,12 @@ package object functions {
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
     shims.column(NearestCentroid(shims.expression(emb), centroids))
 
+  /** Distributed IVF probe routing: the nProbe nearest cells per row
+    * (squared-L2 asc, ties → lowest cell) as `array<int>`. */
+  def nearest_cells(emb: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    shims.column(NearestCells(shims.expression(emb), centroids, nProbe))
+
   /** All m PQ codes in one pass (codebooks ride as a reference
     * object — compile cost independent of m). */
   def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =

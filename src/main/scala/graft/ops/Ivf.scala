@@ -385,6 +385,64 @@ object Ivf {
       .map { case (c, j) => (distSq(q, c), j) }
       .sortBy(identity).take(nProbe).map(_._2).toSeq
 
+  /** Batch IVF serving over any (cell, vec_id, embedding) frame:
+    * every query routes DISTRIBUTEDLY to its nProbe cells (the native
+    * [[graft.functions.NearestCells]] expression — no driver
+    * round-trip per query), the routed (q_id, cell) pairs broadcast
+    * against the corpus, and per-query top-k comes from the bounded-
+    * state [[graft.functions.TopKAgg]] (one shuffle of K-row
+    * partials, no global sort). Output: (q_id, rank, vec_id,
+    * cos_sim) — q_batch_topk's shape, so the brute and routed forms
+    * are directly comparable.
+    *
+    * `queries` must have (q_id: long, q_emb: array<float>).
+    * `scoreRound`: decimal places to round cosine BEFORE ranking
+    * (Some(6) = the repo's oracle-parity contract); None = raw.
+    * `excludeSelf` drops vec_id == q_id matches (self-retrieval). */
+  def searchBatchOf(index: DataFrame, queries: DataFrame,
+      centers: Array[Array[Double]], nProbe: Int, topK: Int,
+      excludeSelf: Boolean = false, scoreRound: Option[Int] = None): DataFrame = {
+    val routed = queries.select(col("q_id"), col("q_emb"),
+      explode(graft.functions.nearest_cells(col("q_emb"), centers, nProbe))
+        .as("cell"))
+    val joined = index.join(broadcast(routed), Seq("cell"))
+    val candid =
+      if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined
+    val raw = graft.functions.cosine_sim(col("embedding"), col("q_emb"))
+    val score = scoreRound.fold(raw)(p => Util.roundTo(raw, p))
+    candid
+      .select(col("q_id"), score.as("cos_sim"),
+        // full 19-digit pad: lpad truncates beyond its target width,
+        // which would corrupt ids ≥ 10⁸ (q_batch_topk's lesson)
+        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), topK)
+        .as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").cast("long").as("vec_id"), col("col.score").as("cos_sim"))
+  }
+
+  /** [[searchBatchOf]] against a persisted index, with the probed
+    * cells' PARTITION PRUNING restored: the distinct routed cells are
+    * collected first (a tiny aggregate over the query frame — Q ×
+    * nProbe ints) and applied as a literal `cell IN (…)` filter, so
+    * the file scan reads only the probed partition directories — the
+    * broadcast join alone would scan every cell. Reads through
+    * [[readIndex]] (compacted generation + live tail). */
+  def searchBatch(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], queries: DataFrame, nProbe: Int,
+      topK: Int, excludeSelf: Boolean = false,
+      scoreRound: Option[Int] = None): DataFrame = {
+    val cells = queries
+      .select(explode(graft.functions.nearest_cells(col("q_emb"), centers,
+        nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val idx = readIndex(spark, indexDir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    searchBatchOf(idx, queries, centers, nProbe, topK, excludeSelf, scoreRound)
+  }
+
   /** Single-query IVF search against a persisted index: partition-
     * pruned scan of nProbe cells, exact cosine rerank, top-k. Reads
     * through [[readIndex]], so a compacted streamed index probes the

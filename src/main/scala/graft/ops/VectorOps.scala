@@ -64,6 +64,46 @@ object VectorOps {
   /** Deterministic pseudo-random hyperplane weights for sign-LSH,
     * derived from md5 so the DuckDB oracle reproduces them exactly:
     * w(j,i) = (hash60("hp<j>_<i>") % 2001 − 1000) / 1000 ∈ [−1, 1]. */
+  /** One Lloyd assignment pass in DuckDB: nearest (squared-L2,
+    * sequential fold) centroid from table `$src(cell, c)`, ties →
+    * lowest cell. Shared by the fit-replay oracles. */
+  private def fitAssignSql(src: String): String =
+    s"""SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${distSqSql("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $src c) WHERE rn = 1""".stripMargin
+
+  /** DuckDB replay of `Ivf.fit(k = 8, iters = 2)` (seeds = first 8
+    * rows by vec_id) as a CTE list ending in `c2(cell, c)` — the
+    * same seeds, assignment expression, and DECIMAL(28,9) means as
+    * the Spark fit, so the quantizers are bit-equal (order-free
+    * decimal sums). Shared prefix of the q_ann_ivf_built and
+    * q_ivf_batch oracles. */
+  private def fitReplayCtes: String = {
+    // decimal-exact per-dimension means of one assignment
+    def meansSql(a: String) =
+      s"""SELECT cell, i AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+         |      / count(*) AS cd
+         |  FROM $a, dims GROUP BY cell, i""".stripMargin
+    s"""dims AS (SELECT unnest(range(1, 65)) AS i),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |a1 AS (${fitAssignSql("seeds")}),
+       |m1d AS (${meansSql("a1")}),
+       |m1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m1d GROUP BY cell),
+       |c1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+       |       FROM seeds s LEFT JOIN m1 m USING (cell)),
+       |a2 AS (${fitAssignSql("c1")}),
+       |m2d AS (${meansSql("a2")}),
+       |m2 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m2d GROUP BY cell),
+       |c2 AS (SELECT p.cell, COALESCE(m.c, p.c) AS c
+       |       FROM c1 p LEFT JOIN m2 m USING (cell))""".stripMargin
+  }
+
   def hyperplane(j: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until dims).toArray.map { i =>
@@ -262,6 +302,23 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Batch IVF serving: the production read path for a query FRAME —
+    // distributed routing (native nearest_cells, no per-query driver
+    // round-trip), broadcast of the routed (q_id, cell) pairs, and
+    // bounded-state per-query top-k. The oracle replays the identical
+    // fit (bit-equal decimal means), routes each query in SQL, and
+    // ranks with the same (cos desc, vec_id asc) total order.
+    "q_ivf_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Ivf.searchBatchOf(Ivf.assign(e, col("embedding"), centers), queries,
+          centers, nProbe = 2, topK = 5, excludeSelf = true,
+          scoreRound = Some(6))
+        .orderBy("q_id", "rank")
+    }),
+
     // Int8 scalar quantization — the 4× memory/storage lever for
     // serving ANN at 100 TB: per-dimension (min, max) over the corpus
     // (exact picks, order-independent), q = floor((x−min)/scale + .5)
@@ -404,48 +461,44 @@ object VectorOps {
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
-    "q_ann_ivf_built" -> {
-      // one Lloyd assignment pass: nearest (squared-L2, sequential
-      // fold) centroid from table `$src(cell, c)`, ties → lowest cell
-      def assignSql(src: String) =
-        s"""SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${distSqSql("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $src c) WHERE rn = 1""".stripMargin
-      // decimal-exact per-dimension means of one assignment
-      def meansSql(a: String) =
-        s"""SELECT cell, i AS dim,
-           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
-           |      / count(*) AS cd
-           |  FROM $a, dims GROUP BY cell, i""".stripMargin
-      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
-         |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |a1 AS (${assignSql("seeds")}),
-         |m1d AS (${meansSql("a1")}),
-         |m1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m1d GROUP BY cell),
-         |c1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
-         |       FROM seeds s LEFT JOIN m1 m USING (cell)),
-         |a2 AS (${assignSql("c1")}),
-         |m2d AS (${meansSql("a2")}),
-         |m2 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m2d GROUP BY cell),
-         |c2 AS (SELECT p.cell, COALESCE(m.c, p.c) AS c
-         |       FROM c1 p LEFT JOIN m2 m USING (cell)),
+    "q_ann_ivf_built" ->
+      s"""WITH $fitReplayCtes,
          |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |probed AS (
          |  SELECT cell FROM (
          |    SELECT c.cell, ${distSqSql("q.q_emb", "c.c")} AS d FROM c2 c, qv q)
          |  ORDER BY d ASC, cell ASC LIMIT 2),
-         |af AS (${assignSql("c2")})
+         |af AS (${fitAssignSql("c2")})
          |SELECT e.vec_id, e.cell,
          |  ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
          |FROM af e JOIN probed p ON e.cell = p.cell CROSS JOIN qv q
          |WHERE e.vec_id <> 0
-         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin
-    },
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ivf_batch" ->
+      s"""WITH $fitReplayCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 8),
+         |routed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+         |af AS (${fitAssignSql("c2")}),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM af e JOIN routed r ON e.cell = r.cell
+         |  JOIN qs q ON q.q_id = r.q_id
+         |  WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, cos_sim FROM rk
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH b AS (

@@ -138,6 +138,62 @@ class IvfSpec extends SparkSpec {
     assert(centers.forall(c => c.forall(x => !x.isNaN)))
   }
 
+  test("nearest_cells routes like the driver-side nearestCells, ties included") {
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 6, iters = 1)
+    // a duplicated centroid forces a distance tie → lowest cell wins
+    val rigged = centers :+ centers(2).clone()
+    val got = emb.select($"vec_id",
+        graft.functions.nearest_cells($"embedding", rigged, 3).as("cells"))
+      .as[(Long, Seq[Int])].collect()
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    got.foreach { case (id, cells) =>
+      assert(cells === Ivf.nearestCells(rigged, vecs(id), 3), s"vec $id")
+    }
+    // ragged vector → NULL routing
+    val ragged = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+      .select(graft.functions.nearest_cells($"embedding", rigged, 2).as("c"))
+      .collect()
+    assert(ragged.head.isNullAt(0))
+  }
+
+  test("searchBatch == searchBatchOf == per-query search, with pruned probes") {
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 6, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    Ivf.writeIndex(emb, $"embedding", $"vec_id", centers, idx)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+
+    val viaIndex = Ivf.searchBatch(spark, idx, centers, queries,
+      nProbe = 2, topK = 5, excludeSelf = true)
+    val viaFrame = Ivf.searchBatchOf(Ivf.assign(emb, $"embedding", centers),
+      queries, centers, nProbe = 2, topK = 5, excludeSelf = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows(viaIndex) === rows(viaFrame),
+      "persisted-index batch must equal the assigned-frame batch")
+
+    // per-query singles agree (same routing, same rerank order)
+    val qs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    qs.foreach { case (qid, qe) =>
+      val single = Ivf.search(spark, idx, centers, qe, nProbe = 2, topK = 6)
+        .filter($"vec_id" =!= qid).limit(5)
+        .select($"vec_id").as[Long].collect().toSeq
+      val batch = rows(viaIndex).filter(_._1 == qid).map(_._3)
+      assert(batch === single, s"query $qid")
+    }
+
+    // the file scan must partition-prune to the probed cells
+    // (sparkPlan: the pre-adaptive physical plan exposes the scan
+    // nodes directly; under AQE executedPlan wraps them in stages)
+    val scans = viaIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(idx)) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "batch search over a partitioned index must carry partition filters")
+  }
+
   test("splitHotCells bounds a drifted hot cell and preserves rows + search") {
     // skewed corpus indexed through a STALE quantizer (fit on a
     // uniform twin) — the drift scenario that concentrates the hot

@@ -168,7 +168,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"ADC scoring must be lookup-only:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
-    assert(p.contains("nearest_centroid"), s"native encode missing:\n$p")
+    // round 7: encode and ADC are the single native expressions (the
+    // m-composed nearest_centroid/element_at spellings paid
+    // m-proportional and per-query codegen compiles)
+    assert(p.contains("pq_encode"), s"native encode missing:\n$p")
+    assert(p.contains("pq_adc_dist"), s"native ADC scoring missing:\n$p")
   }
 
   /** Count FileSourceScanExec nodes over the documents table,

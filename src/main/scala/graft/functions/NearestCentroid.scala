@@ -7,13 +7,34 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 object NearestCentroidUtil {
+  /** One bulk copy of an `array<float>` ArrayData into a primitive
+    * array. The assignment loops below read every element K times —
+    * K×dims virtual `getFloat` dispatches per row (196k at
+    * K=256/d=768); copying once turns them into primitive-array
+    * loads the JIT can vectorize. NULL slots copy as 0.0f, matching
+    * what `getFloat` reads from an UnsafeArrayData null slot. */
+  def toFloats(e: ArrayData): Array[Float] = {
+    val n = e.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (!e.isNullAt(i)) out(i) = e.getFloat(i)
+      i += 1
+    }
+    out
+  }
+
   /** Index of the centroid with the smallest squared L2 distance to
     * `e`, ties to the lowest index. Distance is the sequential fold
     * Σ_i ((double)e_i − c_i)² in element order — the identical op
     * sequence as the DuckDB oracle's list_reduce spelling
     * ((0 + t₁²) + t₂²) + …, so cell assignments are bit-for-bit
     * reproducible cross-engine. */
-  def nearest(e: ArrayData, cs: Array[Array[Double]]): Int = {
+  def nearest(e: ArrayData, cs: Array[Array[Double]]): Int =
+    nearestOf(toFloats(e), cs)
+
+  /** [[nearest]] over an already-copied vector. */
+  def nearestOf(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.PositiveInfinity
     var k = 0
@@ -22,7 +43,7 @@ object NearestCentroidUtil {
       var d = 0.0
       var i = 0
       while (i < c.length) {
-        val t = e.getFloat(i).toDouble - c(i)
+        val t = v(i).toDouble - c(i)
         d += t * t
         i += 1
       }
@@ -107,6 +128,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     // insertion-select the n best (d asc, cell asc); iterating cells
     // in ascending order makes strict `<` keep the LOWEST cell on
     // distance ties — the exact order sortBy((d, cell)) produces
+    val v = NearestCentroidUtil.toFloats(e)
     val bd = Array.fill(n)(Double.PositiveInfinity)
     val bc = Array.fill(n)(-1)
     var k = 0
@@ -115,7 +137,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       var d = 0.0
       var i = 0
       while (i < dims) {
-        val t = e.getFloat(i).toDouble - c(i)
+        val t = v(i).toDouble - c(i)
         d += t * t
         i += 1
       }

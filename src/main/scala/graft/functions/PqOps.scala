@@ -52,7 +52,9 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     val a = child.eval(input)
     if (a == null) return new GenericArrayData(new Array[Any](m))
     val e = a.asInstanceOf[ArrayData]
-    val len = e.numElements()
+    // one bulk copy; the loop below reads each element k times
+    val v = NearestCentroidUtil.toFloats(e)
+    val len = v.length
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -69,7 +71,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
           var d = 0.0
           var i = 0
           while (i < sub) {
-            val t = e.getFloat(base + i).toDouble - c(i)
+            val t = v(base + i).toDouble - c(i)
             d += t * t
             i += 1
           }
@@ -190,7 +192,11 @@ case class PqFitExplode(child: Expression,
     val a = child.eval(input)
     if (a == null) return Iterator.empty
     val e = a.asInstanceOf[ArrayData]
-    val len = e.numElements()
+    // one bulk copy for the k-reads-per-element assignment loop; the
+    // emission loop still consults the ORIGINAL ArrayData's null
+    // bits (a NULL element must emit NULL, not the copied 0.0f)
+    val v = NearestCentroidUtil.toFloats(e)
+    val len = v.length
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow](m * sub)
     var s = 0
     while (s < m) {
@@ -205,7 +211,7 @@ case class PqFitExplode(child: Expression,
           var d = 0.0
           var i = 0
           while (i < sub) {
-            val t = e.getFloat(base + i).toDouble - c(i)
+            val t = v(base + i).toDouble - c(i)
             d += t * t
             i += 1
           }
@@ -214,8 +220,8 @@ case class PqFitExplode(child: Expression,
         }
         var i = 0
         while (i < sub) {
-          val v: Any = if (e.isNullAt(base + i)) null else e.getFloat(base + i)
-          out += InternalRow(s, best, i, v)
+          val x: Any = if (e.isNullAt(base + i)) null else v(base + i)
+          out += InternalRow(s, best, i, x)
           i += 1
         }
       }

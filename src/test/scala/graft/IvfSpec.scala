@@ -322,5 +322,24 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell") ||
       plan.contains("PartitionFilters: [isnotnull(cell"),
       s"compacted probe lost partition pruning:\n$plan")
+
+    // batch serving composes with the compacted layout: searchBatch
+    // reads through readIndex (committed generation + live tail), so
+    // its top-k must match the per-query singles on the SAME index
+    val queries = all.take(3).toSeq.toDF("q_id", "raw")
+      .select($"q_id", $"raw".cast("array<float>").as("q_emb"))
+    val batch = Ivf.searchBatch(spark, idx, centers, queries,
+        nProbe = 4, topK = 10, excludeSelf = true)
+      .orderBy("q_id", "rank")
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    all.take(3).foreach { case (qid, raw) =>
+      val single = Ivf.search(spark, idx, centers, raw.toArray,
+          nProbe = 4, topK = 11)
+        .filter($"vec_id" =!= qid).limit(10)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(batch(qid) === single,
+        s"batch over the compacted index diverged for query $qid")
+    }
   }
 }

@@ -97,6 +97,56 @@ object Multimodal {
     }
   }
 
+  /** Audio-aware decoder: REAL container metadata for audio payloads —
+    * [[AudioHeader]]'s pure-JVM WAV fmt-chunk / AIFF COMM / AU header
+    * parsing — stacked on the image-aware decode, so one decoder
+    * instance per partition covers both real-metadata legs; video
+    * still falls back to the stub. Frame count maps to sample frames
+    * (the audio analog of video frames — what duration gates and
+    * sampling windows consume). */
+  class AvHeaderDecoder extends ImageHeaderDecoder {
+    override def decode(row: MediaRow): MediaFeatures = {
+      val base = super.decode(row)
+      if (row.kind != "audio") base
+      else AudioHeader.parse(row.payload) match {
+        case Some(m) => base.copy(width = 0, height = 0,
+          duration_ms = m.duration_ms,
+          n_frames = m.n_frames.min(Int.MaxValue).toInt)
+        case None => base
+      }
+    }
+  }
+
+  /** Deterministic REAL-encoder audio fixture: one tiny PCM clip per
+    * document row, encoded by the JDK's own `javax.sound.sampled`
+    * writers (WAV, AIFF, AU round-robin by id) at a sample rate /
+    * channel count / frame count derived from the id — so the header
+    * parser is exercised against genuine encoder output (canonical
+    * RIFF layout, AIFF 80-bit extended-float rates, AU big-endian
+    * headers) and the expected parse stays SQL-expressible. */
+  def audiosFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        MediaRow(id, "audio", AudioFixture.encode(id),
+          s"synthetic/${AudioFixture.formatOf(id)}", None)
+      }
+  }
+
+  /** Parsed audio-container metadata, map-side (no payload shuffle):
+    * (media_id, format, channels, sample_rate, bits_per_sample,
+    * n_frames, duration_ms). Unparseable payloads are dropped — the
+    * duration/sample-rate gate shape. */
+  def audioMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      AudioHeader.parse(r.payload).map(m => (r.media_id, m.format,
+        m.channels, m.sample_rate, m.bits_per_sample, m.n_frames, m.duration_ms))
+    }.toDF("media_id", "format", "channels", "sample_rate",
+      "bits_per_sample", "n_frames", "duration_ms")
+  }
+
   /** Deterministic REAL-encoder image fixture: one tiny image per
     * document row, encoded by the JDK's own ImageIO writers (PNG,
     * JPEG, GIF round-robin by id) at dimensions derived from the id —

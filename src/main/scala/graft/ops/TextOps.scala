@@ -1113,6 +1113,22 @@ object TextOps {
         graft.multimodal.Multimodal.imagesFromDocuments(s, dir))
         .orderBy("media_id")),
 
+    // REAL audio-container decode — the audio leg of the multimodal
+    // pipeline, same design as q_image_meta: one tiny PCM clip per
+    // document row encoded by the JDK's own javax.sound.sampled
+    // writers (wav/aiff/au round-robin), then the pure-JVM header
+    // parser (graft.multimodal.AudioHeader — RIFF fmt-chunk walk,
+    // AIFF COMM with its 80-bit extended-float rate, AU big-endian
+    // header) extracts channels/rate/depth/frames/duration map-side.
+    // The oracle states every field arithmetically from the id-derived
+    // fixture functions, so a parser that misreads the RIFF chunk
+    // padding, the extended-float exponent bias, or the AU encoding
+    // table hash-mismatches here. Payload bytes never shuffle.
+    "q_audio_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioMeta(
+        graft.multimodal.Multimodal.audiosFromDocuments(s, dir))
+        .orderBy("media_id")),
+
     // SimHash fingerprints via the native codegen'd expression
     // (graft.functions.SimHash60Md5): 60-bit per-bit majority vote over
     // the md5-prefix token hash — bit-reproducible in DuckDB SQL, so
@@ -1313,6 +1329,19 @@ object TextOps {
           |  (['png', 'jpeg', 'gif'])[(doc_id % 3) + 1] AS format,
           |  CAST((doc_id % 61) + 4 AS INTEGER) AS width,
           |  CAST((doc_id % 43) + 4 AS INTEGER) AS height
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_audio_meta" ->
+        """SELECT doc_id AS media_id,
+          |  (['wav', 'aiff', 'au'])[(doc_id % 3) + 1] AS format,
+          |  CAST((doc_id % 2) + 1 AS INTEGER) AS channels,
+          |  CAST(([8000, 11025, 16000, 22050, 44100])[(doc_id % 5) + 1]
+          |    AS INTEGER) AS sample_rate,
+          |  CAST(16 AS INTEGER) AS bits_per_sample,
+          |  CAST((doc_id % 97) + 50 AS BIGINT) AS n_frames,
+          |  (((doc_id % 97) + 50) * 1000)
+          |    // ([8000, 11025, 16000, 22050, 44100])[(doc_id % 5) + 1]
+          |    AS duration_ms
           |FROM documents ORDER BY media_id""".stripMargin,
 
       "q_ngram_jaccard" ->

@@ -99,6 +99,62 @@ class MultimodalSpec extends SparkSpec {
       ImageHeader.ImageMeta("jpeg", 10, 10)), "APP1 not skipped")
   }
 
+  test("audio headers parse real JDK encoder output for wav, aiff, and au") {
+    import graft.multimodal.{AudioFixture, AudioHeader}
+    // ids chosen to hit each format at varied rates/channels/frames
+    Seq(0L, 1L, 2L, 3L, 7L, 58L, 96L, 123L).foreach { id =>
+      val m = AudioHeader.parse(AudioFixture.encode(id))
+      assert(m.isDefined, s"id $id did not parse")
+      val a = m.get
+      assert(a.format === AudioFixture.formatOf(id), s"id $id")
+      assert(a.channels === AudioFixture.channelsOf(id))
+      assert(a.sample_rate === AudioFixture.rateOf(id))
+      assert(a.bits_per_sample === 16)
+      assert(a.n_frames === AudioFixture.framesOf(id).toLong)
+      assert(a.duration_ms === AudioFixture.durationMsOf(id))
+    }
+  }
+
+  test("audio header parser rejects truncated, corrupt, and non-audio bytes") {
+    import graft.multimodal.{AudioFixture, AudioHeader}
+    val wav = AudioFixture.encode(0L)  // wav
+    val aiff = AudioFixture.encode(1L) // aiff
+    val au = AudioFixture.encode(2L)   // au
+    assert(AudioHeader.parse(wav.take(10)).isEmpty, "truncated wav")
+    assert(AudioHeader.parse(aiff.take(11)).isEmpty, "truncated aiff")
+    assert(AudioHeader.parse(au.take(20)).isEmpty, "truncated au")
+    assert(AudioHeader.parse("not audio".getBytes).isEmpty)
+    assert(AudioHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(AudioHeader.parse(null).isEmpty)
+    // a wav whose declared chunk size overruns the payload is corrupt
+    val overrun = wav.clone()
+    overrun(16) = 0x7f.toByte; overrun(17) = 0x7f.toByte // fmt size huge
+    assert(AudioHeader.parse(overrun).isEmpty, "overrunning fmt chunk")
+    // an AU with an unknown encoding code is rejected
+    val badEnc = au.clone(); badEnc(15) = 99.toByte
+    assert(AudioHeader.parse(badEnc).isEmpty, "unknown au encoding")
+  }
+
+  test("AvHeaderDecoder yields real audio metadata inside the partition lifecycle") {
+    import graft.multimodal.{AudioFixture, Multimodal}
+    val media = Multimodal.audiosFromDocuments(spark, dir)
+    val feats = Multimodal.extractFeatures(media,
+      () => new Multimodal.AvHeaderDecoder).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.duration_ms === AudioFixture.durationMsOf(f.media_id), s"media ${f.media_id}")
+      assert(f.n_frames === AudioFixture.framesOf(f.media_id))
+      assert(f.width === 0 && f.height === 0)
+    }
+    // the stacked decoder still parses images like ImageHeaderDecoder
+    val img = Multimodal.extractFeatures(
+      Multimodal.imagesFromDocuments(spark, dir).limit(30),
+      () => new Multimodal.AvHeaderDecoder).collect()
+    img.foreach { f =>
+      assert(f.width === graft.multimodal.ImageFixture.widthOf(f.media_id))
+    }
+  }
+
   test("ImageHeaderDecoder yields real dimensions inside the partition lifecycle") {
     import graft.multimodal.Multimodal, graft.multimodal.ImageFixture
     val media = Multimodal.imagesFromDocuments(spark, dir)

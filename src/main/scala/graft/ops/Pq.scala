@@ -124,6 +124,49 @@ object Pq {
         slice(embCol, s * sub + 1, sub), codebooks(s))): _*))
   }
 
+  /** Residual of an embedding against its assigned IVF centroid —
+    * `r[i] = float((double) e[i] − centers(cell)(i))` — the IVFADC
+    * formulation (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", §IV): PQ codebooks trained on residuals only
+    * have to cover the within-cell displacement, not the coarse
+    * position, so the same m×k budget buys a finer quantization.
+    * Float-rounded per element (IEEE round-to-nearest in both
+    * engines) so the DuckDB replay is bit-exact.
+    *
+    * Composed zip_with on purpose: evaluated once per row wherever it
+    * feeds [[encode]] or [[fit]]'s generator, and the d ops/row are
+    * noise next to the m·k·sub encode loop. NULL cell (ragged vector
+    * that could not be assigned) → NULL residual → m NULL codes →
+    * NULL ADC, the established drop path; an element past the
+    * centroid width zips against NULL and stays NULL. */
+  def residual(embCol: Column, cellCol: Column,
+      centers: Array[Array[Double]]): Column =
+    zip_with(embCol,
+      element_at(typedlit(centers.map(_.toSeq).toSeq), cellCol + lit(1)),
+      (x, c) => (x.cast("double") - c).cast("float"))
+
+  /** Per-cell query residuals → per-cell ADC LUTs for the routed
+    * cells: `lut_c` is [[lutL2]] of the query's residual against cell
+    * c's centroid. Driver-side, nProbe × m × k doubles. */
+  def residualLuts(codebooks: Array[Array[Array[Double]]],
+      centers: Array[Array[Double]], q: Array[Double],
+      cells: Seq[Int]): Seq[(Int, Array[Array[Double]])] =
+    cells.map { c =>
+      val ctr = centers(c)
+      c -> lutL2(codebooks, Array.tabulate(q.length)(i =>
+        q(i) - (if (i < ctr.length) ctr(i) else 0.0)))
+    }
+
+  /** ADC distance where each candidate is scored through ITS cell's
+    * residual LUT — a when-chain over the routed cells (nProbe-bounded
+    * by construction; every LUT is a reference object, no per-query
+    * codegen). A row from an unrouted cell scores NULL. */
+  def adcDistSqPerCell(codeCol: Column, cellCol: Column,
+      cellLuts: Seq[(Int, Array[Array[Double]])]): Column =
+    cellLuts.foldLeft(lit(null).cast("double")) { case (acc, (c, lut)) =>
+      when(cellCol === lit(c), adcDistSq(codeCol, lut)).otherwise(acc)
+    }
+
   /** Persist codebooks as a (subspace, cell, centroid) parquet table. */
   def save(spark: SparkSession, codebooks: Array[Array[Array[Double]]],
       dir: String): Unit = {

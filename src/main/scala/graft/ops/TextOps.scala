@@ -1129,6 +1129,22 @@ object TextOps {
         graft.multimodal.Multimodal.audiosFromDocuments(s, dir))
         .orderBy("media_id")),
 
+    // Frame sampling over the video leg, oracle-gated: the stub
+    // decoder's featurization is deterministic arithmetic (n_frames =
+    // byte_len/1000 + 1), so the evenly-spaced explode — indices
+    // 0, step, 2·step with step = ceil(n_frames/maxFrames), offsets
+    // frame_idx · floor(byte_len/n_frames) — is SQL-expressible and
+    // the whole sampling plumbing (kind routing, sequence bounds,
+    // offset arithmetic) hash-checks. Pure column ops after the
+    // map-side featurization; no payload bytes move.
+    "q_frame_sample" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(feats, maxFrames = 4).toDF()
+        .select(col("media_id"), col("frame_idx"), col("byte_offset"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // SimHash fingerprints via the native codegen'd expression
     // (graft.functions.SimHash60Md5): 60-bit per-bit majority vote over
     // the md5-prefix token hash — bit-reproducible in DuckDB SQL, so
@@ -1343,6 +1359,20 @@ object TextOps {
           |    // ([8000, 11025, 16000, 22050, 44100])[(doc_id % 5) + 1]
           |    AS duration_ms
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_frame_sample" ->
+        """WITH v AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |    CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |f AS (
+          |  SELECT media_id, byte_len, n_frames,
+          |    unnest(range(0, n_frames, (n_frames + 3) // 4)) AS frame_idx
+          |  FROM v)
+          |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          |  CAST(frame_idx * (byte_len // n_frames) AS BIGINT) AS byte_offset
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, lang,

@@ -421,6 +421,46 @@ object VectorOps {
         .limit(10)
     }),
 
+    // RESIDUAL IVF-PQ (IVFADC — Jégou et al. §IV) as an oracle-checked
+    // query: the same route → ADC → exact-rerank triad as q_ivfpq, but
+    // the PQ is trained on and encodes RESIDUALS (vector − assigned
+    // cell centroid), and each routed cell scores through a LUT built
+    // from the QUERY's residual against THAT cell. Same m=4 × k=4
+    // budget as q_ivfpq — the codebooks only cover within-cell
+    // displacement, the production recall lever at fixed compression
+    // (measured at 2M vectors in IVFPQ_RES.json). The DuckDB oracle
+    // replays the full chain — IVF fit, float-rounded residuals, PQ
+    // fit on residuals, per-cell query LUTs — so a residual computed
+    // off the wrong centroid, or a candidate scored through another
+    // cell's LUT, hash-mismatches.
+    "q_ivfpq_res" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val assigned = Ivf.assign(e, col("embedding"), centers)
+      val res = Pq.residual(col("embedding"), col("cell"), centers)
+      val cb = Pq.fit(assigned, res, Seq(col("vec_id")),
+        m = 4, dims = 64, k = 4, iters = 1)
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cells = Ivf.nearestCells(centers, qEmb.map(_.toDouble), nProbe = 2)
+      val cellLuts = Pq.residualLuts(cb, centers, qEmb.map(_.toDouble), cells.toSeq)
+      val routed = assigned
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+      val cand = Pq.encode(routed, res, cb)
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          Pq.adcDistSqPerCell(col("pq_code"), col("cell"), cellLuts).as("adc"))
+        .filter(col("adc").isNotNull)
+        .orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(20)
+      cand.select(col("vec_id"), col("cell").cast("long").as("cell"),
+          roundTo(col("adc"), 6).as("adc_dist_sq"),
+          roundTo(graft.functions.cosine_sim(col("embedding"),
+            typedlit(qEmb.toSeq)), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -642,6 +682,101 @@ object VectorOps {
          |${(0 until 4).map(s =>
             s"  JOIN code$s k$s ON k$s.vec_id = e.vec_id " +
               s"JOIN lut$s l$s ON l$s.cell = k$s.cell").mkString("\n")}
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY adc ASC, e.vec_id ASC LIMIT 20)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  ${roundToSql("c.adc", 6)} AS adc_dist_sq,
+         |  ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qv q
+         |ORDER BY cos_sim DESC, c.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_ivfpq_res" -> {
+      // q_ivfpq's IVF replay + a residual table (float-rounded, per
+      // the Spark side's cast) + the PQ replay re-pointed at residuals
+      // + per-probed-cell query-residual LUTs joined on BOTH the code
+      // cell and the candidate's IVF cell.
+      def iAssignSql(src: String) =
+        s"""SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSqSql("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $src c) WHERE rn = 1""".stripMargin
+      def iMeansSql(a: String) =
+        s"""SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM $a, dims GROUP BY cell, i""".stripMargin
+      def sub(s: Int): String = {
+        val st = s * 16 + 1
+        def dss(e: String, c: String) = distSqSliceSql(e, c, st, 16)
+        s"""seeds$s AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |    list_transform(range(1, 17), i -> CAST(r[${st - 1} + i] AS DOUBLE)) AS c
+           |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 4)),
+           |a$s AS (
+           |  SELECT vec_id, r, cell FROM (
+           |    SELECT e.vec_id, e.r, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.r", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM res e CROSS JOIN seeds$s c) WHERE rn = 1),
+           |md$s AS (
+           |  SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(r[${st - 1} + i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM a$s, sdims GROUP BY cell, i),
+           |m$s AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM md$s GROUP BY cell),
+           |cb$s AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+           |         FROM seeds$s s LEFT JOIN m$s m USING (cell)),
+           |code$s AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.r", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM res e CROSS JOIN cb$s c) WHERE rn = 1),
+           |lut$s AS (SELECT qr.cell AS qcell, c.cell, ${dss("qr.qr", "c.c")} AS d
+           |          FROM cb$s c CROSS JOIN qres qr)""".stripMargin
+      }
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |sdims AS (SELECT unnest(range(1, 17)) AS i),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |iseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |ia1 AS (${iAssignSql("iseeds")}),
+         |im1d AS (${iMeansSql("ia1")}),
+         |im1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM im1d GROUP BY cell),
+         |ic1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+         |        FROM iseeds s LEFT JOIN im1 m USING (cell)),
+         |ia2 AS (${iAssignSql("ic1")}),
+         |im2d AS (${iMeansSql("ia2")}),
+         |im2 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM im2d GROUP BY cell),
+         |ic2 AS (SELECT p.cell, COALESCE(m.c, p.c) AS c
+         |        FROM ic1 p LEFT JOIN im2 m USING (cell)),
+         |iaf AS (${iAssignSql("ic2")}),
+         |res AS (
+         |  SELECT e.vec_id, e.cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) - c.c[i] AS FLOAT)) AS r
+         |  FROM iaf e JOIN ic2 c USING (cell)),
+         |probed AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, ${distSqSql("q.q_emb", "c.c")} AS d FROM ic2 c, qv q)
+         |  ORDER BY d ASC, cell ASC LIMIT 2),
+         |qres AS (
+         |  SELECT p.cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(q.q_emb[i] AS DOUBLE) - c.c[i]) AS qr
+         |  FROM probed p JOIN ic2 c USING (cell), qv q),
+         |${(0 until 4).map(sub).mkString(",\n")},
+         |cand AS (
+         |  SELECT e.vec_id, e.cell, l0.d + l1.d + l2.d + l3.d AS adc
+         |  FROM iaf e JOIN probed p ON e.cell = p.cell
+         |${(0 until 4).map(s =>
+            s"  JOIN code$s k$s ON k$s.vec_id = e.vec_id " +
+              s"JOIN lut$s l$s ON l$s.cell = k$s.cell AND l$s.qcell = e.cell")
+            .mkString("\n")}
          |  WHERE e.vec_id <> 0
          |  ORDER BY adc ASC, e.vec_id ASC LIMIT 20)
          |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,

@@ -29,6 +29,10 @@ object IvfPqProbe {
     val nProbe = args.lift(1).map(_.toInt).getOrElse(16)
     val rerankC = args.lift(2).map(_.toInt).getOrElse(4000)
     val outJson = args.lift(3).getOrElse("IVFPQ.json")
+    // arg 4 "res": IVFADC — PQ trained on and encoding residuals
+    // (vector − cell centroid), per-cell query LUTs at serve time.
+    // Same m×k budget; measures what residual encoding buys in recall.
+    val residual = args.lift(4).contains("res")
     val dir = s"${sys.env.getOrElse("VEC_SCALE_DIR", "/tmp/vec_scale")}/n$n"
     val nQueries = 64
 
@@ -53,15 +57,20 @@ object IvfPqProbe {
       }
 
     // PQ codebooks + the CELL-PARTITIONED code table (one pass:
-    // IVF cell + PQ code per row, codes laid out for partition pruning)
+    // IVF cell + PQ code per row, codes laid out for partition pruning).
+    // Residual mode fits/encodes vector − cell centroid instead.
+    val codesDir = if (residual) s"$dir/ivfpq_codes_res" else s"$dir/ivfpq_codes"
+    val assigned = Ivf.assign(corpus, col("embedding"), centers)
+    val embOrRes =
+      if (residual) Pq.residual(col("embedding"), col("cell"), centers)
+      else col("embedding")
     val tBuild = System.nanoTime()
-    val cb = Pq.fit(corpus, col("embedding"), Seq(col("vec_id")),
+    val cb = Pq.fit(assigned, embOrRes, Seq(col("vec_id")),
       m = 16, k = 256, iters = 2)
-    Pq.encode(Ivf.assign(corpus, col("embedding"), centers),
-        col("embedding"), cb)
+    Pq.encode(assigned, embOrRes, cb)
       .select(col("vec_id"), col("cell"), col("pq_code"))
       .repartition(32, col("cell"), pmod(hash(col("vec_id")), lit(4)))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivfpq_codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(codesDir)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
     val qRows = corpus.filter(col("vec_id") < nQueries)
@@ -87,12 +96,15 @@ object IvfPqProbe {
     val tServe = System.nanoTime()
     val got = qRows.map { case (qid, qe) =>
       val cells = Ivf.nearestCells(centers, qe.map(_.toDouble), nProbe)
-      val codes = spark.read.parquet(s"$dir/ivfpq_codes")
+      val codes = spark.read.parquet(codesDir)
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
           col("vec_id") =!= qid)
-      val lut = Pq.lutL2(cb, qe.map(_.toDouble))
+      val dist =
+        if (residual) Pq.adcDistSqPerCell(col("pq_code"), col("cell"),
+          Pq.residualLuts(cb, centers, qe.map(_.toDouble), cells.toSeq))
+        else Pq.adcDistSq(col("pq_code"), Pq.lutL2(cb, qe.map(_.toDouble)))
       val cands = codes
-        .select(col("vec_id"), Pq.adcDistSq(col("pq_code"), lut).as("d"))
+        .select(col("vec_id"), dist.as("d"))
         .orderBy(col("d").asc, col("vec_id").asc).limit(rerankC)
         .select("vec_id")
       val qLit = typedlit(qe.toSeq)
@@ -108,11 +120,12 @@ object IvfPqProbe {
     val per = truth.toSeq.map { case (q, t) =>
       got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
     val recall = per.sum / per.size
-    println(f"[ivfpq n=$n nProbe=$nProbe/${VecScaleProbe.KCells} C=$rerankC] " +
-      f"build=$buildSec%.1f s serve64=$serveSec%.1f s " +
+    println(f"[ivfpq n=$n nProbe=$nProbe/${VecScaleProbe.KCells} C=$rerankC " +
+      f"residual=$residual] build=$buildSec%.1f s serve64=$serveSec%.1f s " +
       f"(${serveSec / nQueries * 1000}%.0f ms/q) recall@10=$recall%.4f")
     val json = s"""{"metric":"ivfpq","n":$n,"k_cells":${VecScaleProbe.KCells},""" +
       s""""n_probe":$nProbe,"m":16,"k":256,"rerank_c":$rerankC,""" +
+      s""""residual":$residual,""" +
       s""""build_sec":${f"$buildSec%.2f"},"serve_64q_sec":${f"$serveSec%.2f"},""" +
       s""""recall_at_10":${f"$recall%.4f"}}"""
     Files.writeString(Paths.get(outJson), json)

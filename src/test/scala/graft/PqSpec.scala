@@ -110,6 +110,72 @@ class PqSpec extends SparkSpec {
     tiny.unpersist()
   }
 
+  test("residual column, per-cell ADC routing, and IVFADC quantization error") {
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 8, iters = 2)
+    val assigned = Ivf.assign(emb, $"embedding", centers).cache()
+    val resCol = Pq.residual($"embedding", $"cell", centers)
+
+    // 1. the residual column equals the row-wise subtraction, float-
+    //    rounded, against the row's OWN centroid
+    assigned.select($"vec_id", $"cell", $"embedding", resCol.as("r"))
+      .collect().foreach { row =>
+        val cell = row.getInt(1)
+        val e = row.getSeq[Float](2)
+        val r = row.getSeq[Float](3)
+        val expect = e.indices.map(i => (e(i).toDouble - centers(cell)(i)).toFloat)
+        assert(r === expect, s"vec ${row.getLong(0)} residual drifted")
+      }
+
+    // 2. per-cell ADC: each candidate scored through its own cell's
+    //    LUT equals scoring that cell's subset alone; unrouted cells
+    //    score NULL
+    val cb = Pq.fit(assigned, resCol, Seq($"vec_id"), m = 8, k = 16, iters = 1)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val cells = Ivf.nearestCells(centers, q, nProbe = 2)
+    val luts = Pq.residualLuts(cb, centers, q, cells.toSeq)
+    val encoded = Pq.encode(assigned, resCol, cb).cache()
+    val chained = encoded
+      .select($"vec_id", $"cell",
+        Pq.adcDistSqPerCell($"pq_code", $"cell", luts).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    luts.foreach { case (c, lut) =>
+      encoded.filter($"cell" === c)
+        .select($"vec_id", Pq.adcDistSq($"pq_code", lut).as("d"))
+        .collect().foreach { r =>
+          assert(chained(r.getLong(0)) === Some(r.getDouble(1)), s"cell $c")
+        }
+    }
+    encoded.filter(!$"cell".isin(cells.map(Integer.valueOf): _*))
+      .select($"vec_id").as[Long].collect()
+      .foreach(id => assert(chained(id).isEmpty, s"unrouted vec $id not NULL"))
+
+    // 3. the point of IVFADC: at the same m×k budget, quantizing the
+    //    residual reconstructs vectors strictly better than quantizing
+    //    the raw corpus — mean squared reconstruction error must drop
+    def reconErr(useResidual: Boolean): Double = {
+      val (src, book) =
+        if (useResidual) (resCol, cb)
+        else ($"embedding".cast("array<float>"),
+          Pq.fit(assigned, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 1))
+      val sub = 8
+      Pq.encode(assigned, src, book)
+        .select(src.as("v"), $"pq_code").collect().map { r =>
+          val v = r.getSeq[Float](0)
+          val codes = r.getSeq[Int](1)
+          v.indices.map { i =>
+            val d = v(i).toDouble - book(i / sub)(codes(i / sub))(i % sub)
+            d * d
+          }.sum
+        }.sum / assigned.count()
+    }
+    val errRes = reconErr(useResidual = true)
+    val errRaw = reconErr(useResidual = false)
+    assert(errRes < errRaw,
+      s"residual PQ should reconstruct better: residual=$errRes raw=$errRaw")
+    assigned.unpersist()
+  }
+
   test("PQ top-10 lands inside the exact-L2 top-100 (coarse-rank sanity)") {
     // 8-byte codes cannot rank near-ties inside a cluster (classic PQ
     // regime — the 2k-vector corpus's true top-10 are close same-

@@ -141,6 +141,80 @@ case class PqAdcDist(child: Expression, lut: Array[Array[Double]])
   override def prettyName: String = "pq_adc_dist"
 }
 
+/** `array<double> → array<array<double>>`: the ADC lookup table for
+  * one query (residual), computed DISTRIBUTEDLY — `out(s)(j)` = exact
+  * squared L2 between the query's subspace-s slice and codebook entry
+  * (s, j), the same arithmetic as the driver-side `Pq.lutL2` (one
+  * sequential (q−c)² fold per entry, so the tables are bit-equal —
+  * PqSpec pins it).
+  *
+  * This is what lets BATCH serving route Q queries without a driver
+  * round-trip per query: each routed (query, cell) row computes its
+  * own LUT map-side (m·k·sub flops) and carries it as DATA into the
+  * broadcast join against the code table, where
+  * [[graft.ops.Pq.adcDistSqCol]] folds it per candidate. Codebooks
+  * ride as a reference object; NULL or ragged input (width below
+  * m·sub) → NULL table, the established drop path. */
+case class PqLutL2(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut_l2 needs at least one codebook entry per subspace")
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == sub)),
+    "pq_lut_l2: ragged codebooks (entries of unequal dims)")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut_l2 expects array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    if (e.numElements() < m * sub) return null
+    val q = new Array[Double](m * sub)
+    var i = 0
+    while (i < q.length) {
+      // a NULL component reads as 0.0 (Unsafe null slot), the same
+      // value the driver-side path would see after toFloats
+      q(i) = if (e.isNullAt(i)) 0.0 else e.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = s * sub
+      val row = new Array[Any](cb.length)
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var k = 0
+        while (k < sub) {
+          val t = q(base + k) - c(k)
+          d += t * t
+          k += 1
+        }
+        row(j) = d
+        j += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutL2 =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut_l2"
+}
+
 /** Generator: `array<float> → rows of (s, cell, pos, v)` — one row
   * per (subspace, in-subspace position) of a vector, tagged with the
   * subspace's PQ cell assignment. This IS one fused-PQ-fit Lloyd

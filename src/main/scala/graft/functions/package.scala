@@ -68,6 +68,12 @@ package object functions {
   def pq_adc_dist(code: Column, lut: Array[Array[Double]]): Column =
     shims.column(PqAdcDist(shims.expression(code), lut))
 
+  /** Distributed per-query ADC lookup table (array<array<double>>,
+    * m×k) from a query (residual) in double precision — bit-equal to
+    * the driver-side Pq.lutL2; lets batch serving carry LUTs as data. */
+  def pq_lut_l2(q: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    shims.column(PqLutL2(shims.expression(q), codebooks))
+
   /** Generator feeding one fused-PQ-fit Lloyd iteration: rows of
     * (s, cell, pos, v) per vector — assignment evaluated once per
     * input row by construction (use with `Dataset.select`, like

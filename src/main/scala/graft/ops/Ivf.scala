@@ -377,6 +377,119 @@ object Ivf {
     expanded.toArray
   }
 
+  /** [[writeIndex]] plus a `pq_code` column — the PQ-augmented index
+    * the IVFADC serving path reads. Parquet is columnar, so the ADC
+    * stage scans ONLY (cell, vec_id, pq_code) — m bytes-ish per row —
+    * and the full-precision `embedding` column is touched exclusively
+    * by the final rerank fetch; at 100 TB the hot scoring scan is
+    * ~codes-sized, not corpus-sized. `residual = true` encodes
+    * vector − cell centroid (train `codebooks` on residuals too —
+    * [[Pq.residual]]; IVFPQ_RES.json measures what that buys). */
+  def writeIndexPq(df: DataFrame, embCol: Column, idCol: Column,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      dir: String, numFiles: Int = 32, residual: Boolean = false): Unit = {
+    val assigned = assign(df, embCol, centers)
+    val src = if (residual) Pq.residual(embCol, col("cell"), centers) else embCol
+    Pq.encode(assigned, src, codebooks)
+      .repartition(numFiles, col("cell"), pmod(hash(idCol), lit(4)))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /** Batch IVFADC serving over a PQ-augmented (cell, vec_id,
+    * embedding, pq_code) frame: every query routes distributedly to
+    * its nProbe cells and computes its per-cell ADC lookup table
+    * MAP-SIDE as data ([[graft.functions.pq_lut_l2]] over the query
+    * residual — no driver round-trip, no per-query literals); the
+    * routed (q_id, cell, lut) rows broadcast against a CODES-ONLY
+    * column-pruned scan; per-query top-`rerankC` ADC candidates come
+    * from the bounded-state [[graft.functions.TopKAgg]] (adc asc,
+    * vec_id asc — the single-query ordering); only those candidates
+    * fetch their full-precision vectors for the exact-cosine top-k.
+    * Output: (q_id, rank, vec_id, cos_sim) — [[searchBatchOf]]'s
+    * shape, directly comparable.
+    *
+    * `queries` must have (q_id: long, q_emb: array<float>).
+    * `residual` must match how the index was encoded. `metric` picks
+    * the RERANK score: "cosine" ([[searchBatchOf]]'s contract) or
+    * "l2" (2·q·x − ‖x‖², which ranks identically to −‖q−x‖² — the
+    * consistent choice when the ADC cut is L2, and what IvfPqProbe's
+    * ground truth uses; on unnormalized corpora the two metrics
+    * genuinely disagree). */
+  def searchPqBatchOf(index: DataFrame, queries: DataFrame,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, rerankC: Int, topK: Int, residual: Boolean = false,
+      excludeSelf: Boolean = false, scoreRound: Option[Int] = None,
+      metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    val routed0 = queries.select(col("q_id"), col("q_emb"),
+      explode(graft.functions.nearest_cells(col("q_emb"), centers, nProbe))
+        .as("cell"))
+    // the query (residual) in DOUBLE — the LUT arithmetic is exact,
+    // only the CORPUS side is float-rounded (IVFADC practice and what
+    // the driver-side Pq.residualLuts path does)
+    val qd =
+      if (residual)
+        zip_with(col("q_emb"),
+          element_at(typedlit(centers.map(_.toSeq).toSeq), col("cell") + lit(1)),
+          (x, c) => x.cast("double") - c)
+      else transform(col("q_emb"), x => x.cast("double"))
+    val routed = routed0.select(col("q_id"), col("cell"),
+      graft.functions.pq_lut_l2(qd, codebooks).as("lut"))
+    val joined = index.select(col("cell"), col("vec_id"), col("pq_code"))
+      .join(broadcast(routed), Seq("cell"))
+    val candid =
+      if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined
+    val topc = candid
+      .select(col("q_id"),
+        Pq.adcDistSqCol(col("pq_code"), col("lut")).as("adc"),
+        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+      .filter(col("adc").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(negate(col("adc")), col("key"), rerankC)
+        .as("topc"))
+      .select(col("q_id"), explode(col("topc")).as("e"))
+      .select(col("q_id"), col("e.key").cast("long").as("vec_id"))
+    // rerank: candidates are Q × rerankC skinny ids — broadcast them
+    // against the index (embedding column read only here), then the
+    // Q-row query frame for the exact score
+    val raw =
+      if (metric == "l2")
+        lit(2.0) * graft.functions.dot_product(col("embedding"), col("q_emb")) -
+          graft.functions.dot_product(col("embedding"), col("embedding"))
+      else graft.functions.cosine_sim(col("embedding"), col("q_emb"))
+    val score = scoreRound.fold(raw)(p => Util.roundTo(raw, p))
+    index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(topc), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), score.as("cos_sim"),
+        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), topK)
+        .as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").cast("long").as("vec_id"), col("col.score").as("cos_sim"))
+  }
+
+  /** [[searchPqBatchOf]] against a persisted PQ-augmented index, with
+    * the probed cells' partition pruning restored via a literal
+    * `cell IN (…)` filter (the [[searchBatch]] discipline — a
+    * broadcast join alone would scan every cell). */
+  def searchPqBatch(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
+      residual: Boolean = false, excludeSelf: Boolean = false,
+      scoreRound: Option[Int] = None, metric: String = "cosine"): DataFrame = {
+    val cells = queries
+      .select(explode(graft.functions.nearest_cells(col("q_emb"), centers,
+        nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    searchPqBatchOf(idx, queries, centers, codebooks, nProbe, rerankC, topK,
+      residual, excludeSelf, scoreRound, metric)
+  }
+
   /** The nProbe cells nearest to a query — a K-row driver-side scan of
     * the quantizer table, ties to the lowest cell id. */
   def nearestCells(centers: Array[Array[Double]], q: Array[Double],

@@ -167,6 +167,25 @@ object Pq {
       when(cellCol === lit(c), adcDistSq(codeCol, lut)).otherwise(acc)
     }
 
+  /** ADC distance where the lookup table is a COLUMN
+    * (array<array<double>>, e.g. [[graft.functions.pq_lut_l2]]'s
+    * output carried through a broadcast join) instead of a reference
+    * object — what batch serving needs: Q queries' LUTs ride as data,
+    * one expression shape for all of them. Composed zip_with +
+    * sequential aggregate fold, bit-equal to [[adcDistSq]] on
+    * well-formed codes (same subspace order, same 0.0-seeded
+    * left-to-right double fold — PqSpec pins it) and NULL on the same
+    * degenerate inputs (NULL/short/negative/out-of-range codes, NULL
+    * table). Codes past the table's m are NULL here vs ignored by the
+    * native form — unreachable from [[encode]], which always emits
+    * exactly m codes. */
+  def adcDistSqCol(codeCol: Column, lutCol: Column): Column =
+    aggregate(
+      zip_with(codeCol, lutCol,
+        (c, t) => when(c >= 0, try_element_at(t, c + lit(1)))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Persist codebooks as a (subspace, cell, centroid) parquet table. */
   def save(spark: SparkSession, codebooks: Array[Array[Array[Double]]],
       dir: String): Unit = {

@@ -29,10 +29,14 @@ object IvfPqProbe {
     val nProbe = args.lift(1).map(_.toInt).getOrElse(16)
     val rerankC = args.lift(2).map(_.toInt).getOrElse(4000)
     val outJson = args.lift(3).getOrElse("IVFPQ.json")
-    // arg 4 "res": IVFADC — PQ trained on and encoding residuals
-    // (vector − cell centroid), per-cell query LUTs at serve time.
-    // Same m×k budget; measures what residual encoding buys in recall.
-    val residual = args.lift(4).contains("res")
+    // arg 4 flags (`+`-joined): "res" = IVFADC — PQ trained on and
+    // encoding residuals (vector − cell centroid), per-cell query
+    // LUTs at serve time, same m×k budget; "batch" = serve all 64
+    // queries in ONE Ivf.searchPqBatch plan (distributed routing +
+    // LUT-as-data) instead of the per-query driver loop.
+    val flags = args.lift(4).map(_.split("\\+").toSet).getOrElse(Set.empty)
+    val residual = flags.contains("res")
+    val batchServe = flags.contains("batch")
     val dir = s"${sys.env.getOrElse("VEC_SCALE_DIR", "/tmp/vec_scale")}/n$n"
     val nQueries = 64
 
@@ -59,7 +63,12 @@ object IvfPqProbe {
     // PQ codebooks + the CELL-PARTITIONED code table (one pass:
     // IVF cell + PQ code per row, codes laid out for partition pruning).
     // Residual mode fits/encodes vector − cell centroid instead.
-    val codesDir = if (residual) s"$dir/ivfpq_codes_res" else s"$dir/ivfpq_codes"
+    val suffix = if (residual) "_res" else ""
+    // loop mode scans a codes-only table; batch mode reads the full
+    // PQ-augmented index (embedding + pq_code — column pruning keeps
+    // the ADC stage codes-sized, rerank fetches the vectors in place)
+    val codesDir = s"$dir/ivfpq_codes$suffix"
+    val codesDirWithEmb = s"$dir/ivfpq_index$suffix"
     val assigned = Ivf.assign(corpus, col("embedding"), centers)
     val embOrRes =
       if (residual) Pq.residual(col("embedding"), col("cell"), centers)
@@ -67,10 +76,14 @@ object IvfPqProbe {
     val tBuild = System.nanoTime()
     val cb = Pq.fit(assigned, embOrRes, Seq(col("vec_id")),
       m = 16, k = 256, iters = 2)
-    Pq.encode(assigned, embOrRes, cb)
-      .select(col("vec_id"), col("cell"), col("pq_code"))
-      .repartition(32, col("cell"), pmod(hash(col("vec_id")), lit(4)))
-      .write.mode("overwrite").partitionBy("cell").parquet(codesDir)
+    if (batchServe)
+      Ivf.writeIndexPq(corpus.select("vec_id", "embedding"), col("embedding"),
+        col("vec_id"), centers, cb, codesDirWithEmb, residual = residual)
+    else
+      Pq.encode(assigned, embOrRes, cb)
+        .select(col("vec_id"), col("cell"), col("pq_code"))
+        .repartition(32, col("cell"), pmod(hash(col("vec_id")), lit(4)))
+        .write.mode("overwrite").partitionBy("cell").parquet(codesDir)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
     val qRows = corpus.filter(col("vec_id") < nQueries)
@@ -92,9 +105,15 @@ object IvfPqProbe {
       .collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-    // IVF-PQ serving loop
+    // IVF-PQ serving: one batch plan, or the per-query loop
     val tServe = System.nanoTime()
-    val got = qRows.map { case (qid, qe) =>
+    val got: Map[Long, Set[Long]] = if (batchServe) {
+      Ivf.searchPqBatch(spark, codesDirWithEmb, centers, cb, queries,
+          nProbe, rerankC, topK = 10, residual = residual, excludeSelf = true,
+          metric = "l2")
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    } else qRows.map { case (qid, qe) =>
       val cells = Ivf.nearestCells(centers, qe.map(_.toDouble), nProbe)
       val codes = spark.read.parquet(codesDir)
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
@@ -121,11 +140,12 @@ object IvfPqProbe {
       got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
     val recall = per.sum / per.size
     println(f"[ivfpq n=$n nProbe=$nProbe/${VecScaleProbe.KCells} C=$rerankC " +
-      f"residual=$residual] build=$buildSec%.1f s serve64=$serveSec%.1f s " +
+      f"residual=$residual batch=$batchServe] build=$buildSec%.1f s " +
+      f"serve64=$serveSec%.1f s " +
       f"(${serveSec / nQueries * 1000}%.0f ms/q) recall@10=$recall%.4f")
     val json = s"""{"metric":"ivfpq","n":$n,"k_cells":${VecScaleProbe.KCells},""" +
       s""""n_probe":$nProbe,"m":16,"k":256,"rerank_c":$rerankC,""" +
-      s""""residual":$residual,""" +
+      s""""residual":$residual,"batch":$batchServe,""" +
       s""""build_sec":${f"$buildSec%.2f"},"serve_64q_sec":${f"$serveSec%.2f"},""" +
       s""""recall_at_10":${f"$recall%.4f"}}"""
     Files.writeString(Paths.get(outJson), json)

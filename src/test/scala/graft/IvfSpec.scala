@@ -194,6 +194,109 @@ class IvfSpec extends SparkSpec {
       "batch search over a partitioned index must carry partition filters")
   }
 
+  test("IVFADC batch serving == the per-query chain, plain and residual") {
+    import graft.ops.Pq
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 6, iters = 2)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val qs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    for (residual <- Seq(false, true)) {
+      val assigned = Ivf.assign(emb, $"embedding", centers)
+      val src =
+        if (residual) Pq.residual($"embedding", $"cell", centers)
+        else $"embedding"
+      val cb = Pq.fit(assigned, src, Seq($"vec_id"), m = 8, k = 16, iters = 1)
+      val idx = java.nio.file.Files.createTempDirectory("ivfadc").toString
+      Ivf.writeIndexPq(emb, $"embedding", $"vec_id", centers, cb, idx,
+        residual = residual)
+
+      // 1. the persisted index carries codes identical to an inline encode
+      val stored = spark.read.parquet(idx)
+        .select($"vec_id", $"pq_code").as[(Long, Seq[Int])].collect().toMap
+      Pq.encode(assigned, src, cb).select($"vec_id", $"pq_code")
+        .as[(Long, Seq[Int])].collect()
+        .foreach { case (id, c) => assert(stored(id) === c, s"vec $id codes") }
+
+      // 2. distributed LUTs (pq_lut_l2 over the double query residual)
+      //    are bit-equal to the driver-side Pq.lutL2 / residualLuts
+      val (q0, qe0) = qs.head
+      val cells0 = Ivf.nearestCells(centers, qe0.map(_.toDouble), 2)
+      val expectLuts =
+        if (residual) Pq.residualLuts(cb, centers, qe0.map(_.toDouble), cells0)
+        else cells0.map(c => c -> Pq.lutL2(cb, qe0.map(_.toDouble)))
+      val qd =
+        if (residual)
+          zip_with($"q_emb",
+            element_at(typedlit(centers.map(_.toSeq).toSeq), $"cell" + lit(1)),
+            (x, c) => x.cast("double") - c)
+        else transform($"q_emb", x => x.cast("double"))
+      val gotLuts = queries.filter($"q_id" === q0)
+        .select($"q_id", explode(
+          graft.functions.nearest_cells($"q_emb", centers, 2)).as("cell"))
+        .join(queries, "q_id")
+        .select($"cell", graft.functions.pq_lut_l2(qd, cb).as("lut"))
+        .as[(Int, Seq[Seq[Double]])].collect().toMap
+      expectLuts.foreach { case (c, lut) =>
+        assert(gotLuts(c).map(_.toArray).toArray.map(_.toSeq) ===
+          lut.map(_.toSeq).toSeq, s"cell $c lut (residual=$residual)")
+      }
+
+      // 3. batch == per-query chain (ADC cut then exact rerank)
+      val batch = Ivf.searchPqBatch(spark, idx, centers, cb, queries,
+        nProbe = 2, rerankC = 50, topK = 5, residual = residual,
+        excludeSelf = true)
+        .orderBy("q_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+      qs.foreach { case (qid, qe) =>
+        val cells = Ivf.nearestCells(centers, qe.map(_.toDouble), 2)
+        val luts =
+          if (residual) Pq.residualLuts(cb, centers, qe.map(_.toDouble), cells)
+          else cells.map(c => c -> Pq.lutL2(cb, qe.map(_.toDouble)))
+        val cand = spark.read.parquet(idx)
+          .filter($"cell".isin(cells.map(Integer.valueOf): _*) &&
+            $"vec_id" =!= qid)
+          .select($"vec_id", $"embedding",
+            Pq.adcDistSqPerCell($"pq_code", $"cell", luts).as("adc"))
+          .filter($"adc".isNotNull)
+          .orderBy($"adc".asc, $"vec_id".asc).limit(50)
+        val single = cand
+          .select($"vec_id",
+            graft.functions.cosine_sim($"embedding", typedlit(qe.toSeq)).as("s"))
+          .orderBy($"s".desc, $"vec_id".asc).limit(5)
+          .select($"vec_id").as[Long].collect().toSeq
+        val got = batch.filter(_._1 == qid).map(_._3)
+        assert(got === single, s"query $qid (residual=$residual)")
+      }
+
+      // 4. metric = "l2" reranks by 2·q·x − ‖x‖² (≡ −‖q−x‖²)
+      val batchL2 = Ivf.searchPqBatch(spark, idx, centers, cb, queries,
+        nProbe = 2, rerankC = 50, topK = 5, residual = residual,
+        excludeSelf = true, metric = "l2")
+        .orderBy("q_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+      qs.foreach { case (qid, qe) =>
+        val cells = Ivf.nearestCells(centers, qe.map(_.toDouble), 2)
+        val luts =
+          if (residual) Pq.residualLuts(cb, centers, qe.map(_.toDouble), cells)
+          else cells.map(c => c -> Pq.lutL2(cb, qe.map(_.toDouble)))
+        val qLit = typedlit(qe.toSeq)
+        val single = spark.read.parquet(idx)
+          .filter($"cell".isin(cells.map(Integer.valueOf): _*) &&
+            $"vec_id" =!= qid)
+          .select($"vec_id", $"embedding",
+            Pq.adcDistSqPerCell($"pq_code", $"cell", luts).as("adc"))
+          .filter($"adc".isNotNull)
+          .orderBy($"adc".asc, $"vec_id".asc).limit(50)
+          .select($"vec_id",
+            (lit(2.0) * graft.functions.dot_product($"embedding", qLit) -
+              graft.functions.dot_product($"embedding", $"embedding")).as("s"))
+          .orderBy($"s".desc, $"vec_id".asc).limit(5)
+          .select($"vec_id").as[Long].collect().toSeq
+        assert(batchL2.filter(_._1 == qid).map(_._3) === single,
+          s"l2 query $qid (residual=$residual)")
+      }
+    }
+  }
+
   test("splitHotCells bounds a drifted hot cell and preserves rows + search") {
     // skewed corpus indexed through a STALE quantizer (fit on a
     // uniform twin) — the drift scenario that concentrates the hot

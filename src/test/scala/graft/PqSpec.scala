@@ -176,6 +176,44 @@ class PqSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("LUT-as-column ADC fold matches the native form, degenerate codes included") {
+    val cb = Pq.fit(emb, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 1)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val lut = Pq.lutL2(cb, q.map(_.toDouble))
+    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+    Pq.encode(emb, $"embedding", cb)
+      .select($"vec_id", Pq.adcDistSq($"pq_code", lut).as("a"),
+        Pq.adcDistSqCol($"pq_code", lutLit).as("b"))
+      .collect().foreach { r =>
+        assert(Option(r.get(1)) === Option(r.get(2)), s"vec ${r.getLong(0)}")
+      }
+    // degenerate codes → NULL from BOTH spellings: null array, null
+    // element, short array, out-of-range code, negative code
+    val weird: Seq[(Long, Option[Seq[Option[Int]]])] = Seq(
+      1L -> None,
+      2L -> Some(Seq(Some(0), Some(1), Some(2), Some(3), Some(4), Some(5),
+        Some(6), None)),
+      3L -> Some(Seq(Some(0), Some(1), Some(2))),
+      4L -> Some(Seq(Some(0), Some(1), Some(2), Some(3), Some(4), Some(5),
+        Some(6), Some(99))),
+      5L -> Some(Seq(Some(0), Some(1), Some(2), Some(3), Some(4), Some(5),
+        Some(6), Some(-1))))
+    weird.toDF("vec_id", "pq_code")
+      .select($"vec_id", Pq.adcDistSq($"pq_code", lut).as("a"),
+        Pq.adcDistSqCol($"pq_code", lutLit).as("b"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(1) && r.isNullAt(2),
+          s"degenerate code ${r.getLong(0)} must be NULL in both spellings")
+      }
+    // distributed LUT == driver LUT on the same query
+    val viaExpr = emb.filter($"vec_id" === 0)
+      .select(graft.functions.pq_lut_l2(
+        transform($"embedding", x => x.cast("double")), cb).as("t"))
+      .as[Seq[Seq[Double]]].head()
+    assert(viaExpr.map(_.toSeq) === lut.map(_.toSeq).toSeq)
+  }
+
   test("PQ top-10 lands inside the exact-L2 top-100 (coarse-rank sanity)") {
     // 8-byte codes cannot rank near-ties inside a cluster (classic PQ
     // regime — the 2k-vector corpus's true top-10 are close same-

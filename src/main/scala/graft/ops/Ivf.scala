@@ -158,14 +158,17 @@ object Ivf {
     * vectors while old ones stay in stale cells). */
   def appendStream(vectors: DataFrame, embCol: Column,
       centers: Array[Array[Double]], indexDir: String, checkpoint: String,
-      triggerMs: Long = 1000L, compactEvery: Int = 0)
+      triggerMs: Long = 1000L, compactEvery: Int = 0,
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      residual: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, embCol, centers, indexDir, batchId)
+        appendBatch(batch, embCol, centers, indexDir, batchId, codebooks,
+          residual)
         // batch-count-cadence maintenance, same policy knob as
         // CdcReplay.startLog's compactEvery: without it, every
         // micro-batch adds one file per touched cell forever
@@ -174,15 +177,32 @@ object Ivf {
       }
       .start()
 
-  /** One micro-batch of [[appendStream]] — exposed for replay tests. */
+  /** One micro-batch of [[appendStream]] — exposed for replay tests.
+    * With `codebooks`, each appended row also carries its PQ code
+    * (encoded map-side, over the residual when `residual` — the
+    * [[writeIndexPq]] layout), so a streamed index serves through
+    * [[searchPqBatch]] exactly like a batch-built one; compaction
+    * folds the code column along untouched. Codebooks are fixed at
+    * wiring time, like the quantizer: re-fit offline, swap
+    * atomically — and a quantizer/codebook pair must swap TOGETHER
+    * (residual codes are meaningless against another quantizer). */
   def appendBatch(batch: DataFrame, embCol: Column,
-      centers: Array[Array[Double]], indexDir: String, batchId: Long): Unit =
-    assign(batch, embCol, centers)
+      centers: Array[Array[Double]], indexDir: String, batchId: Long,
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      residual: Boolean = false): Unit = {
+    val assigned = assign(batch, embCol, centers)
+    val withCodes = codebooks.fold(assigned) { cb =>
+      val src = if (residual) Pq.residual(embCol, col("cell"), centers)
+        else embCol
+      Pq.encode(assigned, src, cb)
+    }
+    withCodes
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
       .parquet(indexDir)
+  }
 
   /** Root of the compacted generations inside an index dir —
     * dot-prefixed, so plain partition discovery over the live slices
@@ -474,7 +494,10 @@ object Ivf {
   /** [[searchPqBatchOf]] against a persisted PQ-augmented index, with
     * the probed cells' partition pruning restored via a literal
     * `cell IN (…)` filter (the [[searchBatch]] discipline — a
-    * broadcast join alone would scan every cell). */
+    * broadcast join alone would scan every cell). Reads through
+    * [[readIndex]], so a streamed-and-compacted PQ index (an
+    * [[appendStream]] wired with codebooks) serves identically to a
+    * batch-built [[writeIndexPq]] layout. */
   def searchPqBatch(spark: SparkSession, indexDir: String,
       centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
@@ -484,7 +507,7 @@ object Ivf {
       .select(explode(graft.functions.nearest_cells(col("q_emb"), centers,
         nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(indexDir)
+    val idx = readIndex(spark, indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     searchPqBatchOf(idx, queries, centers, codebooks, nProbe, rerankC, topK,
       residual, excludeSelf, scoreRound, metric)

@@ -112,6 +112,48 @@ class IvfSpec extends SparkSpec {
     assert(got === brute, s"streamed-index search diverged: $got vs $brute")
   }
 
+  test("streamed PQ index compacts and serves identically to a batch-built one") {
+    import graft.ops.Pq
+    val tmp = java.nio.file.Files.createTempDirectory("ivfspq").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val assigned = Ivf.assign(emb, $"embedding", centers)
+    val res = Pq.residual($"embedding", $"cell", centers)
+    val cb = Pq.fit(assigned, res, Seq($"vec_id"), m = 8, k = 16, iters = 1)
+
+    // stream the corpus in as three appendBatch micro-batches with
+    // codebooks wired (residual codes), then compact
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    all.grouped((all.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toSeq.toDF("vec_id", "raw")
+        .select($"vec_id", $"raw".cast("array<float>").as("embedding"))
+      Ivf.appendBatch(b, $"embedding", centers, s"$tmp/streamed", i.toLong,
+        Some(cb), residual = true)
+    }
+    assert(Ivf.compactIndex(spark, s"$tmp/streamed") === Some(2L))
+
+    // the code column folded through compaction intact: every row's
+    // code matches an inline encode
+    val stored = Ivf.readIndex(spark, s"$tmp/streamed")
+      .select($"vec_id", $"pq_code").as[(Long, Seq[Int])].collect().toMap
+    assert(stored.size === all.length)
+    Pq.encode(assigned, res, cb).select($"vec_id", $"pq_code")
+      .as[(Long, Seq[Int])].collect()
+      .foreach { case (id, c) => assert(stored(id) === c, s"vec $id") }
+
+    // serving parity: streamed+compacted == batch-built writeIndexPq
+    Ivf.writeIndexPq(emb, $"embedding", $"vec_id", centers, cb,
+      s"$tmp/built", residual = true)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    def serve(dir: String) =
+      Ivf.searchPqBatch(spark, dir, centers, cb, queries, nProbe = 2,
+        rerankC = 40, topK = 5, residual = true, excludeSelf = true)
+        .orderBy("q_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(serve(s"$tmp/streamed") === serve(s"$tmp/built"),
+      "streamed PQ index must serve like the batch-built layout")
+  }
+
   test("ragged embeddings assign to NULL and are excluded from fit means") {
     val data = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f)), (2L, Array(0.1f, 0.1f))

@@ -206,11 +206,38 @@ object VecDimProbe {
       recall(got, truth.view.filterKeys(got.contains).toMap)
     val pqRecall = pqRecallOf(gotRerank)
     val pqRecall2 = pqRecallOf(gotRerank2)
-    corpus.unpersist()
     encoded.unpersist()
+
+    // 5. residual IVFADC at real width — the production serving path
+    //    (writeIndexPq + searchPqBatch, PQ trained on vector − cell
+    //    centroid, per-cell query LUTs as data). Same m×k budget as
+    //    leg 4; cosine rerank for consistency with the legs above.
+    val (cbRes, pqResFitSec) = timed("pq_res_fit") {
+      val assigned = Ivf.assign(corpus, col("embedding"), centers)
+      Pq.fit(assigned, Pq.residual(col("embedding"), col("cell"), centers),
+        Seq(col("vec_id")), m = pqM, dims = dims, k = pqK, iters = 2)
+    }
+    val (_, idxPqSec) = timed("ivfadc_index") {
+      Ivf.writeIndexPq(corpus, col("embedding"), col("vec_id"), centers,
+        cbRes, s"$dir/ivfadc_index", residual = true)
+    }
+    val q16 = pqQ.toSeq.toDF("q_id", "q_emb")
+    def ivfadcLeg(c: Int): (Map[Long, Set[Long]], Double) = timed(s"ivfadc16_c$c") {
+      Ivf.searchPqBatch(spark, s"$dir/ivfadc_index", centers, cbRes, q16,
+          NProbe, c, topK = 10, residual = true, excludeSelf = true)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (qv, rs) => qv -> rs.map(_._2).toSet }
+    }
+    val (gotAdc, adcSec) = ivfadcLeg(rerankC)
+    val rerankCQ = rerankC / 4
+    val (gotAdc2, adcSec2) = ivfadcLeg(rerankCQ)
+    val adcRecall = pqRecallOf(gotAdc)
+    val adcRecall2 = pqRecallOf(gotAdc2)
+    corpus.unpersist()
 
     println(f"[d=$dims n=$n] recall@10 ivf=$ivfRecall%.3f " +
       f"pq_rerank(c=$rerankC)=$pqRecall%.3f (c=$rerankC2)=$pqRecall2%.3f " +
+      f"ivfadc(c=$rerankC)=$adcRecall%.3f (c=$rerankCQ)=$adcRecall2%.3f " +
       f"single brute=$bruteSingle%.2f s ivf=$ivfSingle%.2f s " +
       f"compression=${rawBytes.toDouble / codeBytes}%.1fx")
     val json = s"""{"metric":"vec_dim","n":$n,"dims":$dims,"k_cells":$KCells,""" +
@@ -229,7 +256,13 @@ object VecDimProbe {
       s""""pq_rerank_c":$rerankC,"pq_rerank_16q_sec":${f"$rerankSec%.2f"},""" +
       s""""pq_rerank_recall_at_10":${f"$pqRecall%.4f"},""" +
       s""""pq_rerank_c2":$rerankC2,"pq_rerank_16q_sec_c2":${f"$rerankSec2%.2f"},""" +
-      s""""pq_rerank_recall_at_10_c2":${f"$pqRecall2%.4f"}}"""
+      s""""pq_rerank_recall_at_10_c2":${f"$pqRecall2%.4f"},""" +
+      s""""ivfadc_fit_sec":${f"$pqResFitSec%.2f"},""" +
+      s""""ivfadc_index_sec":${f"$idxPqSec%.2f"},""" +
+      s""""ivfadc_rerank_c":$rerankC,"ivfadc_16q_sec":${f"$adcSec%.2f"},""" +
+      s""""ivfadc_recall_at_10":${f"$adcRecall%.4f"},""" +
+      s""""ivfadc_rerank_c2":$rerankCQ,"ivfadc_16q_sec_c2":${f"$adcSec2%.2f"},""" +
+      s""""ivfadc_recall_at_10_c2":${f"$adcRecall2%.4f"}}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

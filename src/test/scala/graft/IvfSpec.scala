@@ -112,6 +112,40 @@ class IvfSpec extends SparkSpec {
     assert(got === brute, s"streamed-index search diverged: $got vs $brute")
   }
 
+  test("IVFADC batch plan: codes-only ADC scan, embedding only in the rerank") {
+    import graft.ops.Pq
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    val assigned = Ivf.assign(emb, $"embedding", centers)
+    val res = Pq.residual($"embedding", $"cell", centers)
+    val cb = Pq.fit(assigned, res, Seq($"vec_id"), m = 8, k = 16, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_plan").toString
+    Ivf.writeIndexPq(emb, $"embedding", $"vec_id", centers, cb, idx,
+      residual = true)
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val df = Ivf.searchPqBatch(spark, idx, centers, cb, queries,
+      nProbe = 2, rerankC = 30, topK = 5, residual = true)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(idx)) => f
+    }
+    assert(scans.size >= 2, s"expected ADC + rerank scans, got ${scans.size}")
+    val codesOnly = scans.filter(s =>
+      s.requiredSchema.fieldNames.contains("pq_code") &&
+        !s.requiredSchema.fieldNames.contains("embedding"))
+    val rerank = scans.filter(s =>
+      s.requiredSchema.fieldNames.contains("embedding") &&
+        !s.requiredSchema.fieldNames.contains("pq_code"))
+    assert(codesOnly.nonEmpty,
+      "the ADC stage must scan codes WITHOUT the embedding column — " +
+        s"schemas: ${scans.map(_.requiredSchema.fieldNames.mkString("[", ",", "]"))}")
+    assert(rerank.nonEmpty,
+      "the rerank must read embeddings without re-reading codes")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "every index scan must stay partition-pruned to the probed cells")
+  }
+
   test("streamed PQ index compacts and serves identically to a batch-built one") {
     import graft.ops.Pq
     val tmp = java.nio.file.Files.createTempDirectory("ivfspq").toString

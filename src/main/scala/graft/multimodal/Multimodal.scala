@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decode / feature-extract / frame-sample as
   * distributed operators.
   *
-  * The actual byte decoding is STUBBED ([[StubDecoder]] — this
-  * container has no image/audio codecs), but everything Spark-side is
-  * real and tested: the schema, the binary payload column, the
-  * per-partition decoder lifecycle (`mapPartitions` with one decoder
-  * instance per partition — the pattern a JNI/FFmpeg decoder needs),
-  * the typed output encoding, and the frame-sampling explode. Swapping
-  * in a real decoder changes one class.
+  * Container HEADER decoding is real for all three modalities —
+  * [[ImageHeader]] (PNG/JPEG/GIF), [[AudioHeader]] (WAV/AIFF/AU),
+  * [[VideoHeader]] (MP4/AVI) — via pure-JVM byte slicing; only
+  * pixel/sample decoding is stubbed ([[StubDecoder]] — this container
+  * has no codecs). Everything Spark-side is real and tested: the
+  * schema, the binary payload column, the per-partition decoder
+  * lifecycle (`mapPartitions` with one decoder instance per
+  * partition — the pattern a JNI/FFmpeg decoder needs), the typed
+  * output encoding, and the frame-sampling explode. Swapping in a
+  * full codec changes one class.
   *
   * Scale notes: payloads never pass through a shuffle — features are
   * extracted map-side and only the (small) feature rows move; frame
@@ -97,22 +100,30 @@ object Multimodal {
     }
   }
 
-  /** Audio-aware decoder: REAL container metadata for audio payloads —
-    * [[AudioHeader]]'s pure-JVM WAV fmt-chunk / AIFF COMM / AU header
-    * parsing — stacked on the image-aware decode, so one decoder
-    * instance per partition covers both real-metadata legs; video
-    * still falls back to the stub. Frame count maps to sample frames
-    * (the audio analog of video frames — what duration gates and
-    * sampling windows consume). */
+  /** A/V-aware decoder: REAL container metadata for audio AND video
+    * payloads — [[AudioHeader]]'s pure-JVM WAV fmt-chunk / AIFF COMM /
+    * AU parsing and [[VideoHeader]]'s MP4 box walk / AVI RIFF header —
+    * stacked on the image-aware decode, so one decoder instance per
+    * partition covers all three real-metadata legs. Audio frame count
+    * maps to sample frames (the audio analog of video frames — what
+    * duration gates and sampling windows consume). */
   class AvHeaderDecoder extends ImageHeaderDecoder {
     override def decode(row: MediaRow): MediaFeatures = {
       val base = super.decode(row)
-      if (row.kind != "audio") base
-      else AudioHeader.parse(row.payload) match {
-        case Some(m) => base.copy(width = 0, height = 0,
-          duration_ms = m.duration_ms,
-          n_frames = m.n_frames.min(Int.MaxValue).toInt)
-        case None => base
+      row.kind match {
+        case "audio" => AudioHeader.parse(row.payload) match {
+          case Some(m) => base.copy(width = 0, height = 0,
+            duration_ms = m.duration_ms,
+            n_frames = m.n_frames.min(Int.MaxValue).toInt)
+          case None => base
+        }
+        case "video" => VideoHeader.parse(row.payload) match {
+          case Some(m) => base.copy(width = m.width, height = m.height,
+            duration_ms = m.duration_ms,
+            n_frames = m.n_frames.min(Int.MaxValue).toInt)
+          case None => base
+        }
+        case _ => base
       }
     }
   }
@@ -145,6 +156,36 @@ object Multimodal {
         m.channels, m.sample_rate, m.bits_per_sample, m.n_frames, m.duration_ms))
     }.toDF("media_id", "format", "channels", "sample_rate",
       "bits_per_sample", "n_frames", "duration_ms")
+  }
+
+  /** Deterministic spec-constructed video fixture: one tiny container
+    * per document row — MP4 box trees and AVI RIFF structures
+    * round-robin by id, built field-by-field from the public
+    * specifications by [[VideoFixture]] (the JDK has no video muxer,
+    * unlike the image/audio legs' real encoders) — with version-1
+    * 64-bit movie headers and sound-first track orders mixed in, so
+    * the parser is exercised against the layouts real muxers emit
+    * while the expected parse stays SQL-expressible. */
+  def videosFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        MediaRow(id, "video", VideoFixture.encode(id),
+          s"synthetic/${VideoFixture.formatOf(id)}", None)
+      }
+  }
+
+  /** Parsed video-container metadata, map-side (no payload shuffle):
+    * (media_id, format, width, height, n_frames, duration_ms).
+    * Unparseable payloads are dropped — the resolution/duration gate
+    * shape. */
+  def videoMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      VideoHeader.parse(r.payload).map(m => (r.media_id, m.format,
+        m.width, m.height, m.n_frames, m.duration_ms))
+    }.toDF("media_id", "format", "width", "height", "n_frames", "duration_ms")
   }
 
   /** Deterministic REAL-encoder image fixture: one tiny image per

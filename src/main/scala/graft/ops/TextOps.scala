@@ -1129,6 +1129,24 @@ object TextOps {
         graft.multimodal.Multimodal.audiosFromDocuments(s, dir))
         .orderBy("media_id")),
 
+    // REAL video-container decode — the last multimodal leg, same
+    // design as q_image_meta/q_audio_meta: one tiny container per
+    // document row (MP4 box trees / AVI RIFF structures alternating
+    // by id, spec-constructed since the JDK has no video muxer — with
+    // version-1 64-bit movie headers and sound-first track orders
+    // mixed in), then the pure-JVM header parser
+    // (graft.multimodal.VideoHeader — ISO-BMFF box walk to
+    // mvhd/tkhd/stsz, AVI hdrl/avih chunk walk) extracts dimensions,
+    // frame count, and duration map-side. The oracle states every
+    // field arithmetically from the id-derived fixture functions, so
+    // a parser that takes the first (audio) trak, misreads the
+    // version-dependent tkhd offsets, or mishandles RIFF even-padding
+    // hash-mismatches here. Payload bytes never shuffle.
+    "q_video_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoMeta(
+        graft.multimodal.Multimodal.videosFromDocuments(s, dir))
+        .orderBy("media_id")),
+
     // Frame sampling over the video leg, oracle-gated: the stub
     // decoder's featurization is deterministic arithmetic (n_frames =
     // byte_len/1000 + 1), so the evenly-spaced explode — indices
@@ -1358,6 +1376,20 @@ object TextOps {
           |  (((doc_id % 97) + 50) * 1000)
           |    // ([8000, 11025, 16000, 22050, 44100])[(doc_id % 5) + 1]
           |    AS duration_ms
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_video_meta" ->
+        """SELECT doc_id AS media_id,
+          |  (['mp4', 'avi'])[(doc_id % 2) + 1] AS format,
+          |  CAST((doc_id % 113) + 16 AS INTEGER) AS width,
+          |  CAST((doc_id % 67) + 16 AS INTEGER) AS height,
+          |  CAST((doc_id % 89) + 24 AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN doc_id % 2 = 0
+          |    THEN (((doc_id % 89) + 24) * 1000)
+          |      // ([10, 12, 20, 24, 25])[(doc_id % 5) + 1]
+          |    ELSE (((doc_id % 89) + 24)
+          |      * (1000000 // ([10, 12, 20, 24, 25])[(doc_id % 5) + 1])) // 1000
+          |  END AS BIGINT) AS duration_ms
           |FROM documents ORDER BY media_id""".stripMargin,
 
       "q_frame_sample" ->

@@ -135,6 +135,61 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioHeader.parse(badEnc).isEmpty, "unknown au encoding")
   }
 
+  test("video headers parse spec-constructed mp4 and avi containers") {
+    import graft.multimodal.{VideoFixture, VideoHeader}
+    // ids chosen to hit: both formats, version-1 mvhd/tkhd (id%7==0),
+    // sound-first track order (mp4 with id%3==0), and varied geometry
+    Seq(0L, 1L, 2L, 3L, 6L, 7L, 14L, 21L, 35L, 58L, 96L, 123L).foreach { id =>
+      val m = VideoHeader.parse(VideoFixture.encode(id))
+      assert(m.isDefined, s"id $id did not parse")
+      val v = m.get
+      assert(v.format === VideoFixture.formatOf(id), s"id $id")
+      assert(v.width === VideoFixture.widthOf(id), s"id $id")
+      assert(v.height === VideoFixture.heightOf(id), s"id $id")
+      assert(v.n_frames === VideoFixture.framesOf(id).toLong,
+        s"id $id — a first-trak (audio) stsz read would be off by 7")
+      assert(v.duration_ms === VideoFixture.durationMsOf(id), s"id $id")
+    }
+  }
+
+  test("video header parser rejects truncated, corrupt, and non-video bytes") {
+    import graft.multimodal.{VideoFixture, VideoHeader}
+    val mp4 = VideoFixture.encode(0L) // mp4, v1 headers, sound-first
+    val avi = VideoFixture.encode(1L) // avi
+    assert(VideoHeader.parse(mp4.take(40)).isEmpty, "truncated mp4")
+    assert(VideoHeader.parse(avi.take(40)).isEmpty, "truncated avi")
+    assert(VideoHeader.parse("not a video container".getBytes).isEmpty)
+    assert(VideoHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(VideoHeader.parse(null).isEmpty)
+    // an mp4 without its brand declaration is not an mp4
+    val ftypLen = java.nio.ByteBuffer.wrap(mp4.take(4)).getInt
+    assert(VideoHeader.parse(mp4.drop(ftypLen)).isEmpty, "missing ftyp")
+    // a box whose declared size overruns the payload is corrupt
+    val overrun = mp4.clone()
+    overrun(0) = 0x7f.toByte // ftyp size huge
+    assert(VideoHeader.parse(overrun).isEmpty, "overrunning box")
+    // an avi whose hdrl list lacks the avih main header is corrupt
+    val noAvih = avi.clone()
+    // avih tag sits right after RIFF(12) + LIST header(8) + 'hdrl'(4)
+    assert(new String(noAvih, 24, 4, "US-ASCII") === "avih")
+    noAvih(24) = 'x'.toByte
+    assert(VideoHeader.parse(noAvih).isEmpty, "hdrl without avih")
+  }
+
+  test("AvHeaderDecoder yields real video metadata inside the partition lifecycle") {
+    import graft.multimodal.{VideoFixture, Multimodal}
+    val media = Multimodal.videosFromDocuments(spark, dir)
+    val feats = Multimodal.extractFeatures(media,
+      () => new Multimodal.AvHeaderDecoder).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width === VideoFixture.widthOf(f.media_id), s"media ${f.media_id}")
+      assert(f.height === VideoFixture.heightOf(f.media_id))
+      assert(f.n_frames === VideoFixture.framesOf(f.media_id))
+      assert(f.duration_ms === VideoFixture.durationMsOf(f.media_id))
+    }
+  }
+
   test("AvHeaderDecoder yields real audio metadata inside the partition lifecycle") {
     import graft.multimodal.{AudioFixture, Multimodal}
     val media = Multimodal.audiosFromDocuments(spark, dir)

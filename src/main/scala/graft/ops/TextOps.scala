@@ -1163,6 +1163,25 @@ object TextOps {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Decode → sample composition over REAL containers: the frame
+    // counts driving the evenly-spaced explode come from the MP4
+    // stsz / AVI avih headers (AvHeaderDecoder), not the stub
+    // arithmetic — so this query gates the full path a curation
+    // pipeline runs: parse the container map-side, then bound the
+    // per-clip work by sampling ≤ maxFrames real frames. The oracle
+    // restates the fixture's frame counts ((doc_id % 89) + 24) and
+    // the sampler's stride arithmetic; byte offsets are omitted (a
+    // real container's frame offsets live in its chunk tables, not
+    // in uniform-stride arithmetic).
+    "q_video_frames" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.videosFromDocuments(s, dir),
+        () => new graft.multimodal.Multimodal.AvHeaderDecoder)
+      graft.multimodal.Multimodal.sampleFrames(feats, maxFrames = 4).toDF()
+        .select(col("media_id"), col("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // SimHash fingerprints via the native codegen'd expression
     // (graft.functions.SimHash60Md5): 60-bit per-bit majority vote over
     // the md5-prefix token hash — bit-reproducible in DuckDB SQL, so
@@ -1404,6 +1423,18 @@ object TextOps {
           |  FROM v)
           |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
           |  CAST(frame_idx * (byte_len // n_frames) AS BIGINT) AS byte_offset
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+      "q_video_frames" ->
+        """WITH v AS (
+          |  SELECT doc_id AS media_id,
+          |    (doc_id % 89) + 24 AS n_frames
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id,
+          |    unnest(range(0, n_frames, (n_frames + 3) // 4)) AS frame_idx
+          |  FROM v)
+          |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx
           |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
       "q_ngram_jaccard" ->

@@ -176,6 +176,39 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoHeader.parse(noAvih).isEmpty, "hdrl without avih")
   }
 
+  test("header parsers are total: every truncation and byte-flip returns, never throws") {
+    import graft.multimodal.{AudioFixture, AudioHeader, ImageFixture,
+      ImageHeader, VideoFixture, VideoHeader}
+    // At corpus scale the payload column is untrusted bytes — a parser
+    // that throws (instead of returning None) kills the task and, with
+    // it, the whole curation job. Deterministic adversarial sweep: for
+    // each fixture, parse EVERY prefix and EVERY single-byte
+    // corruption of the payload.
+    def sweep(name: String, bytes: Array[Byte], parse: Array[Byte] => Option[Any]): Unit = {
+      var i = 0
+      while (i <= bytes.length) { // every truncation point, incl. empty
+        try parse(java.util.Arrays.copyOf(bytes, i))
+        catch { case e: Throwable => fail(s"$name: prefix $i threw $e") }
+        i += 1
+      }
+      i = 0
+      while (i < bytes.length) { // every single-byte corruption
+        val mut = bytes.clone()
+        mut(i) = (mut(i) ^ 0xa5).toByte
+        try parse(mut)
+        catch { case e: Throwable => fail(s"$name: flip at $i threw $e") }
+        i += 1
+      }
+    }
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      sweep(s"video id=$id", VideoFixture.encode(id), VideoHeader.parse)
+      sweep(s"audio id=$id", AudioFixture.encode(id), AudioHeader.parse)
+    }
+    Seq("png", "jpeg", "gif").foreach { fmt =>
+      sweep(s"image $fmt", ImageFixture.encode(fmt, 9, 7, 5L), ImageHeader.parse)
+    }
+  }
+
   test("AvHeaderDecoder yields real video metadata inside the partition lifecycle") {
     import graft.multimodal.{VideoFixture, Multimodal}
     val media = Multimodal.videosFromDocuments(spark, dir)

@@ -218,6 +218,59 @@ object Multimodal {
     }.toDF("media_id", "format", "width", "height")
   }
 
+  /** Aspect-preserving fit-in-box target dimensions, integer
+    * arithmetic only (so the oracle can restate it exactly): unchanged
+    * when already inside the box; otherwise the long edge pins to its
+    * bound and the short edge floors, never below 1. Width-limited iff
+    * w·maxH ≥ h·maxW (cross-multiplied — no float ratios). */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** REAL pixel resize for the image leg — the "resize" step of the
+    * decode / feature-extract / resize / frame-sample operator set:
+    * ImageIO pixel decode, bilinear Graphics2D rescale to the
+    * [[fitWithin]] target, re-encode in the source container format
+    * (sniffed by [[ImageHeader]]). Map-side only — payloads transform
+    * in place, nothing shuffles; already-fitting, non-image, and
+    * undecodable payloads pass through unchanged (the decoder-not-
+    * validator contract). */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(maxW >= 1 && maxH >= 1, s"degenerate resize box ${maxW}x$maxH")
+    media.map { r =>
+      lazy val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+      if (r.kind != "image" || img == null) r
+      else {
+        val (nw, nh) = fitWithin(img.getWidth, img.getHeight, maxW, maxH)
+        if (nw == img.getWidth && nh == img.getHeight) r
+        else {
+          // re-encode in the source format; a payload ImageIO decodes
+          // but our sniffer cannot name would be a parser gap — fail
+          // loudly rather than silently transcode
+          val fmt = ImageHeader.parse(r.payload).map(_.format).getOrElse(
+            throw new IllegalStateException(
+              s"media ${r.media_id}: decodable image with unsniffable container"))
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream(1024)
+          val ok = javax.imageio.ImageIO.write(dst, fmt, out)
+          if (!ok) throw new IllegalStateException(s"no ImageIO writer for $fmt")
+          r.copy(payload = out.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Fixture: wrap the documents table as media rows (text bytes as the
     * opaque payload) — exercises the identical plumbing a real binary
     * ingest would use. */

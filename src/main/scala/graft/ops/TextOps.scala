@@ -1113,6 +1113,22 @@ object TextOps {
         graft.multimodal.Multimodal.imagesFromDocuments(s, dir))
         .orderBy("media_id")),
 
+    // REAL pixel resize, verified end-to-end through the container:
+    // ImageIO decodes the fixture image, a bilinear Graphics2D pass
+    // rescales it to the integer fit-in-box target (32×24 here), the
+    // result re-encodes in its source format, and the HEADERS OF THE
+    // RESIZED BYTES are what the oracle checks — so a wrong scale
+    // ratio, a swapped axis, or a broken re-encode all hash-mismatch.
+    // The fit arithmetic is integer-only (cross-multiplied aspect
+    // test, floored short edge, ≥1) so DuckDB restates it exactly.
+    // Map-side end to end; payload bytes never shuffle.
+    "q_image_resize" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageMeta(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.imagesFromDocuments(s, dir),
+          maxW = 32, maxH = 24))
+        .orderBy("media_id")),
+
     // REAL audio-container decode — the audio leg of the multimodal
     // pipeline, same design as q_image_meta: one tiny PCM clip per
     // document row encoded by the JDK's own javax.sound.sampled
@@ -1383,6 +1399,21 @@ object TextOps {
           |  CAST((doc_id % 61) + 4 AS INTEGER) AS width,
           |  CAST((doc_id % 43) + 4 AS INTEGER) AS height
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_image_resize" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    (['png', 'jpeg', 'gif'])[(doc_id % 3) + 1] AS format,
+          |    (doc_id % 61) + 4 AS w, (doc_id % 43) + 4 AS h
+          |  FROM documents)
+          |SELECT media_id, format,
+          |  CAST(CASE WHEN w <= 32 AND h <= 24 THEN w
+          |    WHEN w * 24 >= h * 32 THEN 32
+          |    ELSE greatest(1, (w * 24) // h) END AS INTEGER) AS width,
+          |  CAST(CASE WHEN w <= 32 AND h <= 24 THEN h
+          |    WHEN w * 24 >= h * 32 THEN greatest(1, (h * 32) // w)
+          |    ELSE 24 END AS INTEGER) AS height
+          |FROM d ORDER BY media_id""".stripMargin,
 
       "q_audio_meta" ->
         """SELECT doc_id AS media_id,

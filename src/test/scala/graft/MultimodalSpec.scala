@@ -176,6 +176,37 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoHeader.parse(noAvih).isEmpty, "hdrl without avih")
   }
 
+  test("resizeImages rescales real pixels to the integer fit-in-box target") {
+    import graft.multimodal.{ImageFixture, ImageHeader, Multimodal}
+    // fit arithmetic edges: inside-box unchanged, width-limited,
+    // height-limited, exact aspect tie (cross-multiply equality takes
+    // the width-limited branch), and the ≥1 floor on extreme aspect
+    assert(Multimodal.fitWithin(10, 10, 32, 24) === ((10, 10)))
+    assert(Multimodal.fitWithin(64, 12, 32, 24) === ((32, 6)))
+    assert(Multimodal.fitWithin(10, 48, 32, 24) === ((5, 24)))
+    assert(Multimodal.fitWithin(64, 48, 32, 24) === ((32, 24)))
+    assert(Multimodal.fitWithin(1000, 4, 32, 24) === ((32, 1)))
+    assert(Multimodal.fitWithin(4, 1000, 32, 24) === ((1, 24)))
+    // end-to-end through real containers: the resized payload's own
+    // headers must carry the target geometry in the source format
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", ImageFixture.encode("png", 64, 12, 1L), "t", None),
+      Multimodal.MediaRow(2L, "image", ImageFixture.encode("jpeg", 10, 48, 2L), "t", None),
+      Multimodal.MediaRow(3L, "image", ImageFixture.encode("gif", 10, 10, 3L), "t", None),
+      Multimodal.MediaRow(4L, "video", Array[Byte](1, 2, 3), "t", None))
+    val resized = Multimodal.resizeImages(
+      spark.createDataset(rows), maxW = 32, maxH = 24)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(ImageHeader.parse(resized(1L).payload)
+      .contains(ImageHeader.ImageMeta("png", 32, 6)))
+    assert(ImageHeader.parse(resized(2L).payload)
+      .contains(ImageHeader.ImageMeta("jpeg", 5, 24)))
+    // already inside the box: bytes pass through untouched
+    assert(java.util.Arrays.equals(resized(3L).payload, rows(2).payload))
+    // non-image kinds pass through untouched
+    assert(java.util.Arrays.equals(resized(4L).payload, rows(3).payload))
+  }
+
   test("header parsers are total: every truncation and byte-flip returns, never throws") {
     import graft.multimodal.{AudioFixture, AudioHeader, ImageFixture,
       ImageHeader, VideoFixture, VideoHeader}

@@ -17,21 +17,35 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright. Read it as raw nanos (legacy conf, set before the
-    * scan is planned) and convert to a microsecond TimestampType column —
-    * truncation toward zero matches DuckDB's ns→wall-clock rendering at
-    * the second/minute granularity every declared query buckets on. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations, so the loader adapts on the read schema:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it outright.
+    *    Read as raw nanos (legacy conf, set before the scan is planned)
+    *    and convert to a microsecond TimestampType column. `div`, not
+    *    `/`: long / long promotes to DOUBLE, and epoch nanos (~1.7e18)
+    *    exceed double's 2^53 mantissa — the rounding could push a value
+    *    sitting within ~256 ns of a second boundary across it and
+    *    desynchronize every time bucket from DuckDB's exact integer
+    *    truncation.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ. Cast to session-local TimestampType — under the
+    *    UTC session timezone every query runs with, the wall clock is
+    *    preserved bit-for-bit, matching DuckDB's naive-TIMESTAMP read
+    *    of the same file.
+    *
+    * Either way downstream operators see one canonical shape:
+    * microsecond TimestampType. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div`, not `/`: long / long promotes to DOUBLE, and epoch nanos
-    // (~1.7e18) exceed double's 2^53 mantissa — the rounding could
-    // push a value sitting within ~256 ns of a second boundary across
-    // it and desynchronize every time bucket from DuckDB's exact
-    // integer truncation
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")

@@ -44,7 +44,12 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampType    => raw
+      // Fail fast on a format the adapter has never seen: a silent
+      // pass-through (e.g. StringType, or plain INT64 micros that
+      // nanosAsLong would make indistinguishable from nanos) would
+      // surface only as a downstream oracle mismatch.
+      case other => sys.error(s"events.ts: unexpected parquet type $other")
     }
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")

@@ -160,7 +160,7 @@ object Ivf {
       centers: Array[Array[Double]], indexDir: String, checkpoint: String,
       triggerMs: Long = 1000L, compactEvery: Int = 0,
       codebooks: Option[Array[Array[Array[Double]]]] = None,
-      residual: Boolean = false)
+      residual: Boolean = false, opCol: Option[Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode("append")
@@ -168,7 +168,7 @@ object Ivf {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, embCol, centers, indexDir, batchId, codebooks,
-          residual)
+          residual, opCol)
         // batch-count-cadence maintenance, same policy knob as
         // CdcReplay.startLog's compactEvery: without it, every
         // micro-batch adds one file per touched cell forever
@@ -189,8 +189,17 @@ object Ivf {
   def appendBatch(batch: DataFrame, embCol: Column,
       centers: Array[Array[Double]], indexDir: String, batchId: Long,
       codebooks: Option[Array[Array[Array[Double]]]] = None,
-      residual: Boolean = false): Unit = {
-    val assigned = assign(batch, embCol, centers)
+      residual: Boolean = false, opCol: Option[Column] = None): Unit = {
+    // opCol: a CDC-style mutation stream — rows whose op is "d" become
+    // TOMBSTONES (the vector cannot be re-quantized to find its cell:
+    // deletes are index-wide by vec_id, applied merge-on-read and
+    // folded out physically at compaction — the CdcReplay discipline)
+    val inserts = opCol.fold(batch)(op => batch.filter(op =!= "d"))
+    opCol.foreach { op =>
+      val dels = batch.filter(op === "d").select(col("vec_id"))
+      if (!dels.isEmpty) appendTombstones(dels, indexDir, batchId)
+    }
+    val assigned = assign(inserts, embCol, centers)
     val withCodes = codebooks.fold(assigned) { cb =>
       val src = if (residual) Pq.residual(embCol, col("cell"), centers)
         else embCol
@@ -203,6 +212,72 @@ object Ivf {
       .partitionBy("cell", "batch_id")
       .parquet(indexDir)
   }
+
+  /** Tombstone root inside an index dir — dot-prefixed like
+    * [[compactRoot]], so partition discovery over the live slices
+    * never sees it. */
+  private def tombstoneRoot(indexDir: String): String = s"$indexDir/.tombstones"
+
+  /** Record vector deletes as TOMBSTONES (round-7 verdict gap: a doc
+    * removed by dedup/takedown could never leave the index). A
+    * tombstone is (vec_id, batch_id) under
+    * `indexDir/.tombstones/batch_id=…` — the same idempotent
+    * dynamic-overwrite slice contract as the data appends, so a
+    * replayed delete batch rewrites exactly its own slice.
+    *
+    * SEMANTICS (last-writer-wins by batch, [[graft.ops.Cdc]]'s rule):
+    * a tombstone at batch b suppresses every indexed row for that
+    * vec_id with `batch_id ≤ b`; a row re-appended at a LATER batch
+    * revives the id. Same-batch delete+insert resolves to deleted.
+    * Batch-built [[writeIndex]] layouts carry no batch_id — there a
+    * tombstone suppresses the id unconditionally.
+    *
+    * Deletes apply merge-on-read in [[readIndex]] (so every search
+    * path — [[search]], [[searchBatch]], [[searchPqBatch]] — honors
+    * them immediately) and are folded out PHYSICALLY by
+    * [[compactIndex]], which also prunes tombstone slices at or
+    * below the fold horizon once every data row they could suppress
+    * has been folded or pruned. */
+  def appendTombstones(ids: DataFrame, indexDir: String, batchId: Long): Unit =
+    ids.select(col("vec_id"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tombstoneRoot(indexDir))
+
+  /** The live tombstone set, if any — (vec_id, batch_id). */
+  private def tombstonesOf(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tombstoneRoot(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Some(spark.read.parquet(tombstoneRoot(indexDir)))
+    else None
+  }
+
+  /** Merge-on-read delete application: keep a row iff no tombstone
+    * at-or-after its batch exists for its vec_id. The tombstone side
+    * is a skinny (vec_id, max batch) aggregate, broadcast — delete
+    * volume between compactions is bounded by the compaction cadence,
+    * exactly like CdcReplay's trailing log. */
+  private def applyTombstones(spark: SparkSession, indexDir: String,
+      df: DataFrame): DataFrame =
+    tombstonesOf(spark, indexDir) match {
+      case None => df
+      case Some(ts) =>
+        val del = ts.groupBy(col("vec_id"))
+          .agg(max(col("batch_id")).as("__del_upto"))
+        if (df.columns.contains("batch_id"))
+          df.join(broadcast(del), Seq("vec_id"), "left")
+            .filter(col("__del_upto").isNull ||
+              col("batch_id") > col("__del_upto"))
+            .drop("__del_upto")
+        else df.join(broadcast(del.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+    }
 
   /** Root of the compacted generations inside an index dir —
     * dot-prefixed, so plain partition discovery over the live slices
@@ -289,11 +364,19 @@ object Ivf {
     val live = spark.read.parquet(indexDir)
       .filter(col("batch_id") > prevF.getOrElse(Long.MinValue) &&
         col("batch_id") <= foldUpTo)
-    val input = prevF match {
+    val input0 = prevF match {
       case Some(f) =>
         graft.stream.Snapshots.readVersion(spark, croot, f).unionByName(live)
       case None => live
     }
+    // TOMBSTONE FOLD (delete-survives-compaction, CdcReplay's
+    // discipline): every tombstone known at fold time applies to the
+    // fold input — a deleted row leaves the compacted generation
+    // PHYSICALLY. Applying tombstones with batch > foldUpTo here is
+    // safe (they suppress rows ≤ their batch, which includes every
+    // folded row) and they stay live afterwards to keep suppressing
+    // post-horizon appends until a later fold overtakes them.
+    val input = applyTombstones(spark, indexDir, input0)
     // consolidate files: co-locate each cell (one writer task per
     // (cell, salt) → ≤4 files per cell regardless of how many input
     // slices fed the fold), with the salt spreading a hot cell over
@@ -306,8 +389,22 @@ object Ivf {
       partitionBy = Seq("cell"))
     // 4. record EVERY live slice ≤ horizon for the next round's prune
     //    (self-healing: slices orphaned by a crash before a previous
-    //    manifest write get re-recorded here)
-    val folded = slices.collect { case (id, p) if id <= foldUpTo => p }
+    //    manifest write get re-recorded here) — including tombstone
+    //    slices ≤ horizon: every data row they could suppress is now
+    //    folded-with-deletes-applied or prunes with its slice, so a
+    //    reader at the new version never needs them again
+    val tombSlices: Seq[Path] = {
+      val troot = new Path(tombstoneRoot(indexDir))
+      if (!fs.exists(troot)) Seq.empty
+      else for {
+        d <- fs.listStatus(troot).toSeq
+        if d.isDirectory && d.getPath.getName.startsWith("batch_id=")
+        id <- d.getPath.getName.stripPrefix("batch_id=").toLongOption
+        if id <= foldUpTo
+      } yield d.getPath
+    }
+    val folded = slices.collect { case (id, p) if id <= foldUpTo => p } ++
+      tombSlices
     val out = fs.create(manifest, true)
     try out.write(folded.map(_.toString).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -319,8 +416,8 @@ object Ivf {
     * was never compacted (incl. every batch-built [[writeIndex]]
     * layout) reads exactly as before. Both legs stay partition-pruned
     * on `cell`. */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    graft.stream.Snapshots.resolve(spark, compactRoot(indexDir)) match {
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = graft.stream.Snapshots.resolve(spark, compactRoot(indexDir)) match {
       case None => spark.read.parquet(indexDir)
       case Some(f) =>
         val compacted =
@@ -335,6 +432,11 @@ object Ivf {
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         live.fold(compacted)(compacted.unionByName(_))
     }
+    // deletes are merge-on-read until the next compaction folds them
+    // out physically — every search path reads through here, so a
+    // tombstoned vec_id is unfindable the moment the delete lands
+    applyTombstones(spark, indexDir, base)
+  }
 
   /** Hot-cell split policy (round-6 verdict item 7): under quantizer
     * DRIFT — a quantizer fitted on yesterday's distribution serving
@@ -439,8 +541,16 @@ object Ivf {
       centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       nProbe: Int, rerankC: Int, topK: Int, residual: Boolean = false,
       excludeSelf: Boolean = false, scoreRound: Option[Int] = None,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine", predicate: Option[Column] = None): DataFrame = {
     require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    // FILTERED ANN: the metadata predicate lands on the index frame
+    // BEFORE the ADC cut, so the rerankC candidate budget is spent
+    // entirely on predicate-satisfying rows — post-filtering the
+    // top-k would silently shrink (or empty) the result set under a
+    // selective predicate. The filter rides the codes scan (pushed
+    // down next to the cell pruning); predicate columns are pruned
+    // back out of the scan output by Catalyst after the filter.
+    val base = predicate.fold(index)(index.filter)
     val routed0 = queries.select(col("q_id"), col("q_emb"),
       explode(graft.functions.nearest_cells(col("q_emb"), centers, nProbe))
         .as("cell"))
@@ -455,7 +565,7 @@ object Ivf {
       else transform(col("q_emb"), x => x.cast("double"))
     val routed = routed0.select(col("q_id"), col("cell"),
       graft.functions.pq_lut_l2(qd, codebooks).as("lut"))
-    val joined = index.select(col("cell"), col("vec_id"), col("pq_code"))
+    val joined = base.select(col("cell"), col("vec_id"), col("pq_code"))
       .join(broadcast(routed), Seq("cell"))
     val candid =
       if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined
@@ -502,7 +612,8 @@ object Ivf {
       centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
       residual: Boolean = false, excludeSelf: Boolean = false,
-      scoreRound: Option[Int] = None, metric: String = "cosine"): DataFrame = {
+      scoreRound: Option[Int] = None, metric: String = "cosine",
+      predicate: Option[Column] = None): DataFrame = {
     val cells = queries
       .select(explode(graft.functions.nearest_cells(col("q_emb"), centers,
         nProbe)).as("cell"))
@@ -510,7 +621,7 @@ object Ivf {
     val idx = readIndex(spark, indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     searchPqBatchOf(idx, queries, centers, codebooks, nProbe, rerankC, topK,
-      residual, excludeSelf, scoreRound, metric)
+      residual, excludeSelf, scoreRound, metric, predicate)
   }
 
   /** The nProbe cells nearest to a query — a K-row driver-side scan of
@@ -537,11 +648,19 @@ object Ivf {
     * `excludeSelf` drops vec_id == q_id matches (self-retrieval). */
   def searchBatchOf(index: DataFrame, queries: DataFrame,
       centers: Array[Array[Double]], nProbe: Int, topK: Int,
-      excludeSelf: Boolean = false, scoreRound: Option[Int] = None): DataFrame = {
+      excludeSelf: Boolean = false, scoreRound: Option[Int] = None,
+      predicate: Option[Column] = None): DataFrame = {
+    // FILTERED ANN (the production retrieval call: metadata predicate
+    // ∧ vector search): the filter lands on the index side BEFORE
+    // scoring, so top-k ranks only predicate-satisfying rows —
+    // post-filtering an unfiltered top-k would lose recall under any
+    // selective predicate. Pushed into the scan next to the cell
+    // pruning (IvfSpec pins both reach it).
+    val base = predicate.fold(index)(index.filter)
     val routed = queries.select(col("q_id"), col("q_emb"),
       explode(graft.functions.nearest_cells(col("q_emb"), centers, nProbe))
         .as("cell"))
-    val joined = index.join(broadcast(routed), Seq("cell"))
+    val joined = base.join(broadcast(routed), Seq("cell"))
     val candid =
       if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined
     val raw = graft.functions.cosine_sim(col("embedding"), col("q_emb"))
@@ -569,14 +688,16 @@ object Ivf {
   def searchBatch(spark: SparkSession, indexDir: String,
       centers: Array[Array[Double]], queries: DataFrame, nProbe: Int,
       topK: Int, excludeSelf: Boolean = false,
-      scoreRound: Option[Int] = None): DataFrame = {
+      scoreRound: Option[Int] = None,
+      predicate: Option[Column] = None): DataFrame = {
     val cells = queries
       .select(explode(graft.functions.nearest_cells(col("q_emb"), centers,
         nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0))
     val idx = readIndex(spark, indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-    searchBatchOf(idx, queries, centers, nProbe, topK, excludeSelf, scoreRound)
+    searchBatchOf(idx, queries, centers, nProbe, topK, excludeSelf, scoreRound,
+      predicate)
   }
 
   /** Single-query IVF search against a persisted index: partition-
@@ -585,10 +706,11 @@ object Ivf {
     * committed generation + the post-horizon live tail. */
   def search(spark: SparkSession, indexDir: String,
       centers: Array[Array[Double]], q: Array[Float], nProbe: Int,
-      topK: Int): DataFrame = {
+      topK: Int, predicate: Option[Column] = None): DataFrame = {
     val cells = nearestCells(centers, q.map(_.toDouble), nProbe)
-    readIndex(spark, indexDir)
+    val pruned = readIndex(spark, indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    predicate.fold(pruned)(pruned.filter)
       .select(col("vec_id"), col("cell"),
         graft.functions.cosine_sim(col("embedding"),
           typedlit(q.toSeq)).as("cos_sim"))

@@ -319,6 +319,29 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    // FILTERED ANN — the production retrieval call site: a metadata
+    // predicate (here: even `label` — the lang/date/source analog)
+    // conjoined with the vector search. The predicate lands on the
+    // index side BEFORE ranking, so the top-k budget is spent
+    // entirely on predicate-satisfying rows — the post-filter
+    // alternative (search unfiltered, then filter the top-k) returns
+    // FEWER than k rows or misses qualifying neighbors entirely under
+    // any selective predicate. Same fit/routing as q_ivf_batch; the
+    // oracle replays fit + routing + the identical predicate in SQL.
+    // At scale the filter rides the pruned index scan as a pushed
+    // filter next to the cell pruning (IvfSpec pins both).
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Ivf.searchBatchOf(Ivf.assign(e, col("embedding"), centers), queries,
+          centers, nProbe = 2, topK = 5, excludeSelf = true,
+          scoreRound = Some(6),
+          predicate = Some(pmod(col("label"), lit(2)) === 0))
+        .orderBy("q_id", "rank")
+    }),
+
     // Int8 scalar quantization — the 4× memory/storage lever for
     // serving ANN at 100 TB: per-dimension (min, max) over the corpus
     // (exact picks, order-independent), q = floor((x−min)/scale + .5)
@@ -532,6 +555,35 @@ object VectorOps {
          |  FROM af e JOIN routed r ON e.cell = r.cell
          |  JOIN qs q ON q.q_id = r.q_id
          |  WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, cos_sim FROM rk
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // q_ivf_batch's replay with the metadata predicate (even label)
+    // applied to the CANDIDATE side before ranking — the filtered-ANN
+    // contract: the top-5 ranks only predicate-satisfying rows.
+    "q_ann_filtered" ->
+      s"""WITH $fitReplayCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 8),
+         |routed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+         |af AS (${fitAssignSql("c2")}),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM af e JOIN routed r ON e.cell = r.cell
+         |  JOIN qs q ON q.q_id = r.q_id
+         |  JOIN embeddings em ON em.vec_id = e.vec_id
+         |  WHERE e.vec_id <> q.q_id AND em.label % 2 = 0),
          |rk AS (
          |  SELECT q_id, vec_id, cos_sim,
          |    row_number() OVER (PARTITION BY q_id

@@ -75,6 +75,48 @@ class IvfSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("filtered ANN: predicate joins the cell pruning in the scan, recall kept") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivff").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    Ivf.writeIndex(emb, $"embedding", $"vec_id", centers, s"$tmp/idx", numFiles = 4)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val pred = pmod($"label", lit(2)) === 0
+
+    // plan: cell partition pruning AND the metadata predicate both
+    // reach the index scan — the predicate is pushed, not post-applied
+    val probed = Ivf.searchBatch(spark, s"$tmp/idx", centers, queries,
+      nProbe = 2, topK = 10, excludeSelf = true, predicate = Some(pred))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"filtered probe must keep cell pruning, got:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("label"),
+      s"metadata predicate must push into the index scan, got:\n$plan")
+
+    // nProbe = K: filtered search == brute force UNDER the predicate.
+    // This is the recall contract post-filtering cannot give — the
+    // top-10 budget is spent entirely on predicate-satisfying rows.
+    val got = Ivf.searchBatch(spark, s"$tmp/idx", centers, queries,
+        nProbe = 4, topK = 10, excludeSelf = true, predicate = Some(pred))
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toSeq
+    val brute = emb.filter(pred && $"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(qv)).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === brute, s"filtered search diverged: $got vs $brute")
+    // and the result genuinely differs from post-filtering an
+    // unfiltered top-10 (the failure mode the predicate API exists for)
+    val postFiltered = Ivf.searchBatch(spark, s"$tmp/idx", centers, queries,
+        nProbe = 4, topK = 10, excludeSelf = true)
+      .join(emb.filter(pred).select($"vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(postFiltered.size < got.size,
+      "fixture too easy: post-filtering kept the full top-k, predicate proves nothing")
+  }
+
   test("streaming index appends are idempotent and search-equivalent to batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfs").toString
@@ -443,6 +485,74 @@ class IvfSpec extends SparkSpec {
       q: Array[Float]): Seq[Long] =
     Ivf.search(spark, idx, centers, q, nProbe = 4, topK = 10)
       .select($"vec_id").as[Long].collect().toSeq
+
+  test("index deletes: tombstoned id unfindable, folds physically, revives on re-append") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfd").toString
+    val idx = s"$tmp/idx"
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def toVecDf(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "raw")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"))
+    val (b0, b1) = all.splitAt(all.length / 2)
+    Ivf.appendBatch(toVecDf(b0.toSeq), $"embedding", centers, idx, 0L)
+    Ivf.appendBatch(toVecDf(b1.toSeq), $"embedding", centers, idx, 1L)
+
+    // the victim: vec 0, queried by its own embedding — the one match
+    // a search can never miss while the row exists
+    val victim = 0L
+    val qEmb = all.find(_._1 == victim).get._2.toArray
+    assert(topIds(idx, centers, qEmb).contains(victim))
+
+    // delete at batch 2 → unfindable via EVERY search path, merge-on-read
+    Ivf.appendTombstones(Seq(victim).toDF("vec_id"), idx, 2L)
+    assert(Ivf.readIndex(spark, idx).count() === all.length - 1L)
+    assert(!topIds(idx, centers, qEmb).contains(victim),
+      "single-query search returned a deleted id")
+    val queries = Seq((victim, all.find(_._1 == victim).get._2))
+      .toDF("q_id", "raw")
+      .select($"q_id", $"raw".cast("array<float>").as("q_emb"))
+    val batchIds = Ivf.searchBatch(spark, idx, centers, queries,
+      nProbe = 4, topK = 10).select($"vec_id").as[Long].collect().toSet
+    assert(!batchIds.contains(victim), "batch search returned a deleted id")
+
+    // replayed delete slice (crash-replay contract): no change
+    Ivf.appendTombstones(Seq(victim).toDF("vec_id"), idx, 2L)
+    assert(Ivf.readIndex(spark, idx).count() === all.length - 1L)
+
+    // compaction folds the delete out PHYSICALLY: the committed
+    // generation itself no longer holds the row
+    val f1 = Ivf.compactIndex(spark, idx).get
+    val gen = graft.stream.Snapshots.readVersion(spark, s"$idx/.compact", f1)
+    assert(gen.filter($"vec_id" === victim).count() === 0L,
+      "deleted row survived the compaction fold")
+    assert(Ivf.readIndex(spark, idx).count() === all.length - 1L)
+    assert(!topIds(idx, centers, qEmb).contains(victim))
+
+    // re-append at a LATER batch revives the id (LWW by batch)
+    Ivf.appendBatch(toVecDf(Seq(victim -> all.find(_._1 == victim).get._2)),
+      $"embedding", centers, idx, 5L)
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong)
+    assert(topIds(idx, centers, qEmb).contains(victim),
+      "re-appended id still suppressed by an older tombstone")
+
+    // fold the revival; the ≤-horizon tombstone slice enters the prune
+    // manifest and the NEXT compaction deletes it — bounded tombstone
+    // footprint, no ghost resurrection risk
+    Ivf.compactIndex(spark, idx)
+    Ivf.appendBatch(toVecDf(Seq(999999L -> all.head._2)),
+      $"embedding", centers, idx, 7L)
+    Ivf.compactIndex(spark, idx)
+    val tombDirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/.tombstones")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("batch_id="))
+    }
+    assert(tombDirs.isEmpty, s"expired tombstone slices not pruned: $tombDirs")
+    assert(topIds(idx, centers, qEmb).contains(victim))
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong + 1)
+  }
 
   test("index compaction bounds live slices, dedups exactly, and survives retry") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfc").toString

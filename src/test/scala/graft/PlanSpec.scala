@@ -210,17 +210,48 @@ class PlanSpec extends SparkSpec {
     n
   }
 
+  private def documentScansOf(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = scala.collection.mutable.Set.empty[Int]
+    var n = 0
+    def walk(q: SparkPlan): Unit = {
+      q match {
+        case f: FileSourceScanExec =>
+          if (f.relation.location.rootPaths.exists(
+              _.getName.startsWith("documents"))) n += 1
+        case im: InMemoryTableScanExec =>
+          if (seen.add(System.identityHashCode(im.relation.cacheBuilder)))
+            walk(im.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ =>
+      }
+      q.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
   test("q_corpus_pipeline reads document text exactly once (fused feature scan)") {
     // the round-5 verdict's top finding: the pipeline used to scan the
     // full text ~5×; the fused corpusFeatures scan + persisted skinny
-    // feature table must keep it at ONE text read per materialization
-    assert(documentScans("q_corpus_pipeline") === 1,
+    // feature table must keep it at ONE text read per materialization.
+    // Audited on the LAZY selection plan — the public entry memoizes
+    // an eager localCheckpoint whose returned plan no longer shows the
+    // scan it already paid (round-8 memoization).
+    val (selected, feats) = ops.TextOps.corpusPipelineSelection(spark, dir)
+    try assert(documentScansOf(selected) === 1,
       "q_corpus_pipeline must read documents exactly once")
+    finally feats.unpersist(false)
   }
 
   test("q_corpus_select_dedup reads document text exactly once") {
-    assert(documentScans("q_corpus_select_dedup") === 1,
+    val (selected, feats) = ops.TextOps.corpusSelectDedupSelection(spark, dir)
+    try assert(documentScansOf(selected) === 1,
       "q_corpus_select_dedup must read documents exactly once")
+    finally feats.unpersist(false)
   }
 
   test("q_ann_ivf_built probes via partition-level cell filtering, no corpus shuffle") {

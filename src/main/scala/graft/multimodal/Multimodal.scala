@@ -207,6 +207,33 @@ object Multimodal {
       }
   }
 
+  /** Near-dup image fixture: consecutive triples of doc ids form one
+    * GROUP (group = doc_id / 3) sharing identical 64×64 pixel content
+    * ([[ImageFixture.encodePattern]]), each member encoded in a
+    * different container (png/jpeg/gif by doc_id % 3) — the
+    * re-encoded-duplicate case that exact-byte dedup can never catch.
+    * Distinct groups carry independent 64-bit block patterns
+    * (expected Hamming distance 32 between their perceptual hashes). */
+  def nearDupImagesFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fmt = ImageFixture.formatOf(id)
+        MediaRow(id, "image", ImageFixture.encodePattern(fmt, id / 3),
+          s"synthetic/$fmt", None)
+      }
+  }
+
+  /** Perceptual hashes, map-side (payload bytes never shuffle):
+    * (media_id, ahash). Undecodable payloads drop out of the
+    * candidate space. */
+  def imagePHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => ImagePhash.aHash64(r.payload).map(h => (r.media_id, h)))
+      .toDF("media_id", "ahash")
+  }
+
   /** Parsed image-container metadata, map-side (no payload shuffle):
     * (media_id, format, width, height). Unparseable payloads are
     * dropped — this is the resolution/format gate shape. */

@@ -1197,6 +1197,43 @@ object TextOps {
           maxW = 32, maxH = 24))
         .orderBy("media_id")),
 
+    // PERCEPTUAL image near-dup — the media analog of q_minhash_dedup,
+    // closing the re-encoded-duplicate gap exact-byte dedup cannot
+    // touch: each fixture group is ONE 64×64 pixel pattern encoded in
+    // THREE containers (png/jpeg/gif), so the pairs exist only at the
+    // pixel level. aHash (8×8 box-average luminance vs global mean —
+    // see graft.multimodal.ImagePhash for why not dHash) is computed
+    // MAP-SIDE from the decoded bitmap; candidates come from an
+    // 8-band×8-bit Hamming band join (the SimHash banding discipline:
+    // any pair within Hamming 7 shares at least one band BY
+    // CONSTRUCTION, so the banding is exact for the threshold, and the
+    // pair space never materializes — shuffle keys are (band, byte),
+    // never payloads); survivors verify popcount(xor) ≤ 7. The oracle
+    // restates the planted group arithmetic (doc_id/3): a false
+    // positive across groups (expected Hamming 32) or a miss within a
+    // group (codec noise must not flip a ±half-range margin bit) both
+    // hash-mismatch.
+    "q_image_neardup" -> ((s, dir) => {
+      val hashed = graft.multimodal.Multimodal.imagePHashes(
+        graft.multimodal.Multimodal.nearDupImagesFromDocuments(s, dir))
+      val banded = hashed.select(col("media_id"), col("ahash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+          .as("bk"))
+        .select(col("media_id"), col("ahash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct() // a pair may collide in several bands — count it once
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 7)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL audio-container decode — the audio leg of the multimodal
     // pipeline, same design as q_image_meta: one tiny PCM clip per
     // document row encoded by the JDK's own javax.sound.sampled
@@ -1482,6 +1519,15 @@ object TextOps {
           |    WHEN w * 24 >= h * 32 THEN greatest(1, (h * 32) // w)
           |    ELSE 24 END AS INTEGER) AS height
           |FROM d ORDER BY media_id""".stripMargin,
+
+      // the planted near-dup structure, restated arithmetically: the
+      // pipeline must find EXACTLY the re-encoding pairs (same
+      // doc_id/3 group), nothing across groups
+      "q_image_neardup" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_audio_meta" ->
         """SELECT doc_id AS media_id,

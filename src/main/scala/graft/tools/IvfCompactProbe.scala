@@ -72,25 +72,49 @@ object IvfCompactProbe {
     val qEmb = corpus.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).toArray
 
-    def run(idx: String, every: Int): Seq[(Int, Int, Int, Int)] = {
+    // TOMBSTONE LANE (round-8): every batch b ≥ 1 also DELETES
+    // `delsPerBatch` ids from the previous batch — a steady
+    // dedup/takedown trickle riding the append stream. Tracks the
+    // deleted-id set so correctness can assert (a) no deleted id is
+    // ever searchable, (b) the reader row count is exactly
+    // appends − deletes, (c) tombstone slices fold away on the
+    // compaction cadence instead of accumulating.
+    val delsPerBatch = math.max(1, rowsPerBatch / 100)
+    def deletedUpTo(b: Int): Seq[Long] =
+      (1 to b).flatMap(i =>
+        (0 until delsPerBatch).map(j => (i - 1).toLong * rowsPerBatch + j))
+
+    def tombSlices(idx: String): Int =
+      countDirs(new java.io.File(s"$idx/.tombstones"), "batch_id=").size
+
+    def run(idx: String, every: Int, withDeletes: Boolean)
+        : Seq[(Int, Int, Int, Int, Int)] = {
       (0 until nBatches).map { b =>
         val batch = corpus
           .filter($"vec_id" >= b.toLong * rowsPerBatch &&
             $"vec_id" < (b + 1).toLong * rowsPerBatch)
           .select($"vec_id", $"embedding")
         Ivf.appendBatch(batch, $"embedding", centers, idx, b.toLong)
+        if (withDeletes && b >= 1)
+          Ivf.appendTombstones(
+            ((b - 1).toLong * rowsPerBatch until
+              (b - 1).toLong * rowsPerBatch + delsPerBatch).toDF("vec_id"),
+            idx, b.toLong)
         if (every > 0 && (b + 1) % every == 0) Ivf.compactIndex(spark, idx)
         (b, liveSlices(idx), compactFiles(spark, idx),
-          liveFiles(idx) + compactFiles(spark, idx))
+          liveFiles(idx) + compactFiles(spark, idx), tombSlices(idx))
       }
     }
 
     val t0 = System.nanoTime()
-    val compacted = run(s"$tmp/idx_c", compactEvery)
+    val compacted = run(s"$tmp/idx_c", compactEvery, withDeletes = false)
     val tCompacted = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val control = run(s"$tmp/idx_n", 0)
+    val control = run(s"$tmp/idx_n", 0, withDeletes = false)
     val tControl = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val tombRun = run(s"$tmp/idx_t", compactEvery, withDeletes = true)
+    val tTomb = (System.nanoTime() - t2) / 1e9
 
     // correctness: full-probe search over the compacted index must
     // equal brute force over everything ingested
@@ -105,7 +129,24 @@ object IvfCompactProbe {
     // and the reader must see every row exactly once
     val readerRows = Ivf.readIndex(spark, s"$tmp/idx_c").count()
 
-    def series(xs: Seq[(Int, Int, Int, Int)], f: ((Int, Int, Int, Int)) => Int) =
+    // tombstone-lane correctness: deleted ids unfindable (full probe
+    // over the whole index returns zero of them), reader count is
+    // appends − deletes, and tombstone slices stay bounded by the
+    // cadence (folded+pruned, not accumulated for the stream's life)
+    val deleted = deletedUpTo(nBatches - 1)
+    val deletedSet = deleted.toSet
+    val tombReaderRows = Ivf.readIndex(spark, s"$tmp/idx_t").count()
+    val ghostRows = Ivf.readIndex(spark, s"$tmp/idx_t")
+      .filter($"vec_id".isin(deleted.map(java.lang.Long.valueOf): _*))
+      .count()
+    val tombSearch = Ivf.search(spark, s"$tmp/idx_t", centers, qEmb,
+      nProbe = 16, topK = 10).select($"vec_id").as[Long].collect().toSeq
+    val tombGhostsInTopK = tombSearch.count(deletedSet)
+    val tombOk = ghostRows == 0L && tombGhostsInTopK == 0 &&
+      tombReaderRows == total - deleted.size
+
+    def series(xs: Seq[(Int, Int, Int, Int, Int)],
+        f: ((Int, Int, Int, Int, Int)) => Int) =
       xs.map(f).mkString("[", ",", "]")
     val json =
       s"""{"metric":"ivf_compact_soak","batches":$nBatches,""" +
@@ -118,11 +159,20 @@ object IvfCompactProbe {
         s""""final_reader_files_control":${control.last._4},""" +
         s""""search_equals_brute":$searchExact,""" +
         s""""reader_rows":$readerRows,"expected_rows":$total,""" +
+        s""""tombstones":{"dels_per_batch":$delsPerBatch,""" +
+        s""""deleted_total":${deleted.size},""" +
+        s""""tomb_slices_series":${series(tombRun, _._5)},""" +
+        s""""max_tomb_slices":${tombRun.map(_._5).max},""" +
+        s""""final_tomb_slices":${tombRun.last._5},""" +
+        s""""ghost_rows":$ghostRows,"ghosts_in_topk":$tombGhostsInTopK,""" +
+        s""""reader_rows":$tombReaderRows,""" +
+        s""""expected_rows":${total - deleted.size},""" +
+        s""""wall_sec":${f"$tTomb%.1f"}},""" +
         s""""wall_compacted_sec":${f"$tCompacted%.1f"},""" +
         s""""wall_control_sec":${f"$tControl%.1f"}}"""
     println(json)
     spark.stop()
-    if (!searchExact || readerRows != total)
+    if (!searchExact || readerRows != total || !tombOk)
       throw new IllegalStateException("compaction soak FAILED correctness")
   }
 }

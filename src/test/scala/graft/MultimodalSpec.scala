@@ -293,4 +293,29 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(spark, dir).filter(_.kind != "image")).collect()
     assert(av.sortBy(_.media_id).toSeq === stub.sortBy(_.media_id).toSeq)
   }
+
+  test("perceptual hash: re-encodings collide, distinct patterns separate, corrupt drops") {
+    import graft.multimodal.{ImageFixture, ImagePhash}
+    // the near-dup contract on raw hashes: one pattern through all
+    // three encoders must land within the Hamming threshold (the
+    // margins are ±half range, so in practice identical); independent
+    // patterns must sit far outside it
+    (0L until 12L).foreach { group =>
+      val hs = Seq("png", "jpeg", "gif").map(f =>
+        ImagePhash.aHash64(ImageFixture.encodePattern(f, group)).get)
+      for (a <- hs; b <- hs)
+        assert(ImagePhash.hamming(a, b) <= 7,
+          s"group $group re-encodings diverged: ${hs.map(_.toHexString)}")
+    }
+    val distinct = (0L until 24L).map(g =>
+      ImagePhash.aHash64(ImageFixture.encodePattern("png", g)).get)
+    for (i <- distinct.indices; j <- distinct.indices if i < j)
+      assert(ImagePhash.hamming(distinct(i), distinct(j)) > 7,
+        s"patterns $i and $j collided")
+    // corrupt payloads drop out of the candidate space, never throw
+    assert(ImagePhash.aHash64(Array[Byte]()) === None)
+    assert(ImagePhash.aHash64("not an image".getBytes("UTF-8")) === None)
+    assert(ImagePhash.aHash64(
+      ImageFixture.encodePattern("png", 3L).take(40)) === None)
+  }
 }

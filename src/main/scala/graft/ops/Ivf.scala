@@ -190,13 +190,24 @@ object Ivf {
       centers: Array[Array[Double]], indexDir: String, batchId: Long,
       codebooks: Option[Array[Array[Array[Double]]]] = None,
       residual: Boolean = false, opCol: Option[Column] = None): Unit = {
-    // opCol: a CDC-style mutation stream — rows whose op is "d" become
-    // TOMBSTONES (the vector cannot be re-quantized to find its cell:
-    // deletes are index-wide by vec_id, applied merge-on-read and
-    // folded out physically at compaction — the CdcReplay discipline)
+    // opCol: a CDC-style mutation stream (feed it per-id RESOLVED
+    // batches — what Cdc.resolveLatest emits; an id should carry one
+    // op per batch):
+    //   "d" — TOMBSTONE only (the vector cannot be re-quantized to
+    //         find its cell: deletes are index-wide by vec_id,
+    //         applied merge-on-read and folded out physically at
+    //         compaction — the CdcReplay discipline);
+    //   "u" — tombstone + insert: the tombstone supersedes every
+    //         STRICTLY OLDER row for the id (a re-embedded document
+    //         must not serve its stale vector) while the new row,
+    //         written at this same batch, survives the >=-batch keep
+    //         rule;
+    //   anything else ("c"/"r") — insert only; a create is known-new,
+    //   so it must not pay a tombstone row (the tombstone set stays
+    //   proportional to deletes+updates, never to corpus growth).
     val inserts = opCol.fold(batch)(op => batch.filter(op =!= "d"))
     opCol.foreach { op =>
-      val dels = batch.filter(op === "d").select(col("vec_id"))
+      val dels = batch.filter(op === "d" || op === "u").select(col("vec_id"))
       if (!dels.isEmpty) appendTombstones(dels, indexDir, batchId)
     }
     val assigned = assign(inserts, embCol, centers)
@@ -227,8 +238,12 @@ object Ivf {
     *
     * SEMANTICS (last-writer-wins by batch, [[graft.ops.Cdc]]'s rule):
     * a tombstone at batch b suppresses every indexed row for that
-    * vec_id with `batch_id ≤ b`; a row re-appended at a LATER batch
-    * revives the id. Same-batch delete+insert resolves to deleted.
+    * vec_id with `batch_id < b` — STRICTLY older, so an upsert can
+    * write its superseding tombstone and its new row in the same
+    * batch and the new row survives; a row re-appended at a later
+    * batch revives the id. In-batch op ordering is the caller's
+    * contract: feed per-id resolved mutation batches (one op per id
+    * per batch, [[graft.ops.Cdc.resolveLatest]]'s output shape).
     * Batch-built [[writeIndex]] layouts carry no batch_id — there a
     * tombstone suppresses the id unconditionally.
     *
@@ -259,10 +274,12 @@ object Ivf {
   }
 
   /** Merge-on-read delete application: keep a row iff no tombstone
-    * at-or-after its batch exists for its vec_id. The tombstone side
-    * is a skinny (vec_id, max batch) aggregate, broadcast — delete
-    * volume between compactions is bounded by the compaction cadence,
-    * exactly like CdcReplay's trailing log. */
+    * STRICTLY newer than its batch exists for its vec_id (see
+    * [[appendTombstones]] — strict, so same-batch upserts keep their
+    * new row). The tombstone side is a skinny (vec_id, max batch)
+    * aggregate, broadcast — delete volume between compactions is
+    * bounded by the compaction cadence, exactly like CdcReplay's
+    * trailing log. */
   private def applyTombstones(spark: SparkSession, indexDir: String,
       df: DataFrame): DataFrame =
     tombstonesOf(spark, indexDir) match {
@@ -273,7 +290,7 @@ object Ivf {
         if (df.columns.contains("batch_id"))
           df.join(broadcast(del), Seq("vec_id"), "left")
             .filter(col("__del_upto").isNull ||
-              col("batch_id") > col("__del_upto"))
+              col("batch_id") >= col("__del_upto"))
             .drop("__del_upto")
         else df.join(broadcast(del.select(col("vec_id"))),
           Seq("vec_id"), "left_anti")

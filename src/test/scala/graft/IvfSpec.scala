@@ -230,6 +230,75 @@ class IvfSpec extends SparkSpec {
       "streamed PQ index must serve like the batch-built layout")
   }
 
+  test("filtered IVFADC: predicate lands before the ADC cut, full probe == brute under it") {
+    import graft.ops.Pq
+    val tmp = java.nio.file.Files.createTempDirectory("ivfadcf").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val assigned = Ivf.assign(emb, $"embedding", centers)
+    val cb = Pq.fit(assigned, $"embedding", Seq($"vec_id"), m = 8, k = 16, iters = 1)
+    // carry the metadata column into the index layout so the
+    // predicate has something to land on
+    Ivf.writeIndexPq(emb, $"embedding", $"vec_id", centers, cb, s"$tmp/idx")
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val pred = pmod($"label", lit(2)) === 0
+    // nProbe = K and rerankC = corpus: the ADC cut is total, so the
+    // filtered result must equal exact search restricted to the
+    // predicate — proving the filter runs BEFORE the candidate cut,
+    // not on the emitted top-k
+    val n = emb.count().toInt
+    val got = Ivf.searchPqBatch(spark, s"$tmp/idx", centers, cb, queries,
+        nProbe = 4, rerankC = n, topK = 10, excludeSelf = true,
+        predicate = Some(pred))
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toSeq
+    val brute = emb.filter(pred && $"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(qv)).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === brute, s"filtered IVFADC diverged: $got vs $brute")
+  }
+
+  test("appendStream opCol: a CDC mutation batch inserts and deletes in one pass") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfop").toString
+    val idx = s"$tmp/idx"
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def mutDf(rows: Seq[(Long, Seq[Float], String)]) = rows
+      .toDF("vec_id", "raw", "op")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"), $"op")
+    // batch 0: insert everything
+    Ivf.appendBatch(mutDf(all.toSeq.map { case (id, e) => (id, e, "c") }),
+      $"embedding", centers, idx, 0L, opCol = Some($"op"))
+    assert(Ivf.readIndex(spark, idx).count() === all.length.toLong)
+    // batch 1: one mixed mutation batch — delete vec 1, upsert vec 2
+    val e2 = all.find(_._1 == 2L).get._2
+    Ivf.appendBatch(mutDf(Seq((1L, all.find(_._1 == 1L).get._2, "d"),
+      (2L, e2, "u"))), $"embedding", centers, idx, 1L, opCol = Some($"op"))
+    val ids = Ivf.readIndex(spark, idx).select($"vec_id").as[Long].collect()
+    assert(!ids.contains(1L), "op=d row must tombstone the id")
+    assert(ids.count(_ == 2L) === 1,
+      "op=u must supersede the older row — a stale vector served next to " +
+        "its replacement is the bug the upsert tombstone exists for")
+    assert(ids.length === all.length - 1)
+    // a replay of the mutation batch is idempotent on both lanes
+    Ivf.appendBatch(mutDf(Seq((1L, all.find(_._1 == 1L).get._2, "d"),
+      (2L, e2, "u"))), $"embedding", centers, idx, 1L, opCol = Some($"op"))
+    val ids2 = Ivf.readIndex(spark, idx).select($"vec_id").as[Long].collect()
+    assert(!ids2.contains(1L) && ids2.count(_ == 2L) === 1 &&
+      ids2.length === ids.length, "replayed mutation batch changed the index")
+    // the superseded row leaves PHYSICALLY at compaction too
+    Ivf.compactIndex(spark, idx)
+    val f = graft.stream.Snapshots.resolve(spark, s"$idx/.compact").get
+    val gen = graft.stream.Snapshots.readVersion(spark, s"$idx/.compact", f)
+    assert(gen.filter($"vec_id" === 2L).count() === 1L,
+      "compaction fold kept the stale upsert victim")
+    assert(gen.filter($"vec_id" === 1L).count() === 0L)
+  }
+
   test("ragged embeddings assign to NULL and are excluded from fit means") {
     val data = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f)), (2L, Array(0.1f, 0.1f))

@@ -1203,23 +1203,32 @@ object TextOps {
     // THREE containers (png/jpeg/gif), so the pairs exist only at the
     // pixel level. aHash (8×8 box-average luminance vs global mean —
     // see graft.multimodal.ImagePhash for why not dHash) is computed
-    // MAP-SIDE from the decoded bitmap; candidates come from an
-    // 8-band×8-bit Hamming band join (the SimHash banding discipline:
-    // any pair within Hamming 7 shares at least one band BY
-    // CONSTRUCTION, so the banding is exact for the threshold, and the
-    // pair space never materializes — shuffle keys are (band, byte),
-    // never payloads); survivors verify popcount(xor) ≤ 7. The oracle
-    // restates the planted group arithmetic (doc_id/3): a false
-    // positive across groups (expected Hamming 32) or a miss within a
-    // group (codec noise must not flip a ±half-range margin bit) both
-    // hash-mismatch.
+    // MAP-SIDE from the decoded bitmap; candidates come from a
+    // 4-band×16-bit Hamming band join (the SimHash banding
+    // discipline: any pair within Hamming 3 shares at least one band
+    // BY CONSTRUCTION — exact for the threshold — and the pair space
+    // never materializes: shuffle keys are (band, short), never
+    // payloads); survivors verify popcount(xor) ≤ 3.
+    //
+    // BAND WIDTH IS THE SCALE KNOB (ImageDedupScaleProbe measured
+    // it): 8-bit bands guarantee Hamming ≤ 7 but give only 256
+    // buckets per band, so the cross-group COINCIDENCE candidates
+    // grow as n²/512 — 1.4e9 emitted pairs at 300k images (11.8 s of
+    // pure popcount), 1.4e13 at 30M: a quadratic wall. 16-bit bands
+    // cut the coincidence term 512× and still guarantee the Hamming
+    // that actually occurs: a re-encode of the same bitmap measures
+    // distance 0 (the aHash margins are ±half the dynamic range —
+    // MultimodalSpec pins ≤ 3 across png/jpeg/gif), while distinct
+    // patterns sit near 32. The oracle restates the planted group
+    // arithmetic (doc_id/3): a false positive across groups or a
+    // miss within a group both hash-mismatch.
     "q_image_neardup" -> ((s, dir) => {
       val hashed = graft.multimodal.Multimodal.imagePHashes(
         graft.multimodal.Multimodal.nearDupImagesFromDocuments(s, dir))
       val banded = hashed.select(col("media_id"), col("ahash"),
-        explode(array((0 until 8).map(b =>
+        explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
           .as("bk"))
         .select(col("media_id"), col("ahash"),
           col("bk.band").as("band"), col("bk.key").as("key"))
@@ -1229,7 +1238,7 @@ object TextOps {
         .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
           col("a.ahash").as("ha"), col("b.ahash").as("hb"))
         .distinct() // a pair may collide in several bands — count it once
-        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 7)
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),

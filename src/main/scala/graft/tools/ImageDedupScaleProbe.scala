@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the perceptual image near-dup operator
+  * (q_image_neardup): does the aHash + 8-band Hamming join hold its
+  * shape as the image corpus grows?
+  *
+  * Fixture: `n` images in groups of 3 (one block pattern per group,
+  * re-encoded png/jpeg/gif — [[graft.multimodal.ImageFixture
+  * .encodePattern]]), so ground truth is exactly n − ceil(n/3) pairs
+  * (3 per full group, fewer in a ragged tail). Stages timed
+  * separately against a MATERIALIZED payload frame (so encode cost —
+  * the fixture's stand-in for "reading stored images" — does not
+  * pollute the operator walls):
+  *
+  *   encode — build + persist the payload frame (fixture cost);
+  *   hash   — ImageIO decode + aHash, map-side (the per-image CPU
+  *            that is embarrassingly parallel at any scale);
+  *   pairs  — 8-band×8-bit band join + popcount verify (the only
+  *            shuffle; keys are (band, byte), never payloads).
+  *
+  * The claim that must hold at 100 TB: hash wall grows linearly in n
+  * with flat max-task skew, pair wall grows with collision volume
+  * (planted pairs + band coincidences), never with C(n,2) — and the
+  * found pair count stays EXACTLY the planted count (no false
+  * positives across independent 64-bit patterns, no misses across
+  * codec re-encodings).
+  *
+  * Usage: sbt "runMain graft.tools.ImageDedupScaleProbe [sizes] [outJson]"
+  */
+object ImageDedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("30000,100000,300000")
+      .split(",").map(_.trim.toInt).toSeq
+    val outJson = args.drop(1).headOption.getOrElse("IMG_NEARDUP_SCALE.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val runs = sizes.map { n =>
+      // encode stage: materialize payloads (the fixture's "storage")
+      val ids = spark.range(0, n, 1, 32).select($"id".as("media_id"))
+      val payloads = ids.as[Long].map { id =>
+        (id, graft.multimodal.ImageFixture.encodePattern(
+          graft.multimodal.ImageFixture.formatOf(id), id / 3))
+      }.toDF("media_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, encodeSec) = time(payloads.count())
+
+      // hash stage: decode + aHash, map-side
+      val hashed = payloads.as[(Long, Array[Byte])]
+        .flatMap { case (id, p) =>
+          graft.multimodal.ImagePhash.aHash64(p).map(h => (id, h))
+        }.toDF("media_id", "ahash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (hashedN, hashSec) = time(hashed.count())
+
+      // pair stage, BOTH band spellings — the band width is the scale
+      // knob: k bands of (64/k) bits guarantee Hamming < k detection,
+      // but bucket count per band is 2^(64/k), so the cross-group
+      // coincidence candidates scale as n² / (2 · 2^(64/k)) · k.
+      // 8×8-bit: 256 buckets → n²/512 total (quadratic wall by 300k);
+      // 4×16-bit: 65536 buckets → 512× fewer for the same n.
+      def pairStage(nBands: Int, thresh: Int) = {
+        val bits = 64 / nBands
+        val mask = (1L << bits) - 1
+        val banded = hashed.select(col("media_id"), col("ahash"),
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("ahash"), b * bits).bitwiseAND(lit(mask)).as("key"))): _*))
+            .as("bk"))
+          .select(col("media_id"), col("ahash"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+          .distinct()
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= thresh)
+      }
+      val (pairCount, pairSec) = time(pairStage(4, 3).count())
+      val (pairCount8, pairSec8) = time(pairStage(8, 7).count())
+
+      val fullGroups = n / 3
+      val tail = n % 3
+      val planted = fullGroups.toLong * 3 + (if (tail == 2) 1L else 0L)
+      payloads.unpersist(false)
+      hashed.unpersist(false)
+      println(s"[img-neardup] n=$n encode=$encodeSec hash=$hashSec " +
+        s"pairs4x16=$pairSec pairs8x8=$pairSec8 found=$pairCount planted=$planted")
+      require(pairCount == planted,
+        s"4x16 pair set diverged from ground truth: $pairCount vs $planted")
+      require(pairCount8 == planted,
+        s"8x8 pair set diverged from ground truth: $pairCount8 vs $planted")
+      require(hashedN == n.toLong, s"hash drop: $hashedN of $n decoded")
+      (n, encodeSec, hashSec, pairSec, pairSec8, planted)
+    }
+
+    val json = runs.map { case (n, e, h, p4, p8, planted) =>
+      f"""{"n":$n,"encode_sec":$e%.2f,"hash_sec":$h%.2f,""" +
+        f""""pairs_4x16_sec":$p4%.2f,"pairs_8x8_sec":$p8%.2f,""" +
+        s""""pairs_planted":$planted}"""
+    }.mkString(
+      s"""{"metric":"image_neardup_scale","shipped_bands":"4x16bit",""" +
+        s""""shipped_hamming_max":3,"runs":[""",
+      ",", "]}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -304,7 +304,7 @@ class MultimodalSpec extends SparkSpec {
       val hs = Seq("png", "jpeg", "gif").map(f =>
         ImagePhash.aHash64(ImageFixture.encodePattern(f, group)).get)
       for (a <- hs; b <- hs)
-        assert(ImagePhash.hamming(a, b) <= 7,
+        assert(ImagePhash.hamming(a, b) <= 3,
           s"group $group re-encodings diverged: ${hs.map(_.toHexString)}")
     }
     val distinct = (0L until 24L).map(g =>

@@ -452,6 +452,10 @@ object TextOps {
     * pattern) so the two spellings cannot desynchronize. */
   val CapBucket = 64
 
+  /** Token-window width for verbatim substring dedup — interpolated
+    * into both q_substring_dedup spellings (the MinhashK pattern). */
+  val SubstrWindow = 8
+
   /** DuckDB spelling of [[minhashPairs]] as a CTE block ending in a
     * relation named `np(id_a, id_b)`. `maxBucket` mirrors
     * [[minhashPairsOf]]'s one-sided hot-bucket cap: the candidate
@@ -1197,6 +1201,48 @@ object TextOps {
           maxW = 32, maxH = 24))
         .orderBy("media_id")),
 
+    // VERBATIM SUBSTRING-LEVEL DEDUP — the span-granular twin of the
+    // document-level dedup family (the "exact substring
+    // deduplication" operator of LLM data pipelines: a document is
+    // polluted in proportion to how much of it appears verbatim
+    // elsewhere, even when no WHOLE document duplicates). Windows of
+    // SubstrWindow consecutive tokens at stride 1 hash map-side
+    // (computed INSIDE the explode — the Generate-placement rule);
+    // a window occurrence is duplicated iff its hash occurs more
+    // than once in the corpus (across docs or within one). The
+    // output is the per-document duplication profile + keep verdict.
+    //
+    // Scale shape: the explode is O(total tokens) skinny (doc_id,
+    // hash) rows — text never shuffles; the duplicate-hash set comes
+    // from ONE hash-keyed count (map-side partials), applied back as
+    // a semi-join on the same key. This window-hash formulation is
+    // what production pipelines run when a true suffix array does
+    // not fit; it finds every duplicated span ≥ the window width at
+    // window granularity.
+    "q_substring_dedup" -> ((s, dir) => {
+      val w = SubstrWindow
+      val base = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .filter(col("n") >= w)
+      val wins = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - (w - 1)),
+          st => hash60(concat_ws(" ", slice(col("toks"), st, lit(w))))))
+          .as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("h"))
+      val dupPerDoc = wins.join(dupHashes, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+      base.select(col("doc_id"), (col("n") - (w - 1)).cast("long").as("total_windows"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
+        .withColumn("dup_frac",
+          roundTo(col("dup_windows").cast("double") / col("total_windows"), 4))
+        .withColumn("keep", col("dup_frac") <= 0.2)
+        .orderBy("doc_id")
+    }),
+
     // PERCEPTUAL image near-dup — the media analog of q_minhash_dedup,
     // closing the re-encoded-duplicate gap exact-byte dedup cannot
     // touch: each fixture group is ONE 64×64 pixel pattern encoded in
@@ -1528,6 +1574,24 @@ object TextOps {
           |    WHEN w * 24 >= h * 32 THEN greatest(1, (h * 32) // w)
           |    ELSE 24 END AS INTEGER) AS height
           |FROM d ORDER BY media_id""".stripMargin,
+
+      "q_substring_dedup" -> {
+        val w = SubstrWindow
+        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= $w),
+           |w AS (
+           |  SELECT doc_id,
+           |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
+           |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)),
+           |dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+           |d AS (SELECT doc_id, count(*) AS dup_windows FROM w
+           |      WHERE h IN (SELECT h FROM dh) GROUP BY doc_id)
+           |SELECT b.doc_id, CAST(b.n - ${w - 1} AS BIGINT) AS total_windows,
+           |  COALESCE(d.dup_windows, 0) AS dup_windows,
+           |  ${roundToSql(s"COALESCE(d.dup_windows, 0) / (b.n - ${w - 1})", 4)} AS dup_frac,
+           |  ${roundToSql(s"COALESCE(d.dup_windows, 0) / (b.n - ${w - 1})", 4)} <= 0.2 AS keep
+           |FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
 
       // the planted near-dup structure, restated arithmetically: the
       // pipeline must find EXACTLY the re-encoding pairs (same

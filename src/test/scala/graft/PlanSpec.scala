@@ -28,6 +28,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ts:"), "ts column read though unused")
   }
 
+  test("q_substring_dedup shuffles window hashes, never text or pair spaces") {
+    val p = plan("q_substring_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"window-duplicate detection must never enumerate pairs:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"),
+      s"duplicate-set application must be a semi-join on the hash key:\n${p.take(2000)}")
+    // the window hashes are computed INSIDE the explode's Generate —
+    // a Project-materialized window array would re-buffer every
+    // window string per row (the q_ngram_jaccard placement lesson)
+    assert(p.contains("Generate explode"),
+      s"window expansion must be a Generate:\n${p.take(2000)}")
+  }
+
   test("q_enrich_join is a broadcast LEFT join, never a shuffle join") {
     val p = plan("q_enrich_join")
     assert(p.contains("BroadcastHashJoin"))

@@ -319,6 +319,42 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    // INDEX DELETES, driver-gated end to end: build a REAL persisted
+    // cell-partitioned index from the embeddings table (two append
+    // batches), tombstone every vec_id ≡ 3 (mod 17) at a later batch,
+    // re-append the vec_id ≡ 3 (mod 34) half of them later still
+    // (revival — LWW by batch), COMPACT (the delete must survive the
+    // fold physically, the revival must not be ghost-deleted), then
+    // read the index back. The oracle replays the survivor set
+    // arithmetically and the cell assignment via the k-means fit
+    // replay — a tombstone that leaks a ghost into the compacted
+    // generation, suppresses a revived row, or mis-cells anything
+    // hash-mismatches here. (The scratch dir is wiped first: the
+    // declared query must be hermetic across driver rounds.)
+    "q_index_delete" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_index_delete_" +
+        Integer.toHexString(dir.hashCode)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      val src = e.select(col("vec_id"), col("embedding"))
+      Ivf.appendBatch(src.filter(pmod(col("vec_id"), lit(2)) === 0),
+        col("embedding"), centers, out, 0L)
+      Ivf.appendBatch(src.filter(pmod(col("vec_id"), lit(2)) === 1),
+        col("embedding"), centers, out, 1L)
+      Ivf.appendTombstones(
+        src.filter(pmod(col("vec_id"), lit(17)) === 3).select(col("vec_id")),
+        out, 2L)
+      Ivf.appendBatch(src.filter(pmod(col("vec_id"), lit(34)) === 3),
+        col("embedding"), centers, out, 3L)
+      Ivf.compactIndex(s, out)
+      Ivf.readIndex(s, out)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // FILTERED ANN — the production retrieval call site: a metadata
     // predicate (here: even `label` — the lang/date/source analog)
     // conjoined with the vector search. The predicate lands on the
@@ -562,6 +598,15 @@ object VectorOps {
          |  FROM sc)
          |SELECT q_id, rank, vec_id, cos_sim FROM rk
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // survivors = everything except the tombstoned residue class,
+    // plus the revived half; cells from the identical fit replay
+    "q_index_delete" ->
+      s"""WITH $fitReplayCtes,
+         |af AS (${fitAssignSql("c2")})
+         |SELECT vec_id, cell FROM af
+         |WHERE vec_id % 17 <> 3 OR vec_id % 34 = 3
+         |ORDER BY vec_id""".stripMargin,
 
     // q_ivf_batch's replay with the metadata predicate (even label)
     // applied to the CANDIDATE side before ranking — the filtered-ANN

@@ -225,6 +225,25 @@ object Multimodal {
       }
   }
 
+  /** [[imagesFromDocuments]] memoized per (session, dir) as an eager
+    * localCheckpoint ([[graft.ops.Memo]]) — the fixture ENCODE (5k
+    * ImageIO writes at sf0.01) is fixture synthesis, not operator
+    * work, and three declared queries (q_image_meta, q_image_resize
+    * + the header-decoder lane) consume the same store: the gate
+    * should measure the operators, not re-synthesize the store per
+    * query (r8 verdict item 7). */
+  def imagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    graft.ops.Memo.stage(spark, dir, "image_fixture") {
+      imagesFromDocuments(spark, dir).localCheckpoint(true)
+    }
+
+  /** [[nearDupImagesFromDocuments]] memoized per (session, dir) —
+    * same fixture-store discipline as [[imagesFromDocumentsMemo]]. */
+  def nearDupImagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    graft.ops.Memo.stage(spark, dir, "neardup_image_fixture") {
+      nearDupImagesFromDocuments(spark, dir).localCheckpoint(true)
+    }
+
   /** Perceptual hashes, map-side (payload bytes never shuffle):
     * (media_id, ahash). Undecodable payloads drop out of the
     * candidate space. */

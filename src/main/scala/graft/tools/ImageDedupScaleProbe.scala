@@ -93,29 +93,108 @@ object ImageDedupScaleProbe {
       val (pairCount, pairSec) = time(pairStage(4, 3).count())
       val (pairCount8, pairSec8) = time(pairStage(8, 7).count())
 
+      // the SHIPPED operator (round-9): representative-collapsed,
+      // maxBucket-capped band join — must agree with ground truth and
+      // with the inline spellings above on the diverse corpus
+      val shipped = graft.ops.HammingDedup.pairs64(hashed, "media_id", "ahash",
+        nBands = 4, maxHamming = 3,
+        maxBucket = Some(graft.ops.HammingDedup.CapBucket))
+      val (shippedCount, shippedSec) = time(shipped.count())
+      shipped.unpersist(false)
+
       val fullGroups = n / 3
       val tail = n % 3
       val planted = fullGroups.toLong * 3 + (if (tail == 2) 1L else 0L)
       payloads.unpersist(false)
       hashed.unpersist(false)
       println(s"[img-neardup] n=$n encode=$encodeSec hash=$hashSec " +
-        s"pairs4x16=$pairSec pairs8x8=$pairSec8 found=$pairCount planted=$planted")
+        s"pairs4x16=$pairSec pairs8x8=$pairSec8 shipped=$shippedSec " +
+        s"found=$pairCount planted=$planted")
       require(pairCount == planted,
         s"4x16 pair set diverged from ground truth: $pairCount vs $planted")
       require(pairCount8 == planted,
         s"8x8 pair set diverged from ground truth: $pairCount8 vs $planted")
+      require(shippedCount == planted,
+        s"shipped rep-collapsed pair set diverged: $shippedCount vs $planted")
       require(hashedN == n.toLong, s"hash drop: $hashedN of $n decoded")
-      (n, encodeSec, hashSec, pairSec, pairSec8, planted)
+      (n, encodeSec, hashSec, pairSec, pairSec8, shippedSec, planted)
     }
 
-    val json = runs.map { case (n, e, h, p4, p8, planted) =>
+    // ADVERSARIAL MASS-DUPLICATE stage (round-8 verdict: "one logo ×
+    // 10M copies recreates the hot-bucket quadratic"). Corpus = nDup
+    // copies of ONE pattern (every band of every copy lands in the
+    // same bucket) + a diverse rest in groups of 3. The claim that
+    // must hold: the cluster wall is FLAT in nDup (the duplicated
+    // pattern collapses to one representative before banding, so the
+    // candidate space never sees its copy count) — only hashing cost
+    // (linear, embarrassingly parallel) grows. Pair OUTPUT under mass
+    // duplication is C(nDup,2)-sized by definition, which is why the
+    // production form is clusters64, not pairs64.
+    val restN = 200000
+    val adv = Seq(10000, 100000).map { nDup =>
+      val n = nDup + restN
+      val ids = spark.range(0, n, 1, 32).select($"id".as("media_id"))
+      val payloads = ids.as[Long].map { id =>
+        val group = if (id < nDup) 0L else id / 3
+        (id, graft.multimodal.ImageFixture.encodePattern(
+          graft.multimodal.ImageFixture.formatOf(id), group))
+      }.toDF("media_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      payloads.count()
+      val hashed = payloads.as[(Long, Array[Byte])]
+        .flatMap { case (id, p) =>
+          graft.multimodal.ImagePhash.aHash64(p).map(h => (id, h))
+        }.toDF("media_id", "ahash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (distinctHashes, hashSec) = time(
+        hashed.select($"ahash").distinct().count())
+      val clusters = graft.ops.HammingDedup.clusters64(hashed, "media_id", "ahash",
+        nBands = 4, maxHamming = 3,
+        maxBucket = Some(graft.ops.HammingDedup.CapBucket))
+      val (_, clusterSec) = time(clusters.count())
+      val sizes = clusters.groupBy($"cluster").count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxCluster = sizes.agg(max($"count")).as[Long].head()
+      val nClusters = sizes.count()
+      val totalMembers = clusters.count()
+      // ground truth: one cluster of nDup; the rest in doc_id/3 groups
+      // (ids nDup..n-1 → groups nDup/3 .. (n-1)/3, boundary groups ragged)
+      val expectedClusters = 1L + ((n - 1) / 3 - nDup / 3 + 1)
+      sizes.unpersist(false)
+      clusters.unpersist(false)
+      payloads.unpersist(false)
+      hashed.unpersist(false)
+      println(s"[img-neardup-adversarial] nDup=$nDup rest=$restN " +
+        s"distinctHashes=$distinctHashes cluster_sec=$clusterSec " +
+        s"maxCluster=$maxCluster nClusters=$nClusters")
+      require(maxCluster == nDup.toLong,
+        s"mass-dup cluster wrong size: $maxCluster vs $nDup")
+      require(totalMembers == n.toLong,
+        s"cluster labels dropped members: $totalMembers of $n")
+      require(nClusters == expectedClusters,
+        s"cluster count diverged: $nClusters vs $expectedClusters")
+      (nDup, restN, distinctHashes, hashSec, clusterSec, maxCluster, nClusters)
+    }
+    // FLATNESS GATE: 10× the duplicate count must not blow up the
+    // cluster stage (allow 2.5× for noise + the linear hash-group agg)
+    require(adv(1)._5 <= adv(0)._5 * 2.5 + 2.0,
+      s"cluster wall grew with duplicate count: ${adv(0)._5} -> ${adv(1)._5}")
+
+    val runsJson = runs.map { case (n, e, h, p4, p8, sh, planted) =>
       f"""{"n":$n,"encode_sec":$e%.2f,"hash_sec":$h%.2f,""" +
         f""""pairs_4x16_sec":$p4%.2f,"pairs_8x8_sec":$p8%.2f,""" +
-        s""""pairs_planted":$planted}"""
-    }.mkString(
+        f""""shipped_pairs64_sec":$sh%.2f,"pairs_planted":$planted}"""
+    }.mkString("[", ",", "]")
+    val advJson = adv.map { case (d, r, dh, hs, cs, mx, nc) =>
+      f"""{"n_dup":$d,"n_rest":$r,"distinct_hashes":$dh,""" +
+        f""""hash_distinct_sec":$hs%.2f,"cluster_sec":$cs%.2f,""" +
+        s""""max_cluster":$mx,"n_clusters":$nc}"""
+    }.mkString("[", ",", "]")
+    val json =
       s"""{"metric":"image_neardup_scale","shipped_bands":"4x16bit",""" +
-        s""""shipped_hamming_max":3,"runs":[""",
-      ",", "]}")
+        s""""shipped_hamming_max":3,"rep_collapse":true,""" +
+        s""""max_bucket":${graft.ops.HammingDedup.CapBucket},""" +
+        s""""runs":$runsJson,"adversarial_mass_dup":$advJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()

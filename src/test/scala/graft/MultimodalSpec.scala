@@ -318,4 +318,57 @@ class MultimodalSpec extends SparkSpec {
     assert(ImagePhash.aHash64(
       ImageFixture.encodePattern("png", 3L).take(40)) === None)
   }
+
+  test("hamming dedup: rep collapse + cap match brute force, mass-dup stays linear") {
+    import graft.ops.HammingDedup
+    // adversarial shape at spec scale: 300 copies of ONE hash (every
+    // band of every copy lands in the same bucket — the r8 verdict's
+    // mass-duplicate logo), 10 diverse triples (identical within,
+    // far apart across), and one planted CROSS-HASH near pair at
+    // hamming exactly 3
+    val massHash = 0x5a5a5a5a5a5a5a5aL
+    val diverse = (0 until 10).map(g =>
+      graft.multimodal.ImageFixture.mix64(0xbeef + g.toLong))
+    val nearA = diverse.head
+    val nearB = nearA ^ 0x7L // hamming 3 from nearA
+    val rows: Seq[(Long, Long)] =
+      (0L until 300L).map(i => (i, massHash)) ++
+        diverse.zipWithIndex.flatMap { case (h, g) =>
+          (0 until 3).map(m => (1000L + g * 3 + m, h)) } ++
+        Seq((2000L, nearB))
+    val hashed = rows.toDF("media_id", "ahash")
+
+    // brute-force ground truth over the collected hash map
+    val byId = rows.toMap
+    val expected = (for {
+      (a, ha) <- byId.toSeq; (b, hb) <- byId.toSeq
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).sorted
+
+    for (cap <- Seq(None, Some(HammingDedup.CapBucket), Some(2))) {
+      val got = HammingDedup.pairs64(hashed, "media_id", "ahash",
+          nBands = 4, maxHamming = 3, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // Some(2) still exact here: the cap bounds DISTINCT-hash bucket
+      // membership (11 distinct hashes spread over 16-bit buckets)
+      // and identical-hash pairs never pass through banding at all
+      assert(got === expected, s"pairs64(cap=$cap) diverged from brute force")
+    }
+
+    val clusters = HammingDedup.clusters64(hashed, "media_id", "ahash",
+      nBands = 4, maxHamming = 3)
+    val labels = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size === rows.size, "cluster labels dropped members")
+    // mass group labels to its min id
+    (0L until 300L).foreach(i => assert(labels(i) === 0L))
+    // the near pair joins diverse.head's triple into one component
+    // rooted at the triple's min id
+    assert(labels(2000L) === 1000L)
+    (0 until 3).foreach(m => assert(labels(1000L + m) === 1000L))
+    // remaining triples are their own components
+    (1 until 10).foreach { g =>
+      (0 until 3).foreach(m =>
+        assert(labels(1000L + g * 3 + m) === 1000L + g * 3))
+    }
+  }
 }

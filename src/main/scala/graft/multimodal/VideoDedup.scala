@@ -1,0 +1,170 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Content-level video near-dup (round-8 verdict gap: image near-dup
+  * landed in r8, but a re-encoded VIDEO still deduped by exact bytes
+  * only). Composition, per the multimodal lane's discipline:
+  *
+  *   demux ([[VideoHeader.frameRanges]] — the video track's frame
+  *   payload spans) → evenly-spaced frame sampling (the
+  *   [[Multimodal.sampleFrames]] stride arithmetic: indices 0, step,
+  *   2·step with step = ⌈n/maxFrames⌉, so coverage spans the clip) →
+  *   per-frame perceptual hash ([[ImagePhash.aHash64]] over the
+  *   decoded frame image) → per-video SIGNATURE (slot-ordered array
+  *   of frame hashes) → banded Hamming join at (slot, band) → sig
+  *   verification.
+  *
+  * Everything payload-touching is map-side: containers never shuffle,
+  * only (media_id, slot, ahash) rows and the skinny signatures move.
+  *
+  * Scale shape mirrors [[graft.ops.HammingDedup]]'s two defenses:
+  * candidate generation runs over DISTINCT signatures (one
+  * representative per exact signature, so a mass-duplicated clip is
+  * ONE row per (slot, band) bucket regardless of copy count) with the
+  * one-sided `maxBucket` cap on degenerate buckets; identical-signature
+  * members rejoin after verification. Verification is positional
+  * (signatures sort by slot): equal slot counts and EVERY slot's
+  * hashes within `maxHamming` — a clip that matches on one frame but
+  * diverges on another is not a duplicate.
+  */
+object VideoDedup {
+
+  /** One sampled frame's perceptual hash. `slot` is the sample
+    * position (0 .. maxFrames-1), `frame_idx` the frame number inside
+    * the clip. */
+  case class FrameHash(media_id: Long, slot: Int, frame_idx: Int, ahash: Long)
+
+  /** Demux + sample + hash, map-side: up to `maxFrames` evenly-spaced
+    * frames per video payload, each decoded (ImageIO) and aHashed.
+    * Clips whose container does not demux, and frames that do not
+    * decode, drop out of the candidate space (decoder-not-validator —
+    * a missing slot fails signature verification naturally). */
+  def videoFrameHashes(media: Dataset[Multimodal.MediaRow],
+      maxFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    media.flatMap { r =>
+      VideoHeader.frameRanges(r.payload) match {
+        case Some(ranges) if ranges.nonEmpty =>
+          val n = ranges.length
+          val step = (n + maxFrames - 1) / maxFrames
+          Iterator.range(0, n, step).zipWithIndex.flatMap { case (fi, slot) =>
+            val (off, len) = ranges(fi)
+            val bytes = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+            ImagePhash.aHash64(bytes).map(h => FrameHash(r.media_id, slot, fi, h))
+          }
+        case _ => Iterator.empty
+      }
+    }.toDF()
+  }
+
+  /** All unordered video pairs (id_a < id_b) whose sampled frame
+    * signatures agree slot-for-slot within `maxHamming`. Input is the
+    * [[videoFrameHashes]] frame — (media_id, slot, frame_idx, ahash).
+    * The result is materialized and the wide intermediates released
+    * (the minhashPairsOfHashes lifecycle). */
+  def nearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4, maxBucket: Option[Int] = Some(64)): DataFrame = {
+    require(64 % nBands == 0, s"nBands=$nBands must divide 64")
+    require(maxHamming < nBands,
+      s"per-slot banding is exact only for maxHamming < nBands")
+    val bits = 64 / nBands
+    val mask = (1L << bits) - 1
+
+    // slot-ordered signature per video (struct ordering is
+    // field-order lexicographic, so sorting the (slot, ahash) structs
+    // aligns signatures positionally)
+    val sigs = frameHashes
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(
+        struct(col("slot"), col("ahash")))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // representative collapse at EXACT-signature granularity
+    val reps = sigs.groupBy(col("sig")).agg(min(col("media_id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bandedAll = reps
+      .select(col("rep"), col("sig"), explode(col("sig")).as("fs"))
+      .select(col("rep"), col("sig"),
+        col("fs.slot").as("slot"), col("fs.ahash").as("ahash"))
+      .select(col("rep"), col("sig"), col("slot"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * bits).bitwiseAND(lit(mask)).as("key"))): _*))
+          .as("bk"))
+      .select(col("rep"), col("sig"), col("slot"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandedA = maxBucket match {
+      case None => bandedAll
+      case Some(k) =>
+        bandedAll.withColumn("__r", row_number().over(
+            Window.partitionBy(col("slot"), col("band"), col("key"))
+              .orderBy(col("rep"))))
+          .filter(col("__r") <= k).drop("__r")
+    }
+
+    // candidates: any slot's band agreement proposes the rep pair;
+    // verification then demands EVERY slot agree within maxHamming
+    val verified = bandedA.as("a").join(bandedAll.as("b"),
+        col("a.slot") === col("b.slot") && col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("a.sig").as("sa"),
+        col("b.rep").as("rb"), col("b.sig").as("sb"))
+      .distinct()
+      .filter(size(col("sa")) === size(col("sb")) &&
+        forall(zip_with(col("sa"), col("sb"), (x, y) =>
+          x("slot") === y("slot") &&
+            bit_count(x("ahash").bitwiseXOR(y("ahash"))) <= maxHamming),
+          b => b))
+      .select(col("ra"), col("rb"))
+
+    val memberRep = sigs.join(reps, Seq("sig"))
+      .select(col("media_id"), col("rep"))
+    val cross = verified
+      .join(memberRep.select(col("media_id").as("__ia"), col("rep").as("ra")),
+        Seq("ra"))
+      .join(memberRep.select(col("media_id").as("__ib"), col("rep").as("rb")),
+        Seq("rb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    val within = memberRep.as("a").join(memberRep.as("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+
+    val out = cross.union(within)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    reps.unpersist(false)
+    sigs.unpersist(false)
+    out
+  }
+
+  /** Near-dup fixture: consecutive PAIRS of doc ids (group = id / 2)
+    * share identical per-frame pixel content, muxed MP4+JPEG for the
+    * even member and AVI+PNG for the odd ([[VideoFixture
+    * .encodeNearDup]]) — duplicates that exist only at the
+    * decoded-frame level. */
+  def nearDupVideosFromDocuments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        Multimodal.MediaRow(id, "video", VideoFixture.encodeNearDup(id),
+          s"synthetic/${VideoFixture.nearDupFormatOf(id)}", None)
+      }
+  }
+
+  /** [[nearDupVideosFromDocuments]] memoized per (session, dir) —
+    * the fixture-store discipline of the image lane. */
+  def nearDupVideosFromDocumentsMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[Multimodal.MediaRow] =
+    graft.ops.Memo.stage(spark, dir, "neardup_video_fixture") {
+      nearDupVideosFromDocuments(spark, dir).localCheckpoint(true)
+    }
+}

@@ -44,6 +44,85 @@ object VideoFixture {
   def encode(id: Long): Array[Byte] =
     if (formatOf(id) == "mp4") encodeMp4(id) else encodeAvi(id)
 
+  // ---- near-dup fixture (round-9: content-level video dedup) --------
+  //
+  // Consecutive PAIRS of doc ids form one group (group = id / 2)
+  // sharing identical per-frame PIXEL content; the even member muxes
+  // as MP4 with JPEG frame samples, the odd as AVI with PNG `00dc`
+  // frames — so the pair exists only at the decoded-frame level
+  // (different container AND different frame codec), the video twin
+  // of [[ImageFixture.encodePattern]]'s re-encoded duplicates.
+  // Frame pixels are 64×64 block patterns seeded by (group, frame)
+  // so distinct groups sit near Hamming 32 per frame while a group's
+  // two encodings agree within the aHash codec-noise margin.
+
+  def nearDupFormatOf(id: Long): String = Formats((((id % 2) + 2) % 2).toInt)
+  def nearDupFramesOf(group: Long): Int = (((group % 5) + 5) % 5).toInt + 4
+  private def framePatternSeed(group: Long, frame: Int): Long =
+    group * 131L + frame
+
+  def encodeNearDup(id: Long): Array[Byte] = {
+    val group = id / 2
+    val n = nearDupFramesOf(group)
+    if (nearDupFormatOf(id) == "mp4") {
+      val frames = (0 until n).map(f =>
+        ImageFixture.encodePattern("jpeg", framePatternSeed(group, f)))
+      encodeMp4Frames(64, 64, frames)
+    } else {
+      val frames = (0 until n).map(f =>
+        ImageFixture.encodePattern("png", framePatternSeed(group, f)))
+      encodeAviFrames(64, 64, frames)
+    }
+  }
+
+  /** MP4 with REAL per-sample frame payloads (MJPEG-style): mdat is
+    * the concatenation of the encoded frames, stsz carries PER-SAMPLE
+    * sizes (sample_size = 0 + entry table — codec frames are never
+    * uniform), stco points at the first sample, one chunk. */
+  def encodeMp4Frames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val fps = 10
+    val ticksPerFrame = Timescale / fps
+    val duration = frames.length.toLong * ticksPerFrame
+    val ftyp = box("ftyp", ascii("isom"), be32(0x200), ascii("isom"), ascii("mp41"))
+    val mdat = box("mdat", cat(frames: _*))
+    val mdatOffset = ftyp.length + 8L
+    val stszEntries = cat(frames.map(f => be32(f.length.toLong)): _*)
+    val stblBox = box("stbl", stsdVideo(w, h),
+      box("stts", zeros(4), be32(1), be32(frames.length), be32(ticksPerFrame)),
+      box("stsc", zeros(4), be32(1), be32(1), be32(frames.length), be32(1)),
+      box("stsz", zeros(4), be32(0), be32(frames.length), stszEntries),
+      box("stco", zeros(4), be32(1), be32(mdatOffset)))
+    val trak = box("trak",
+      tkhd(0, trackId = 1, duration, w, h, audio = false),
+      box("mdia", mdhd(duration), hdlr("vide", "VideoHandler"),
+        box("minf",
+          box("vmhd", Array[Byte](0, 0, 0, 1), zeros(8)),
+          Dinf, stblBox)))
+    cat(ftyp, mdat, box("moov", mvhd(0, duration), trak))
+  }
+
+  /** AVI whose `00dc` movi chunks carry REAL encoded frame payloads. */
+  def encodeAviFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val fps = 10
+    val usPerFrame = 1000000L / fps
+    val avih = chunk("avih", cat(
+      le32(usPerFrame), le32(w.toLong * h * 3 * fps), le32(0), le32(0),
+      le32(frames.length), le32(0), le32(1), le32(0),
+      le32(w), le32(h), zeros(16)))
+    val strh = chunk("strh", cat(
+      ascii("vids"), ascii("MJPG"), le32(0), le16(0), le16(0), le32(0),
+      le32(1), le32(fps), le32(0), le32(frames.length),
+      le32(w.toLong * h * 3), le32(0xffffffffL), le32(0),
+      le16(0), le16(0), le16(w), le16(h)))
+    val strf = chunk("strf", cat(
+      le32(40), le32(w), le32(h), le16(1), le16(24),
+      le32(0), le32(w.toLong * h * 3), le32(0), le32(0), le32(0), le32(0)))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    val body = cat(hdrl, movi)
+    cat(ascii("RIFF"), le32(4L + body.length), ascii("AVI "), body)
+  }
+
   // ---- byte builders ------------------------------------------------
 
   private def cat(parts: Array[Byte]*): Array[Byte] = {

@@ -198,4 +198,145 @@ object VideoHeader {
   def parse(b: Array[Byte]): Option[VideoMeta] =
     if (b == null) None
     else parseMp4(b).orElse(parseAvi(b))
+
+  // ---- frame payload extraction (round-9: content-level dedup) ------
+
+  /** Byte spans (offset, length) of the video track's frame payloads,
+    * in presentation order — the demux step a per-frame perceptual
+    * hash needs. MP4: the video trak's stsz sizes (uniform or
+    * per-sample table) laid contiguously from the first stco chunk
+    * offset (the single-chunk layout MJPEG-style files use; a
+    * multi-chunk stsc mapping is out of scope and fails closed when
+    * the spans overrun the file). AVI: the `movi` list's `00dc`/`00db`
+    * chunk payloads in order. Unparseable → None; a span table that
+    * overruns the payload → None (fail closed, never a torn frame). */
+  def frameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] =
+    if (b == null) None
+    else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ")
+      aviFrameRanges(b)
+    else mp4FrameRanges(b)
+
+  private def mp4FrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    // reuse the validated top-level walk to find moov
+    var hasFtyp = false
+    var moov: Option[(Int, Int)] = None
+    var i = 0
+    while (i + 8 <= b.length) {
+      val sz0 = be32(b, i)
+      var hdr = 8
+      var sz = sz0
+      if (sz0 == 1L) {
+        if (i + 16 > b.length) return None
+        sz = be64(b, i + 8); hdr = 16
+      } else if (sz0 == 0L) sz = (b.length - i).toLong
+      if (sz < hdr || sz > b.length - i) return None
+      tag(b, i + 4) match {
+        case "ftyp" => hasFtyp = true
+        case "moov" => moov = Some((i + hdr, i + sz.toInt))
+        case _ => ()
+      }
+      i += sz.toInt
+    }
+    if (!hasFtyp) return None
+    moov.flatMap { case (ms, me) => videoTrakStbl(b, ms, me) }
+      .flatMap { case (ss, se) =>
+        for {
+          (zs, ze) <- findBox(b, ss, se, "stsz") if ze - zs >= 12
+          (cs, ce) <- findBox(b, ss, se, "stco") if ce - cs >= 12
+          sizes <- stszSizes(b, zs, ze)
+          off0 = be32(b, cs + 8) if off0 >= 0
+          spans <- laySpans(b.length, off0, sizes)
+        } yield spans
+      }
+  }
+
+  /** The stbl span of the first trak with nonzero tkhd dimensions —
+    * the same video-track selection rule as [[firstVideoTrak]]. */
+  private def videoTrakStbl(b: Array[Byte], from: Int,
+      to: Int): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
+      val sz0 = be32(b, i)
+      var hdr = 8
+      var sz = sz0
+      if (sz0 == 1L) {
+        if (i + 16 > to) return None
+        sz = be64(b, i + 8); hdr = 16
+      } else if (sz0 == 0L) sz = (to - i).toLong
+      if (sz < hdr || sz > to - i) return None
+      if (tag(b, i + 4) == "trak") {
+        val (ts, te) = (i + hdr, i + sz.toInt)
+        findBox(b, ts, te, "tkhd").flatMap { case (ks, ke) =>
+          tkhdDims(b, ks, ke)
+        } match {
+          case Some((w, h)) if w > 0 && h > 0 =>
+            return for {
+              (msd, med) <- findBox(b, ts, te, "mdia")
+              (ns, ne) <- findBox(b, msd, med, "minf")
+              stbl <- findBox(b, ns, ne, "stbl")
+            } yield stbl
+          case _ => ()
+        }
+      }
+      i += sz.toInt
+    }
+    None
+  }
+
+  /** stsz payload → per-sample sizes: uniform (sample_size ≠ 0) or
+    * the per-sample entry table (sample_size = 0). */
+  private def stszSizes(b: Array[Byte], zs: Int, ze: Int): Option[Vector[Int]] = {
+    val uniform = be32(b, zs + 4)
+    val count = be32(b, zs + 8)
+    if (count < 0 || count > Int.MaxValue) return None
+    val n = count.toInt
+    if (uniform != 0L) {
+      if (uniform > Int.MaxValue) None
+      else Some(Vector.fill(n)(uniform.toInt))
+    } else {
+      if (ze - (zs + 12) < 4L * n) return None
+      Some(Vector.tabulate(n) { k =>
+        val v = be32(b, zs + 12 + 4 * k)
+        if (v > Int.MaxValue) return None
+        v.toInt
+      })
+    }
+  }
+
+  /** Lay `sizes` contiguously from `off0`, failing closed on overrun. */
+  private def laySpans(len: Int, off0: Long,
+      sizes: Vector[Int]): Option[Vector[(Int, Int)]] = {
+    var off = off0
+    val out = Vector.newBuilder[(Int, Int)]
+    sizes.foreach { s =>
+      if (s < 0 || off < 0 || off + s > len) return None
+      out += ((off.toInt, s))
+      off += s
+    }
+    Some(out.result())
+  }
+
+  private def aviFrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val ct = tag(b, i)
+      val sz = le32(b, i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return None
+      if (ct == "LIST" && sz >= 4 && tag(b, i + 8) == "movi") {
+        val end = i + 8 + sz.toInt
+        var j = i + 12
+        val out = Vector.newBuilder[(Int, Int)]
+        while (j + 8 <= end) {
+          val c2 = tag(b, j)
+          val s2 = le32(b, j + 4)
+          if (s2 < 0 || j + 8 + s2 > end) return None
+          if (c2 == "00dc" || c2 == "00db") out += ((j + 8, s2.toInt))
+          j += 8 + s2.toInt + (s2.toInt & 1)
+        }
+        return Some(out.result())
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
 }

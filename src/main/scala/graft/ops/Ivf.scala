@@ -205,8 +205,18 @@ object Ivf {
     //   anything else ("c"/"r") — insert only; a create is known-new,
     //   so it must not pay a tombstone row (the tombstone set stays
     //   proportional to deletes+updates, never to corpus growth).
-    val inserts = opCol.fold(batch)(op => batch.filter(op =!= "d"))
-    opCol.foreach { op =>
+    // FAIL FAST on a null op (r8 advice): `op =!= "d"` evaluates to
+    // NULL for a null op, silently dropping the row from the insert
+    // lane WITHOUT a tombstone — a malformed CDC batch would lose
+    // data with no signal. The loader discipline (io/Tables) is to
+    // throw at the malformation, not guess.
+    val checkedOp = opCol.map(op =>
+      when(op.isNull, raise_error(lit(
+        "appendBatch: null op in CDC batch — resolve ops upstream " +
+          "(Cdc.resolveLatest emits one non-null op per id per batch)")))
+        .otherwise(op))
+    val inserts = checkedOp.fold(batch)(op => batch.filter(op =!= "d"))
+    checkedOp.foreach { op =>
       val dels = batch.filter(op === "d" || op === "u").select(col("vec_id"))
       if (!dels.isEmpty) appendTombstones(dels, indexDir, batchId)
     }
@@ -372,19 +382,49 @@ object Ivf {
         if sliceDir.isDirectory && sliceDir.getPath.getName.startsWith("batch_id=")
         id <- sliceDir.getPath.getName.stripPrefix("batch_id=").toLongOption
       } yield (id, sliceDir.getPath)
+    // tombstone slice ids participate in the horizon (r8 advice): in a
+    // delete-heavy/append-idle interval the tombstone slices must
+    // still fold into a new generation, or the merge-on-read set and
+    // the .tombstones listing grow unboundedly until a data append
+    // happens to trigger a fold. Appends and tombstones share one
+    // monotone batch counter (appendBatch writes both at its batchId),
+    // so the max over both is a valid fold horizon.
+    val tombIds: Seq[Long] = {
+      val troot = new Path(tombstoneRoot(indexDir))
+      if (!fs.exists(troot)) Seq.empty
+      else for {
+        d <- fs.listStatus(troot).toSeq
+        if d.isDirectory && d.getPath.getName.startsWith("batch_id=")
+        id <- d.getPath.getName.stripPrefix("batch_id=").toLongOption
+      } yield id
+    }
     val newIds = slices.map(_._1).filter(id => prevF.forall(id > _))
-    if (newIds.isEmpty) return prevF // nothing new — horizon unchanged
-    val foldUpTo = newIds.max
+    val newTombIds = tombIds.filter(id => prevF.forall(id > _))
+    if (newIds.isEmpty && newTombIds.isEmpty)
+      return prevF // nothing new — horizon unchanged
+    if (slices.isEmpty && prevF.isEmpty)
+      return None // tombstones against a never-written index — no data to fold
+    val foldUpTo = (newIds ++ newTombIds).max
     // 3. fold: previous generation ∪ the new slices. batch_id rides
     //    along as a DATA column in the compacted layout (the horizon
     //    lives in the version number), cell stays the partition key.
-    val live = spark.read.parquet(indexDir)
-      .filter(col("batch_id") > prevF.getOrElse(Long.MinValue) &&
-        col("batch_id") <= foldUpTo)
-    val input0 = prevF match {
-      case Some(f) =>
-        graft.stream.Snapshots.readVersion(spark, croot, f).unionByName(live)
-      case None => live
+    //    A delete-only fold may find NO live data slices at all
+    //    (everything already folded + pruned) — parquet cannot infer
+    //    a schema from an empty layout, so the fold input is the
+    //    previous generation alone.
+    val live =
+      if (slices.isEmpty) None
+      else Some(spark.read.parquet(indexDir)
+        .filter(col("batch_id") > prevF.getOrElse(Long.MinValue) &&
+          col("batch_id") <= foldUpTo))
+    val input0 = (prevF, live) match {
+      case (Some(f), Some(l)) =>
+        graft.stream.Snapshots.readVersion(spark, croot, f).unionByName(l)
+      case (Some(f), None) =>
+        graft.stream.Snapshots.readVersion(spark, croot, f)
+      case (None, Some(l)) => l
+      case (None, None) =>
+        throw new IllegalStateException("unreachable: guarded above")
     }
     // TOMBSTONE FOLD (delete-survives-compaction, CdcReplay's
     // discipline): every tombstone known at fold time applies to the
@@ -734,4 +774,84 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(topK)
   }
+
+  // ---- adaptive probing under selective predicates (round-9) --------
+
+  /** Escalating-nProbe driver for FILTERED ANN (r8 verdict item 4):
+    * under a selective predicate, a fixed nProbe can return fewer
+    * than topK rows — the probed cells simply may not hold topK
+    * predicate-satisfying vectors. Escalation restores RESULT
+    * CARDINALITY: queries whose round served < topK rows re-run with
+    * a doubled probe (the standard IVF escalation ladder), until they
+    * fill or the probe covers every cell (at which point the search
+    * IS brute force within the predicate, and fewer rows means fewer
+    * matching rows exist). Queries already serving topK rows keep
+    * their round's answer — the fixed-nProbe recall contract is
+    * unchanged for them; escalation only repairs the undershoot.
+    *
+    * Driver-side state is Q-bounded (per-round result counts + the
+    * escalating q_id set — the routed-cells-collect discipline, an
+    * operator action on aggregates, not a data collect). Per-round
+    * results are persisted and owned by the returned union (session
+    * teardown / clearCache reclaims them); rounds are ≤ log₂(K). */
+  private def escalatingSearch(spark: SparkSession, queries: DataFrame,
+      nProbe0: Int, nCells: Int, topK: Int,
+      run: (DataFrame, Int) => DataFrame): DataFrame = {
+    import spark.implicits._
+    require(nProbe0 >= 1, s"nProbe=$nProbe0")
+    require(topK >= 1, s"topK=$topK")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remaining = queries
+    var probe = math.min(nProbe0, nCells)
+    var done = false
+    while (!done) {
+      val res = run(remaining, probe)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      if (probe >= nCells) { parts += res; done = true }
+      else {
+        val counts = res.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // queries with ZERO candidates are absent from the result
+        // entirely — they undershoot too
+        val allQ = remaining.select(col("q_id")).distinct()
+          .collect().map(_.getLong(0))
+        val shortIds = allQ.filter(q => counts.getOrElse(q, 0L) < topK)
+        if (shortIds.isEmpty) { parts += res; done = true }
+        else {
+          val shortDf = shortIds.toSeq.toDF("q_id")
+          parts += res.join(broadcast(shortDf), Seq("q_id"), "left_anti")
+          remaining = remaining.join(broadcast(shortDf), Seq("q_id"), "left_semi")
+          probe = math.min(probe * 2, nCells)
+        }
+      }
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** [[searchBatch]] with nProbe escalation for undershooting queries
+    * — the filtered-ANN serving call when predicates can be
+    * selective. Same output shape. */
+  def searchBatchAdaptive(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], queries: DataFrame, nProbe: Int,
+      topK: Int, excludeSelf: Boolean = false,
+      scoreRound: Option[Int] = None,
+      predicate: Option[Column] = None): DataFrame =
+    escalatingSearch(spark, queries, nProbe, centers.length, topK,
+      (qs, p) => searchBatch(spark, indexDir, centers, qs, p, topK,
+        excludeSelf, scoreRound, predicate))
+
+  /** [[searchPqBatch]] with nProbe escalation — the IVFADC serving
+    * path under selective predicates. `rerankC` stays fixed (it is
+    * already ≥ topK by contract; undershoot comes from the probed
+    * cells' filtered population, which escalation grows). */
+  def searchPqBatchAdaptive(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
+      residual: Boolean = false, excludeSelf: Boolean = false,
+      scoreRound: Option[Int] = None, metric: String = "cosine",
+      predicate: Option[Column] = None): DataFrame =
+    escalatingSearch(spark, queries, nProbe, centers.length, topK,
+      (qs, p) => searchPqBatch(spark, indexDir, centers, codebooks, qs, p,
+        rerankC, topK, residual, excludeSelf, scoreRound, metric, predicate))
 }

@@ -1381,6 +1381,29 @@ object TextOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // CONTENT-LEVEL video near-dup (r8 verdict item 3) — the video
+    // twin of q_image_neardup: consecutive id PAIRS share identical
+    // per-frame pixels muxed in different containers with different
+    // frame codecs (MP4+JPEG vs AVI+PNG —
+    // VideoFixture.encodeNearDup), so the pairs exist only after
+    // demux (VideoHeader.frameRanges: stsz/stco sample spans, movi
+    // 00dc chunks) → evenly-spaced frame sampling → per-frame aHash.
+    // Candidates come from a (slot, band, key16) join over DISTINCT
+    // signatures (rep collapse + maxBucket — the HammingDedup
+    // discipline); verification demands every sampled slot agree
+    // within Hamming 3. The oracle restates the planted-group
+    // arithmetic: a cross-group false positive (independent per-frame
+    // patterns) or a within-group miss (JPEG vs PNG re-encode) both
+    // hash-mismatch.
+    "q_video_neardup" -> ((s, dir) => {
+      val fh = graft.multimodal.VideoDedup.videoFrameHashes(
+        graft.multimodal.VideoDedup.nearDupVideosFromDocumentsMemo(s, dir),
+        maxFrames = 4)
+      graft.multimodal.VideoDedup.nearDupPairs(fh, maxHamming = 3,
+          nBands = 4, maxBucket = Some(HammingDedup.CapBucket))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL audio-container decode — the audio leg of the multimodal
     // pipeline, same design as q_image_meta: one tiny PCM clip per
     // document row encoded by the JDK's own javax.sound.sampled
@@ -1762,6 +1785,14 @@ object TextOps {
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+          |ORDER BY 1, 2""".stripMargin,
+
+      // planted video pair structure: exactly the re-muxing pairs
+      // (same doc_id/2 group), nothing across groups
+      "q_video_neardup" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
           |ORDER BY 1, 2""".stripMargin,
 
       "q_audio_meta" ->

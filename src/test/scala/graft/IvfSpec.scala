@@ -117,6 +117,49 @@ class IvfSpec extends SparkSpec {
       "fixture too easy: post-filtering kept the full top-k, predicate proves nothing")
   }
 
+  test("adaptive probing: fixed nProbe undershoots, escalation fills to brute-equal") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfa").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    Ivf.writeIndex(emb, $"embedding", $"vec_id", centers, s"$tmp/idx", numFiles = 4)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // highly selective predicate: a handful of matches spread over the
+    // cells, so one probed cell cannot hold them all
+    val pred = pmod($"vec_id", lit(97)) === 0
+    val matchCount = emb.filter(pred && $"vec_id" =!= 0).count().toInt
+    assert(matchCount >= 3, s"fixture needs a few matches, got $matchCount")
+
+    // the naive fixed probe undershoots the requested k …
+    val naive = Ivf.searchBatch(spark, s"$tmp/idx", centers, queries,
+      nProbe = 1, topK = matchCount, excludeSelf = true, predicate = Some(pred))
+    assert(naive.count() < matchCount,
+      "fixture too easy: one probed cell held every match — undershoot not exercised")
+
+    // … the escalating path fills to exactly the brute answer. k is
+    // set to the full match count, so ANY escalation depth that fills
+    // must have found the complete predicate-satisfying set — the
+    // assert is deterministic regardless of where the ladder stops.
+    val got = Ivf.searchBatchAdaptive(spark, s"$tmp/idx", centers, queries,
+        nProbe = 1, topK = matchCount, excludeSelf = true, predicate = Some(pred))
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toSeq
+    val brute = emb.filter(pred && $"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.cosine_sim($"embedding", typedlit(qv)).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(matchCount)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === brute, s"adaptive search diverged: $got vs $brute")
+
+    // a predicate with NO matches terminates at full probe with an
+    // empty (not hanging, not erroring) result — the zero-candidate
+    // escalation path
+    val none = Ivf.searchBatchAdaptive(spark, s"$tmp/idx", centers, queries,
+      nProbe = 1, topK = 5, excludeSelf = true,
+      predicate = Some($"vec_id" < 0))
+    assert(none.count() === 0)
+  }
+
   test("streaming index appends are idempotent and search-equivalent to batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfs").toString
@@ -297,6 +340,59 @@ class IvfSpec extends SparkSpec {
     assert(gen.filter($"vec_id" === 2L).count() === 1L,
       "compaction fold kept the stale upsert victim")
     assert(gen.filter($"vec_id" === 1L).count() === 0L)
+  }
+
+  test("delete-only intervals still fold: tombstones advance the horizon") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val idx = s"$tmp/idx"
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    val n = emb.count()
+    Ivf.appendBatch(emb.select($"vec_id", $"embedding"), $"embedding",
+      centers, idx, 0L)
+    val f0 = Ivf.compactIndex(spark, idx)
+    assert(f0 === Some(0L))
+    // append-idle, delete-heavy interval: tombstones only
+    Ivf.appendTombstones(Seq(3L).toDF("vec_id"), idx, 1L)
+    Ivf.appendTombstones(Seq(5L).toDF("vec_id"), idx, 2L)
+    // r8 advice: this fold must NOT early-return — the horizon
+    // advances on tombstone batches alone, the deletes leave the
+    // generation physically, and the tombstone slices get pruned
+    val f1 = Ivf.compactIndex(spark, idx)
+    assert(f1 === Some(2L),
+      s"delete-only fold must advance the horizon to the tombstone batch, got $f1")
+    val gen = graft.stream.Snapshots.readVersion(spark, s"$idx/.compact", 2L)
+    assert(gen.filter($"vec_id".isin(3L, 5L)).count() === 0L,
+      "delete-only fold left the deleted rows in the generation")
+    assert(gen.count() === n - 2)
+    // the NEXT fold prunes the folded tombstone slices (grace policy)
+    Ivf.compactIndex(spark, idx)
+    val troot = new org.apache.hadoop.fs.Path(s"$idx/.tombstones")
+    val fs = troot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombLeft =
+      if (!fs.exists(troot)) 0
+      else fs.listStatus(troot).count(_.getPath.getName.startsWith("batch_id="))
+    assert(tombLeft === 0,
+      s"folded tombstone slices must prune after the grace fold, $tombLeft left")
+    // reads agree throughout
+    val ids = Ivf.readIndex(spark, idx).select($"vec_id").as[Long].collect()
+    assert(!ids.contains(3L) && !ids.contains(5L) && ids.length === (n - 2).toInt)
+  }
+
+  test("a null op in a CDC batch fails fast instead of dropping the row") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfnull").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 2, iters = 1)
+    val bad = Seq((1L, Seq(0.1f, 0.2f), "c"), (2L, Seq(0.3f, 0.4f), null))
+      .toDF("vec_id", "raw", "op")
+      .select($"vec_id", $"raw".cast("array<float>").as("embedding"), $"op")
+    val e = intercept[Exception] {
+      Ivf.appendBatch(bad, $"embedding", centers, s"$tmp/idx", 0L,
+        opCol = Some($"op"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null op")),
+      s"expected the fail-fast null-op signal, got: ${msgs(e)}")
   }
 
   test("ragged embeddings assign to NULL and are excluded from fit means") {

@@ -136,7 +136,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("video headers parse spec-constructed mp4 and avi containers") {
-    import graft.multimodal.{VideoFixture, VideoHeader}
+    import graft.multimodal.{ImageFixture, VideoFixture, VideoHeader}
     // ids chosen to hit: both formats, version-1 mvhd/tkhd (id%7==0),
     // sound-first track order (mp4 with id%3==0), and varied geometry
     Seq(0L, 1L, 2L, 3L, 6L, 7L, 14L, 21L, 35L, 58L, 96L, 123L).foreach { id =>
@@ -153,7 +153,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("video header parser rejects truncated, corrupt, and non-video bytes") {
-    import graft.multimodal.{VideoFixture, VideoHeader}
+    import graft.multimodal.{ImageFixture, VideoFixture, VideoHeader}
     val mp4 = VideoFixture.encode(0L) // mp4, v1 headers, sound-first
     val avi = VideoFixture.encode(1L) // avi
     assert(VideoHeader.parse(mp4.take(40)).isEmpty, "truncated mp4")
@@ -317,6 +317,64 @@ class MultimodalSpec extends SparkSpec {
     assert(ImagePhash.aHash64("not an image".getBytes("UTF-8")) === None)
     assert(ImagePhash.aHash64(
       ImageFixture.encodePattern("png", 3L).take(40)) === None)
+  }
+
+  test("video demux: frameRanges recovers the exact frame payloads, fails closed") {
+    import graft.multimodal.{ImageFixture, VideoFixture, VideoHeader}
+    val jpegFrames = (0 until 5).map(f =>
+      ImageFixture.encodePattern("jpeg", 7000L + f))
+    val mp4 = VideoFixture.encodeMp4Frames(64, 64, jpegFrames)
+    val mp4Ranges = VideoHeader.frameRanges(mp4).get
+    assert(mp4Ranges.length === 5)
+    mp4Ranges.zip(jpegFrames).foreach { case ((off, len), orig) =>
+      assert(mp4.slice(off, off + len).toSeq === orig.toSeq,
+        "mp4 sample span diverged from the muxed frame bytes")
+    }
+    val pngFrames = (0 until 5).map(f =>
+      ImageFixture.encodePattern("png", 7000L + f))
+    val avi = VideoFixture.encodeAviFrames(64, 64, pngFrames)
+    val aviRanges = VideoHeader.frameRanges(avi).get
+    assert(aviRanges.length === 5)
+    aviRanges.zip(pngFrames).foreach { case ((off, len), orig) =>
+      assert(avi.slice(off, off + len).toSeq === orig.toSeq,
+        "avi 00dc span diverged from the muxed frame bytes")
+    }
+    // the metadata fixture's uniform-stsz containers demux too
+    val uniform = VideoHeader.frameRanges(VideoFixture.encode(4L)).get
+    assert(uniform.length === VideoFixture.framesOf(4L))
+    assert(uniform.forall(_._2 === 16))
+    // truncation/corruption fails closed, never a torn frame
+    assert(VideoHeader.frameRanges(mp4.take(mp4.length - 3)) === None)
+    assert(VideoHeader.frameRanges(avi.take(40)) === None)
+    assert(VideoHeader.frameRanges("not a container".getBytes("UTF-8")) === None)
+  }
+
+  test("video near-dup: re-muxed pairs collide, distinct and partial matches reject") {
+    import graft.multimodal.{ImageFixture, VideoDedup, VideoFixture}
+    // 10 planted groups (mp4+jpeg vs avi+png of the same pixels), plus
+    // one adversarial clip sharing group 0's frames EXCEPT frame 0
+    // (always sampled) — near on most slots, not a duplicate
+    val planted = (0L until 20L).map { id =>
+      Multimodal.MediaRow(id, "video", VideoFixture.encodeNearDup(id), "t", None)
+    }
+    val g0n = VideoFixture.nearDupFramesOf(0L)
+    val tampered = (0 until g0n).map { f =>
+      ImageFixture.encodePattern("jpeg", if (f == 0) 999999L else f.toLong)
+    }
+    val rows = planted :+ Multimodal.MediaRow(100L, "video",
+      VideoFixture.encodeMp4Frames(64, 64, tampered), "t", None)
+    val media = spark.createDataset(rows)
+    val fh = VideoDedup.videoFrameHashes(media, maxFrames = 4)
+    // every clip demuxed: ≤4 slots each, ≥1 per clip
+    val perClip = fh.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perClip.keySet === rows.map(_.media_id).toSet)
+    assert(perClip.values.forall(c => c >= 1 && c <= 4))
+    val pairs = VideoDedup.nearDupPairs(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(g => (2 * g, 2 * g + 1)).toSet
+    assert(pairs === expected,
+      "video near-dup diverged from the planted re-mux pairs")
   }
 
   test("hamming dedup: rep collapse + cap match brute force, mass-dup stays linear") {

@@ -414,12 +414,16 @@ object Ivf {
     //    previous generation alone.
     val live =
       if (slices.isEmpty) None
-      else Some(spark.read.parquet(indexDir)
+      else Some(spark.read.option("mergeSchema", "true").parquet(indexDir)
         .filter(col("batch_id") > prevF.getOrElse(Long.MinValue) &&
           col("batch_id") <= foldUpTo))
     val input0 = (prevF, live) match {
       case (Some(f), Some(l)) =>
-        graft.stream.Snapshots.readVersion(spark, croot, f).unionByName(l)
+        // allowMissingColumns: the fold PRESERVES the union schema
+        // when a column was added mid-stream (older generation rows
+        // null-fill) — schema evolution survives compaction
+        graft.stream.Snapshots.readVersion(spark, croot, f)
+          .unionByName(l, allowMissingColumns = true)
       case (Some(f), None) =>
         graft.stream.Snapshots.readVersion(spark, croot, f)
       case (None, Some(l)) => l
@@ -474,8 +478,13 @@ object Ivf {
     * layout) reads exactly as before. Both legs stay partition-pruned
     * on `cell`. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    // mergeSchema + allowMissingColumns: a metadata column added to
+    // later appended batches (schema evolution, r8 verdict item 5)
+    // null-fills for older slices and for the pre-evolution compacted
+    // generation instead of erroring or silently dropping. The merge
+    // cost is bounded: live slices span one compaction interval.
     val base = graft.stream.Snapshots.resolve(spark, compactRoot(indexDir)) match {
-      case None => spark.read.parquet(indexDir)
+      case None => spark.read.option("mergeSchema", "true").parquet(indexDir)
       case Some(f) =>
         val compacted =
           graft.stream.Snapshots.readVersion(spark, compactRoot(indexDir), f)
@@ -483,11 +492,10 @@ object Ivf {
         // empty live layout cannot infer a schema, so fall back to
         // the compacted generation alone
         val live =
-          try Some(spark.read.parquet(indexDir)
-            .filter(col("batch_id") > f)
-            .select(compacted.columns.map(col).toIndexedSeq: _*))
+          try Some(spark.read.option("mergeSchema", "true").parquet(indexDir)
+            .filter(col("batch_id") > f))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        live.fold(compacted)(compacted.unionByName(_))
+        live.fold(compacted)(compacted.unionByName(_, allowMissingColumns = true))
     }
     // deletes are merge-on-read until the next compaction folds them
     // out physically — every search path reads through here, so a
@@ -554,6 +562,96 @@ object Ivf {
         .partitionBy("cell").parquet(indexDir)
     }
     expanded.toArray
+  }
+
+  // ---- centroid drift: monitor + partial refit (round-9) ------------
+
+  /** Per-cell quantizer-fit geometry — (cell, n, mean_dist_sq), the
+    * within-cell mean squared distance to the cell's own centroid in
+    * ONE map-side pass (K aggregate rows move, vectors never
+    * shuffle... beyond the partial agg). Capture this right after a
+    * fit/reindex as the BASELINE; re-run later and compare
+    * ([[driftReport]]): count skew ([[splitHotCells]]'s trigger) and
+    * geometric drift are different failure modes — a cell can keep
+    * its row count while its members migrate away from the centroid,
+    * degrading both routing and residual PQ codes. */
+  def cellStats(index: DataFrame, centers: Array[Array[Double]],
+      embColName: String = "embedding"): DataFrame = {
+    val c = element_at(typedlit(centers.map(_.toSeq).toSeq), col("cell") + 1)
+    val dsq = aggregate(
+      zip_with(col(embColName), c,
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0.0), (acc, v) => acc + v)
+    index.filter(col("cell").isNotNull)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avg(dsq).as("mean_dist_sq"))
+  }
+
+  /** Current geometry vs a fit-time baseline: adds
+    * `baseline_mean_dist_sq` and `drift_ratio` (now / baseline). A
+    * cell absent from the baseline (created after the fit, e.g. by
+    * [[splitHotCells]]) carries a NULL ratio — no baseline, no drift
+    * verdict. */
+  def driftReport(index: DataFrame, centers: Array[Array[Double]],
+      baseline: DataFrame, embColName: String = "embedding"): DataFrame =
+    cellStats(index, centers, embColName)
+      .join(baseline.select(col("cell"),
+        col("mean_dist_sq").as("baseline_mean_dist_sq")), Seq("cell"), "left")
+      .withColumn("drift_ratio",
+        col("mean_dist_sq") / col("baseline_mean_dist_sq"))
+
+  /** Partial refit for DRIFTED cells (r8 verdict item 6): a corpus
+    * whose distribution moves under a pinned quantizer degrades
+    * recall even when no cell is hot — [[splitHotCells]] watches
+    * count skew, this watches geometry. Cells whose within-cell mean
+    * squared distance grew ≥ `driftFactor` × the fit-time baseline
+    * (and hold ≥ `minRows` rows — tiny cells give noisy ratios) are
+    * repaired at O(drifted rows), not O(corpus):
+    *
+    *   - ONE partition-pruned read of the drifted cells' rows;
+    *   - k-means RE-SEEDED from those rows (k = number of drifted
+    *     cells — the quantizer's size and every untouched cell's id
+    *     and layout are preserved);
+    *   - the new sub-centroids take over the drifted cells' ids, and
+    *     only those rows reassign (locally, among the drifted ids —
+    *     the [[splitHotCells]] boundary-tolerance argument) and only
+    *     those partitions rewrite.
+    *
+    * Returns the UPDATED quantizer — persist with [[save]] and route
+    * new queries/appends against it. Batch [[writeIndex]] layouts
+    * only, like [[splitHotCells]] (a streamed index refits between
+    * compaction folds, not under one). */
+  def refitDriftedCells(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], baseline: DataFrame,
+      driftFactor: Double = 2.0, minRows: Long = 100,
+      embColName: String = "embedding", idColName: String = "vec_id",
+      iters: Int = 2): Array[Array[Double]] = {
+    require(driftFactor > 1.0, s"driftFactor=$driftFactor must exceed 1")
+    val idx = spark.read.parquet(indexDir)
+    val drifted = driftReport(idx, centers, baseline, embColName)
+      .filter(col("drift_ratio") >= driftFactor && col("n") >= minRows)
+      .select(col("cell")).collect().map(_.getInt(0)).sorted
+    if (drifted.isEmpty) return centers
+    // one pruned read of all drifted cells together — the refit sees
+    // the full drifted region, so members may move BETWEEN drifted
+    // cells (that is the repair; they never leave the drifted id set)
+    val rows = idx
+      .filter(col("cell").isin(drifted.map(Integer.valueOf).toIndexedSeq: _*))
+      .drop("cell")
+      .localCheckpoint(true)
+    val sub = fit(rows, col(embColName), Seq(col(idColName)),
+      k = drifted.length, iters = iters, dims = centers(0).length)
+    val updated = centers.map(_.clone())
+    drifted.indices.foreach(j => updated(drifted(j)) = sub(j))
+    rows
+      .withColumn("cell", element_at(typedlit(drifted.toSeq),
+        graft.functions.nearest_centroid(col(embColName), sub) + 1))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cell"), pmod(hash(col(idColName)), lit(4)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(indexDir)
+    updated
   }
 
   /** [[writeIndex]] plus a `pq_code` column — the PQ-augmented index

@@ -101,9 +101,25 @@ object CdcReplay {
     // all (every one was folded into the snapshot and pruned) — a bare
     // parquet read of the empty dir would die on schema inference.
     // basePath keeps batch_id a partition column under explicit paths.
+    // SCHEMA EVOLUTION (round-9, r8 verdict item 5 — the
+    // added-column case, routine at month 2 of any production CDC
+    // feed): log partitions may carry heterogeneous schemas once the
+    // upstream adds a column mid-stream, so the log read merges
+    // footers (`mergeSchema` — cheap here: the log is bounded by the
+    // compaction cadence, never corpus-sized) and the snapshot∪log
+    // union null-fills missing columns on EITHER side. Old snapshot
+    // rows serve NULL for columns added after they were written; a
+    // column the upstream stops sending keeps its name and serves
+    // NULL for new rows (LWW then ages it out of the resolved state
+    // naturally). Compaction publishes the UNION schema, so evolution
+    // survives the fold. RENAMES are out of scope by design: a rename
+    // is indistinguishable from an add + a drop at the storage layer —
+    // upstream must migrate values explicitly if continuity matters
+    // (the Delta/Hudi stance).
     val log =
       if (logParts.nonEmpty)
         Some(spark.read.option("basePath", logDir)
+          .option("mergeSchema", "true")
           .parquet(logParts.map(_.toString): _*))
       else None
     // resolve ONCE and read that version directly — an existence check
@@ -113,7 +129,7 @@ object CdcReplay {
       .flatMap(d => Snapshots.resolve(spark, d)
         .map(v => Snapshots.readVersion(spark, d, v)))
     val full = (snap, log) match {
-      case (Some(s), Some(l)) => s.unionByName(l)
+      case (Some(s), Some(l)) => s.unionByName(l, allowMissingColumns = true)
       case (Some(s), None) => s
       case (None, Some(l)) => l
       case (None, None) => throw new IllegalStateException(

@@ -378,6 +378,89 @@ class IvfSpec extends SparkSpec {
     assert(!ids.contains(3L) && !ids.contains(5L) && ids.length === (n - 2).toInt)
   }
 
+  test("drift monitor flags geometric drift; partial refit repairs only drifted cells") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    val idx = s"$tmp/idx"
+    def mk(ids: Range, cx: Double, cy: Double) = ids.map(i =>
+      (i.toLong, Array((cx + (i % 5) * 0.01).toFloat, (cy + (i % 7) * 0.01).toFloat)))
+    val base = (mk(0 until 100, 0, 0) ++ mk(100 until 200, 10, 10))
+      .toDF("vec_id", "embedding")
+    val centers = Ivf.fit(base, $"embedding", Seq($"vec_id"), k = 2, iters = 3, dims = 2)
+    Ivf.writeIndex(base, $"embedding", $"vec_id", centers, idx, numFiles = 4)
+    val baseline = Ivf.cellStats(spark.read.parquet(idx), centers)
+      .localCheckpoint(true) // pin before the index is rewritten under it
+    val cellA = Ivf.nearestCells(centers, Array(0.0, 0.0), 1).head
+    val cellB = Ivf.nearestCells(centers, Array(10.0, 10.0), 1).head
+
+    // the corpus DRIFTS: cluster A's members move to (3,3) while the
+    // quantizer stays pinned — same counts, broken geometry
+    val drifted = (mk(0 until 100, 3, 3) ++ mk(100 until 200, 10, 10))
+      .toDF("vec_id", "embedding")
+    Ivf.writeIndex(drifted, $"embedding", $"vec_id", centers, idx, numFiles = 4)
+    val report = Ivf.driftReport(spark.read.parquet(idx), centers, baseline)
+      .collect().map(r => r.getInt(0) ->
+        r.getDouble(r.fieldIndex("drift_ratio"))).toMap
+    assert(report(cellA) > 2.0, s"drifted cell must flag: ${report(cellA)}")
+    assert(report(cellB) < 1.5, s"stable cell must not flag: ${report(cellB)}")
+
+    val updated = Ivf.refitDriftedCells(spark, idx, centers, baseline,
+      driftFactor = 2.0, minRows = 1, iters = 3)
+    assert(updated(cellB).toSeq === centers(cellB).toSeq,
+      "untouched cell's centroid must be preserved exactly")
+    assert(math.abs(updated(cellA)(0) - 3.02) < 0.2 &&
+      math.abs(updated(cellA)(1) - 3.03) < 0.2,
+      s"refit centroid must re-seed at the drifted mass: ${updated(cellA).toSeq}")
+    // a second report against the refit quantizer shows recovery
+    val after = Ivf.driftReport(spark.read.parquet(idx), updated, baseline)
+      .collect().map(r => r.getInt(0) ->
+        r.getDouble(r.fieldIndex("mean_dist_sq"))).toMap
+    assert(after(cellA) < 0.01, s"refit must restore tight geometry: $after")
+    // and the routed search serves the drifted cluster again at nProbe=1
+    val got = Ivf.search(spark, idx, updated, Array(3.0f, 3.0f),
+        nProbe = 1, topK = 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.forall(_ < 100), s"post-refit probe must route to the moved mass: $got")
+  }
+
+  test("index schema evolution: column added to later appends null-fills, survives fold") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfevo").toString
+    val idx = s"$tmp/idx"
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    val half = emb.count() / 2
+    // batch 0: the original shape (vec_id, embedding)
+    Ivf.appendBatch(emb.filter($"vec_id" < half).select($"vec_id", $"embedding"),
+      $"embedding", centers, idx, 0L)
+    Ivf.compactIndex(spark, idx) // pre-evolution generation
+    // batch 1: a metadata column (`source`) added mid-stream
+    Ivf.appendBatch(
+      emb.filter($"vec_id" >= half)
+        .select($"vec_id", $"embedding", lit("crawl2").as("source")),
+      $"embedding", centers, idx, 1L)
+    val read1 = Ivf.readIndex(spark, idx)
+    assert(read1.columns.contains("source"),
+      "added column must surface through readIndex")
+    assert(read1.filter($"vec_id" < half && $"source".isNotNull).count() === 0L,
+      "pre-evolution rows must null-fill the added column")
+    assert(read1.filter($"vec_id" >= half && $"source" === "crawl2").count()
+      === emb.count() - half)
+    assert(read1.count() === emb.count())
+    // the fold preserves the union schema (old generation null-fills)
+    Ivf.compactIndex(spark, idx)
+    val read2 = Ivf.readIndex(spark, idx)
+    assert(read2.columns.contains("source") && read2.count() === emb.count())
+    assert(read2.filter($"source" === "crawl2").count() === emb.count() - half)
+    // search paths serve through the evolved index unchanged, and can
+    // PREDICATE on the evolved column (filtered ANN over new metadata)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val got = Ivf.searchBatch(spark, idx, centers, queries,
+      nProbe = 4, topK = 5, excludeSelf = true,
+      predicate = Some($"source" === "crawl2"))
+    assert(got.count() === 5)
+    assert(got.select($"vec_id").as[Long].collect().forall(_ >= half),
+      "predicate on the evolved column must bind")
+  }
+
   test("a null op in a CDC batch fails fast instead of dropping the row") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfnull").toString
     val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 2, iters = 1)

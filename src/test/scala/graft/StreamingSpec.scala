@@ -394,6 +394,40 @@ class StreamingSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
+  test("CDC schema evolution: mid-stream added column null-fills and survives compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString
+    val (log, state) = (s"$root/log", s"$root/state")
+    // batch 0: the original shape
+    graft.stream.CdcReplay.logBatch(log)(
+      Seq((1L, 1000L, "c", 1.0), (2L, 1000L, "c", 2.0))
+        .toDF("id", "__ts_ms", "__op", "value"), 0L)
+    // batch 1: upstream added `tag` (month-2 of any production feed)
+    graft.stream.CdcReplay.logBatch(log)(
+      Seq((2L, 2000L, "u", 2.5, "x"), (3L, 2000L, "c", 3.0, "y"))
+        .toDF("id", "__ts_ms", "__op", "value", "tag"), 1L)
+    def stateMap() = graft.stream.CdcReplay
+      .currentState(spark, log, Some(state))
+      .select($"id", $"value", $"tag").as[(Long, Double, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val beforeCompact = stateMap()
+    assert(beforeCompact === Map(
+      1L -> ((1.0, None)), 2L -> ((2.5, Some("x"))), 3L -> ((3.0, Some("y")))),
+      s"pre-evolution rows must null-fill the added column: $beforeCompact")
+    // compaction publishes the UNION schema — evolution survives the fold
+    graft.stream.CdcReplay.compact(spark, log, state, version = 0L)
+    assert(stateMap() === beforeCompact,
+      "compaction changed the resolved state under an evolved schema")
+    assert(Snapshots.read(spark, state).columns.contains("tag"),
+      "snapshot must carry the union schema")
+    // dropped-column stance: a later batch WITHOUT `tag` still unions;
+    // its rows serve NULL for the column (no error, no silent drop)
+    graft.stream.CdcReplay.logBatch(log)(
+      Seq((4L, 3000L, "c", 4.0)).toDF("id", "__ts_ms", "__op", "value"), 2L)
+    val after = stateMap()
+    assert(after(4L) === ((4.0, None)) && after(2L) === ((2.5, Some("x"))),
+      s"post-evolution narrow batch must null-fill, not drop: $after")
+  }
+
   test("streaming sliding analytics equal the batch A4/A5/A6 formulation") {
     val root = java.nio.file.Files.createTempDirectory("graft_sliding").toString
     val input = MemoryStream[String]

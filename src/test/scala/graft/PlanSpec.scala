@@ -41,6 +41,41 @@ class PlanSpec extends SparkSpec {
       s"window expansion must be a Generate:\n${p.take(2000)}")
   }
 
+  test("q_substring_spans merges islands per doc — no pair space, semi-joined dups") {
+    val p = plan("q_substring_spans")
+    assert(!p.contains("CartesianProduct"),
+      s"span derivation must never enumerate pairs:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"),
+      s"duplicate-set application must be a semi-join on the hash key:\n${p.take(2000)}")
+    assert(p.contains("Generate explode"),
+      s"window expansion must be a Generate:\n${p.take(2000)}")
+    // the gaps-and-islands merge runs in ONE window partition keyed by
+    // doc_id — skinny (doc_id, st) rows shuffle, text never does
+    assert(p.contains("Window"), s"island merge must be a window:\n${p.take(2000)}")
+  }
+
+  test("q_image_neardup bands DISTINCT hashes — rep collapse ahead of the join") {
+    val p = plan("q_image_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup candidates must come from the band join:\n${p.take(2000)}")
+    // the representative collapse: a groupBy(hash) -> min(id) aggregate
+    // feeds the banding, so mass-duplicated hashes are ONE band row
+    assert(p.contains("min(__id"),
+      s"band join must consume the rep-collapsed aggregate:\n${p.take(3000)}")
+    assert(p.contains("bit_count"),
+      s"verification must be the popcount filter:\n${p.take(2000)}")
+  }
+
+  test("q_video_neardup candidates come from the sig-collapsed band join") {
+    val p = plan("q_video_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"video near-dup must never enumerate pairs:\n${p.take(2000)}")
+    assert(p.contains("min(media_id"),
+      s"band join must consume the signature-collapsed aggregate:\n${p.take(3000)}")
+    assert(p.contains("bit_count"),
+      s"verification must be the per-slot popcount:\n${p.take(2000)}")
+  }
+
   test("q_enrich_join is a broadcast LEFT join, never a shuffle join") {
     val p = plan("q_enrich_join")
     assert(p.contains("BroadcastHashJoin"))

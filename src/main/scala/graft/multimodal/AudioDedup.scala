@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal.MediaRow
+import graft.ops.HammingDedup
+
+/** Container-invariant audio near-dup — the audio leg of the
+  * multimodal dedup triple (image aHash → [[ImagePhash]], video
+  * per-frame signatures → [[VideoDedup]], audio → here), for the
+  * curation case byte-level dedup can never catch: one recording
+  * muxed into different containers (WAV little-endian vs AIFF/AU
+  * big-endian) and re-mastered at a different volume.
+  *
+  * Reference scope note: the reference pipeline (engagement-events
+  * stream processor) has no audio operators at all — this lane is
+  * part of the training-data-pipeline extension surface the build
+  * brief asks for beyond reference parity.
+  *
+  * Fingerprint: 64 ENERGY-DELTA SIGN bits. Decode the payload to
+  * container-normalized PCM16 ([[AudioHeader.pcm16]]), mono-mix
+  * interleaved channels, split the frames into 65 equal windows,
+  * take each window's energy (sum of squared samples — Long
+  * arithmetic, no floats), and set bit w iff energy(w+1) >
+  * energy(w). Delta SIGNS are invariant under uniform gain (scaling
+  * every sample by g scales every energy by g² > 0, preserving every
+  * strict comparison), so a volume change moves the fingerprint ZERO
+  * bits — unlike the raw byte hash, which it scrambles completely.
+  * This is the same shape-not-magnitude idea as published spectral
+  * fingerprints (Chromaprint's filter-delta signs, Shazam's peak
+  * deltas), reduced to time-domain energies so it stays pure integer
+  * arithmetic, codegen-adjacent, and exactly testable.
+  *
+  * Scale: hashing is map-side (payload bytes never shuffle — only
+  * (id, 64-bit fingerprint) pairs move), and candidate generation is
+  * [[HammingDedup]]'s rep-collapsed, capped band join: a clip
+  * duplicated 10M times costs ONE representative row per band, and
+  * degenerate buckets stay K·n. At 100 TB this is one linear decode
+  * pass plus a skinny 16-byte-row join.
+  */
+object AudioDedup {
+
+  /** 64-bit energy-delta-sign fingerprint of an audio payload. None
+    * when the payload is not PCM16 or has fewer than 65 frames (too
+    * short to fingerprint — the caller's filter-drop discipline,
+    * matching [[ImagePhash.aHash64]]). */
+  def fingerprint64(payload: Array[Byte]): Option[Long] =
+    AudioHeader.pcm16(payload).flatMap { case (meta, samples) =>
+      val ch = meta.channels
+      val frames = (meta.n_frames min (samples.length / ch)).toInt
+      val windows = 65
+      if (frames < windows) None
+      else {
+        val energy = new Array[Long](windows)
+        var w = 0
+        while (w < windows) {
+          val from = (w.toLong * frames / windows).toInt
+          val until = ((w + 1).toLong * frames / windows).toInt
+          var e = 0L
+          var f = from
+          while (f < until) {
+            // mono mix: channel sum (a fixed positive scale of the
+            // mean — delta signs are scale-invariant, so no division)
+            var s = 0L
+            var c = 0
+            while (c < ch) { s += samples(f * ch + c); c += 1 }
+            e += s * s
+            f += 1
+          }
+          energy(w) = e
+          w += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b + 1) > energy(b)) fp |= (1L << b)
+          b += 1
+        }
+        Some(fp)
+      }
+    }
+
+  /** Near-dup audio fixture over the documents table: triples share
+    * one recording across three containers with a remastered third
+    * member — [[AudioFixture.encodeNearDup]]; group membership is
+    * pure id arithmetic for the oracle. */
+  def nearDupAudiosFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        MediaRow(id, "audio", AudioFixture.encodeNearDup(id),
+          s"synthetic/neardup", None)
+      }
+  }
+
+  /** Fixture store memoized per (session, dir) as an eager
+    * localCheckpoint — fixture synthesis is not operator work
+    * ([[Multimodal.imagesFromDocumentsMemo]] discipline). */
+  def nearDupAudiosFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    graft.ops.Memo.stage(spark, dir, "neardup_audio_fixture") {
+      nearDupAudiosFromDocuments(spark, dir).localCheckpoint(true)
+    }
+
+  /** Map-side fingerprints: (media_id, afp). Undecodable / non-PCM16
+    * payloads drop out of the candidate space. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => fingerprint64(r.payload).map(h => (r.media_id, h)))
+      .toDF("media_id", "afp")
+  }
+
+  /** Verified near-dup pairs over the fingerprints — the shared
+    * rep-collapsed capped Hamming engine. */
+  def nearDupPairs(fingerprints: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4, maxBucket: Option[Int] = Some(HammingDedup.CapBucket)): DataFrame =
+    HammingDedup.pairs64(fingerprints, "media_id", "afp",
+      nBands = nBands, maxHamming = maxHamming, maxBucket = maxBucket)
+}

@@ -135,4 +135,60 @@ object AudioHeader {
   def parse(b: Array[Byte]): Option[AudioMeta] =
     if (b == null) None
     else parseWav(b).orElse(parseAiff(b)).orElse(parseAu(b))
+
+  /** Container-normalized 16-bit PCM extraction: the decoded,
+    * INTERLEAVED signed sample values of a WAV / AIFF / AU payload —
+    * the same integers regardless of the container's byte order (WAV
+    * data is little-endian per RIFF; AIFF SSND and AU data are
+    * big-endian), which is exactly what container-invariant audio
+    * fingerprinting ([[AudioDedup]]) needs: two muxes of one
+    * recording must decode to bit-identical sample arrays. Non-PCM16
+    * payloads (μ-law AU, 8/24-bit) and unparseable containers → None.
+    *
+    * Chunk locations per the public specs: WAV `data` chunk payload;
+    * AIFF `SSND` payload after its u32be offset + blockSize prologue,
+    * honoring COMM's numSampleFrames (writers may pad the chunk);
+    * AU samples at the header's u32be dataOffset. */
+  def pcm16(b: Array[Byte]): Option[(AudioMeta, Array[Int])] = {
+    if (b == null) return None
+    def read(i0: Int, n: Int, bigEndian: Boolean): Option[Array[Int]] = {
+      if (i0 < 0 || n < 0 || i0 + 2L * n > b.length) return None
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val i = i0 + 2 * k
+        out(k) =
+          if (bigEndian) (b(i).toInt << 8) | u8(b, i + 1)
+          else (b(i + 1).toInt << 8) | u8(b, i)
+        k += 1
+      }
+      Some(out)
+    }
+    parse(b).filter(_.bits_per_sample == 16).flatMap { m =>
+      val n = (m.n_frames * m.channels).toInt
+      m.format match {
+        case "wav" =>
+          // re-walk the chunk list to the data payload offset
+          var i = 12
+          var at = -1
+          while (at < 0 && i + 8 <= b.length) {
+            if (tag(b, i) == "data") at = i + 8
+            else i += 8 + le32(b, i + 4).toInt + (le32(b, i + 4).toInt & 1)
+          }
+          read(at, n, bigEndian = false).map((m, _))
+        case "aiff" =>
+          var i = 12
+          var at = -1
+          while (at < 0 && i + 8 <= b.length) {
+            if (tag(b, i) == "SSND" && be32(b, i + 4) >= 8)
+              at = i + 16 + be32(b, i + 8).toInt // skip offset+blockSize, honor offset
+            else i += 8 + be32(b, i + 4).toInt + (be32(b, i + 4).toInt & 1)
+          }
+          read(at, n, bigEndian = true).map((m, _))
+        case "au" =>
+          read(be32(b, 4).toInt, n, bigEndian = true).map((m, _))
+        case _ => None
+      }
+    }
+  }
 }

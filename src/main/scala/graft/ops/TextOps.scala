@@ -1214,6 +1214,12 @@ object TextOps {
         explode(transform(sequence(lit(1), col("n") - (w - 1)),
           st => hash60(concat_ws(" ", slice(col("toks"), st, lit(w))))))
           .as("h"))
+        // sf-local choice (r8 verdict): persisting the O(total tokens)
+        // window hashes trades memory/disk for the second tokenize+hash
+        // pass, right at gate scale where the frame fits an executor.
+        // At 100 TB drop the persist — the explode is map-side off the
+        // columnar scan, and recomputing it for the semi-join pass is
+        // cheaper than spilling the corpus's token count to disk.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select(col("h"))
@@ -1262,6 +1268,7 @@ object TextOps {
             hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))).as("h"))))
           .as("sw"))
         .select(col("doc_id"), col("sw.st").as("st"), col("sw.h").as("h"))
+        // same sf-local persist trade as q_substring_dedup's `wins`
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select(col("h"))
@@ -1306,6 +1313,7 @@ object TextOps {
             hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))).as("h"))))
           .as("sw"))
         .select(col("doc_id"), col("sw.st").as("st"), col("sw.h").as("h"))
+        // same sf-local persist trade as q_substring_dedup's `wins`
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select(col("h"))
@@ -1401,6 +1409,46 @@ object TextOps {
         maxFrames = 4)
       graft.multimodal.VideoDedup.nearDupPairs(fh, maxHamming = 3,
           nBands = 4, maxBucket = Some(HammingDedup.CapBucket))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // NEAR-DUP CLUSTER LABELS — the linear-output production form of
+    // the Hamming near-dup lane (HammingDedup.clusters64), declared
+    // under the gate: pair output is inherently C(n,2)-sized under
+    // mass duplication, so at 100 TB the serve shape is (member →
+    // min-id representative of its connected near-dup component),
+    // with component resolution at DISTINCT-hash granularity (a
+    // pattern duplicated 10M times costs ONE CC node) and members
+    // joining their label back by hash. Over the planted image
+    // fixture the component structure is exactly the doc_id/3
+    // triples, so the oracle states every label arithmetically: a
+    // lost member, a cross-group merge, or a label that is not the
+    // component minimum all hash-mismatch.
+    "q_media_clusters" -> ((s, dir) => {
+      val hashed = graft.multimodal.Multimodal.imagePHashes(
+        graft.multimodal.Multimodal.nearDupImagesFromDocumentsMemo(s, dir))
+      HammingDedup.clusters64(hashed, "media_id", "ahash",
+          nBands = 4, maxHamming = 3)
+        .orderBy("media_id")
+    }),
+
+    // CONTAINER-INVARIANT audio near-dup — the audio twin of
+    // q_image_neardup/q_video_neardup, completing the multimodal
+    // dedup triple: consecutive id TRIPLES share one recording muxed
+    // as WAV vs AIFF vs AU (little- vs big-endian PCM — byte-level
+    // dedup can never pair them), with the third member REMASTERED
+    // (volume halved + one window altered). The 64-bit
+    // energy-delta-sign fingerprint (graft.multimodal.AudioDedup) is
+    // gain-invariant, so the remaster lands within Hamming ≤ 2 and
+    // the rep-collapsed capped Hamming band join emits exactly the
+    // planted group pairs, which the oracle restates arithmetically.
+    // A fingerprint that reads samples in container byte order, mixes
+    // channels non-uniformly, or compares energies with float
+    // rounding hash-mismatches here.
+    "q_audio_neardup" -> ((s, dir) => {
+      val fp = graft.multimodal.AudioDedup.audioFingerprints(
+        graft.multimodal.AudioDedup.nearDupAudiosFromDocumentsMemo(s, dir))
+      graft.multimodal.AudioDedup.nearDupPairs(fp)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1793,6 +1841,21 @@ object TextOps {
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b
           |FROM documents a JOIN documents b
           |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+          |ORDER BY 1, 2""".stripMargin,
+
+      // planted image component structure: each doc_id/3 triple is
+      // one near-dup component labeled by its minimum id
+      "q_media_clusters" ->
+        """SELECT doc_id AS media_id, (doc_id // 3) * 3 AS cluster
+          |FROM documents ORDER BY 1""".stripMargin,
+
+      // planted audio group structure: all pairs within a doc_id/3
+      // triple (cross-container Hamming 0; remastered member ≤ 2),
+      // nothing across groups
+      "q_audio_neardup" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
           |ORDER BY 1, 2""".stripMargin,
 
       "q_audio_meta" ->

@@ -429,4 +429,60 @@ class MultimodalSpec extends SparkSpec {
         assert(labels(1000L + g * 3 + m) === 1000L + g * 3))
     }
   }
+
+  test("audio pcm16 decodes identical samples from all three containers") {
+    import graft.multimodal.{AudioFixture, AudioHeader}
+    // the q_audio_meta fixture (stereo, varied rates) round-trips
+    // through every JDK writer to the same interleaved sample values
+    (0L until 30L).foreach { id =>
+      val (meta, samples) = AudioHeader.pcm16(AudioFixture.encode(id))
+        .getOrElse(fail(s"pcm16 failed for id=$id (${AudioFixture.formatOf(id)})"))
+      assert(meta.format === AudioFixture.formatOf(id))
+      assert(samples.length === AudioFixture.framesOf(id) * AudioFixture.channelsOf(id))
+      // regenerate the writer's input PCM arithmetically
+      val expected = (0 until samples.length).map(i =>
+        ((id * 31 + i * 7) % 65536 - 32768).toInt)
+      assert(samples.toSeq === expected,
+        s"container ${meta.format} did not decode to the source samples")
+    }
+    // non-audio / truncated payloads are filter-drops, not errors
+    assert(AudioHeader.pcm16("not audio".getBytes("UTF-8")) === None)
+    assert(AudioHeader.pcm16(Array[Byte]()) === None)
+  }
+
+  test("audio fingerprint: container-invariant, gain-invariant, remaster within 2 bits") {
+    import graft.multimodal.{AudioDedup, AudioFixture}
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val fps = (0L until 90L).map(id =>
+      id -> AudioDedup.fingerprint64(AudioFixture.encodeNearDup(id))
+        .getOrElse(fail(s"fingerprint failed for id=$id")))
+      .toMap
+    (0L until 30L).foreach { g =>
+      // wav vs aiff mux of the same recording: identical fingerprint
+      assert(fps(3 * g) === fps(3 * g + 1),
+        s"group $g: container change moved the fingerprint")
+      // remastered member (half volume + one altered window): ≤ 2 bits
+      assert(ham(fps(3 * g), fps(3 * g + 2)) <= 2,
+        s"group $g: remaster exceeded the 2-bit perturbation bound")
+    }
+    // independent recordings are far apart — no cross-group pair
+    // survives the Hamming ≤ 3 verification
+    for (g <- 0L until 30L; h <- (g + 1) until 30L)
+      assert(ham(fps(3 * g), fps(3 * h)) > 3,
+        s"groups $g/$h collided across independent recordings")
+  }
+
+  test("audio near-dup emits exactly the planted triples") {
+    import graft.multimodal.AudioDedup
+    val fp = AudioDedup.audioFingerprints(
+      AudioDedup.nearDupAudiosFromDocuments(spark, dir))
+    val pairs = AudioDedup.nearDupPairs(fp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = graft.io.Tables.documents(spark, dir).count()
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n if a / 3 == b / 3
+    } yield (a, b)).toSet
+    assert(pairs === expected,
+      "audio near-dup diverged from the planted triple structure")
+  }
 }

@@ -826,6 +826,83 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** GPT-style SEQUENCE PACKING placement: concatenate every
+    * document's token stream in doc_id order and cut fixed-length
+    * training examples of `contextLen` tokens (documents spill across
+    * example boundaries — the standard causal-LM packing, not
+    * pad-per-doc). The output is the per-document placement map
+    * (global start/end token offsets, first/last example id, examples
+    * spanned) — linear in the corpus and exactly what a shard writer
+    * joins against to emit examples.
+    *
+    * The whole operator is one GLOBAL PREFIX SUM over token counts —
+    * and the naive Spark spelling, `sum(n) over (order by doc_id)`,
+    * is a single-partition bottleneck: an un-partitioned window drags
+    * every row through ONE task (Spark even warns
+    * "No Partition Defined for Window operation"). This is the
+    * textbook two-phase distributed scan instead:
+    *
+    *   1. range-partition the skinny (doc_id, n) frame by doc_id and
+    *      sort within partitions — each partition owns a contiguous
+    *      id range, all 32 (or 1000) tasks active;
+    *   2. per-partition token TOTALS — one number per partition —
+    *      collected to the driver (an operator action on P aggregate
+    *      values, the [[Ivf]] routing-collect discipline, NOT a data
+    *      collect) and scanned into exclusive partition offsets;
+    *   3. a second per-partition pass adds the broadcast offset to a
+    *      running local sum — map-side, zero additional shuffle.
+    *
+    * `mapPartitionsWithIndex` is genuine per-partition imperative
+    * logic (the running sum needs partition identity to pick its
+    * offset), the documented narrow use for dropping below the
+    * DataFrame API. Both passes run against the same persisted
+    * partitioning, so the offsets align with the data by
+    * construction; the persist is released after the result
+    * materializes. */
+  /** Context length for q_pack_sequences — interpolated into both the
+    * Spark path and the DuckDB oracle so a tuning change moves them
+    * together (the MinhashK pattern). */
+  val PackContext = 2048
+
+  def packSequences(docs: DataFrame, contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen=$contextLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1) // empty docs contribute no tokens to pack
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = counted.rdd
+    // phase 2: one Long per partition to the driver
+    val totals = rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((p, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // phase 3: local running sum + partition offset
+    val placed = rdd.mapPartitionsWithIndex { (p, it) =>
+      var off = bc.value(p)
+      it.map { case (id, n) =>
+        val st = off; off += n; (id, n, st, st + n)
+      }
+    }
+    val out = placed.toDF("doc_id", "n_tokens", "start_tok", "end_tok")
+      // integral `div`, not `/` (which widens to double): offsets are
+      // exact Longs and stay exact past 2^53 tokens
+      .withColumn("first_example", expr(s"start_tok div $contextLen"))
+      .withColumn("last_example", expr(s"(end_tok - 1) div $contextLen"))
+      .withColumn("n_examples", col("last_example") - col("first_example") + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the packing input
+    counted.unpersist(false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the normalized-text digest; keeper =
     // min doc_id (deterministic). Scales as a single digest shuffle.
@@ -1085,6 +1162,19 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     }),
+
+    // SEQUENCE PACKING placement (packSequences): the causal-LM
+    // packing map — global token offsets and example spans per
+    // document at context 2048 — computed as a two-phase distributed
+    // prefix sum (range partition → per-partition totals → broadcast
+    // offsets), NOT a global-order window, which would drag the
+    // corpus through one task. The oracle replays the same
+    // concatenation with DuckDB's window cumsum — a packing that
+    // loses a document, misorders ids, or drifts an offset by one
+    // hash-mismatches on every downstream column.
+    "q_pack_sequences" -> ((s, dir) =>
+      packSequences(Tables.documents(s, dir), PackContext)
+        .orderBy("doc_id")),
 
     // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
     // (context-window chunks of 64 tokens, stride 48 → 16-token
@@ -1670,6 +1760,27 @@ object TextOps {
            |  CAST(best.hits AS INTEGER) AS marker_hits
            |FROM p ORDER BY doc_id""".stripMargin
       },
+
+      // the same packing replayed as DuckDB's window cumsum (fine at
+      // oracle scale; the Spark side refuses the single-task window
+      // and runs the two-phase scan). SUM(BIGINT) is HUGEINT in
+      // DuckDB — cast back or the dtype gate fails.
+      "q_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+           |nz AS (SELECT doc_id, n FROM t WHERE n >= 1),
+           |c AS (SELECT doc_id, n,
+           |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS st
+           |  FROM nz)
+           |SELECT doc_id, n AS n_tokens, st AS start_tok,
+           |  st + n AS end_tok,
+           |  st // $PackContext AS first_example,
+           |  (st + n - 1) // $PackContext AS last_example,
+           |  ((st + n - 1) // $PackContext) - (st // $PackContext) + 1
+           |    AS n_examples
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_chunk_docs" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -286,4 +286,48 @@ class TextVectorSpec extends SparkSpec {
         s"quantization error too large: exact=$exact q8=$q8")
     }
   }
+
+  test("packSequences: two-phase prefix sum matches the sequential packing") {
+    import graft.ops.TextOps
+    // uneven doc lengths incl. one spanning several examples and one
+    // empty doc (contributes nothing), over enough rows to span many
+    // range partitions
+    val docs = spark.createDataFrame(
+      (0L until 500L).map { id =>
+        val words =
+          if (id == 7L) "" // empty doc drops out
+          else ("w " * (1 + (id * 37 % 23)).toInt).trim +
+            (if (id == 100L) " x" * 90 else "")
+        (id, words)
+      }).toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, contextLen = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // sequential reference packing
+    val seqRef = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    var off = 0L
+    (0L until 500L).foreach { id =>
+      val n =
+        if (id == 7L) 0L
+        else (1 + (id * 37 % 23)) + (if (id == 100L) 90L else 0L)
+      if (n >= 1) {
+        val fe = off / 16
+        val le = (off + n - 1) / 16
+        seqRef += ((id, n, off, off + n, fe, le, le - fe + 1))
+        off += n
+      }
+    }
+    assert(got.toSeq === seqRef.toSeq,
+      "distributed prefix-sum packing diverged from sequential packing")
+    // offsets are gapless and the example stream is contiguous
+    assert(got.head._3 === 0L)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._4, s"gap between docs ${a._1} and ${b._1}")
+    }
+    // the multi-example doc really spans > 1 example
+    val big = got.find(_._1 == 100L).get
+    assert(big._7 > 1, "planted long doc did not span multiple examples")
+  }
 }

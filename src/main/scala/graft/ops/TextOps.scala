@@ -864,6 +864,26 @@ object TextOps {
     * together (the MinhashK pattern). */
   val PackContext = 2048
 
+  /** Temperature-flattened mixture sampling (α = 1/2): keep each
+    * language at floor(10000·sqrt(c_min / c_lang)) basis points, so
+    * kept counts scale as sqrt(c) — the multilingual rebalancing step
+    * of corpus mixing. The rate table is data-derived (languages-sized
+    * agg × 1-row min anchor, broadcast), and the keep decision is a
+    * map-side deterministic salted-hash threshold: reruns, retries,
+    * and incremental appends keep the SAME documents. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val minC = counts.agg(min(col("c")).as("cmin"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .select(col("lang"),
+        floor(lit(10000) * sqrt(col("cmin").cast("double") / col("c")))
+          .cast("int").as("rate_bp"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(10000)) < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("rate_bp"))
+  }
+
   def packSequences(docs: DataFrame, contextLen: Int): DataFrame = {
     require(contextLen > 0, s"contextLen=$contextLen must be positive")
     val spark = docs.sparkSession
@@ -1202,6 +1222,23 @@ object TextOps {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+
+    // TEMPERATURE-FLATTENED MIXTURE SAMPLING — the data-mixing step
+    // of multilingual corpus prep (rebalance so kept counts scale as
+    // c^α, α = 1/2): per-language keep rates are DERIVED FROM THE
+    // DATA, rate_bp = floor(10000·sqrt(c_min / c_lang)) basis points
+    // — the tail language keeps 100%, a language k× larger keeps
+    // sqrt(1/k) of its docs. Shapes for 100 TB: the rate table is a
+    // languages-sized aggregate crossed with a 1-row min anchor
+    // (broadcast both ways), joined back broadcast, and the keep
+    // decision is a map-side salted-hash threshold — no shuffle of
+    // the corpus, no per-row RNG (reruns and late retries keep the
+    // SAME docs, the deterministic-sampling discipline of
+    // q_sample_det). α stays on sqrt/division arithmetic only (IEEE
+    // correctly-rounded in both engines) — pow/ln would need the
+    // roundTo dodge.
+    "q_mixture_sample" -> ((s, dir) =>
+      mixtureSample(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Corpus TF-IDF, top-3 terms per document — the relevance/keyword
     // primitive of a text pipeline. Shapes: one explode shuffle keyed
@@ -1798,6 +1835,22 @@ object TextOps {
           |WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 10
           |  WHEN lang = 'zh' THEN 40 ELSE 20 END
           |ORDER BY doc_id""".stripMargin,
+
+      // same α = 1/2 flattening: integer counts → double division →
+      // sqrt → floor, all IEEE-correctly-rounded, so the basis-point
+      // thresholds agree bit-exactly across engines
+      "q_mixture_sample" ->
+        s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+           |m AS (SELECT min(c) AS cmin FROM c),
+           |r AS (SELECT lang,
+           |    CAST(floor(10000 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER)
+           |      AS rate_bp
+           |  FROM c CROSS JOIN m)
+           |SELECT d.doc_id, d.lang, r.rate_bp
+           |FROM documents d JOIN r USING (lang)
+           |WHERE ${hash60Sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+           |  < r.rate_bp
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_tfidf_topterms" ->
         s"""WITH ex AS (

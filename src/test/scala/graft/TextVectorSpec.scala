@@ -287,6 +287,42 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample: sqrt-temperature rates, tail keeps all, exact hash replay") {
+    import graft.ops.TextOps
+    // skewed language mix: 400 / 100 / 25 docs
+    val docs = spark.createDataFrame(
+      (0L until 525L).map { id =>
+        val lang = if (id < 400) "aa" else if (id < 500) "bb" else "cc"
+        (id, lang, s"text $id")
+      }).toDF("doc_id", "lang", "text")
+    val got = TextOps.mixtureSample(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // rate table: floor(10000*sqrt(25/c))
+    val rates = got.map(r => r._2 -> r._3).toMap
+    assert(rates === Map("aa" -> 2500, "bb" -> 5000, "cc" -> 10000))
+    // the tail language keeps every document (rate 10000 > any pmod)
+    assert(got.count(_._2 == "cc") === 25)
+    // exact driver-side replay of the salted-hash decision
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(id: Long, rateBp: Int): Boolean = {
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10000 < rateBp
+    }
+    val expected = (0L until 525L).flatMap { id =>
+      val (lang, rate) =
+        if (id < 400) ("aa", 2500) else if (id < 500) ("bb", 5000)
+        else ("cc", 10000)
+      if (keep(id, rate)) Some((id, lang, rate)) else None
+    }
+    assert(got.toSeq === expected,
+      "mixture sample diverged from the exact hash replay")
+    // deterministic: a second evaluation keeps the same docs
+    val again = TextOps.mixtureSample(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("packSequences: two-phase prefix sum matches the sequential packing") {
     import graft.ops.TextOps
     // uneven doc lengths incl. one spanning several examples and one

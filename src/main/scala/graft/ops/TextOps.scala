@@ -884,12 +884,23 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("rate_bp"))
   }
 
-  def packSequences(docs: DataFrame, contextLen: Int): DataFrame = {
+  def packSequences(docs: DataFrame, contextLen: Int): DataFrame =
+    packCounts(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n")),
+      contextLen)
+
+  /** The counts-level core of [[packSequences]]: placement over an
+    * already-tokenized (doc_id, n) frame — the entry point for
+    * callers that carry token counts as metadata (at 100 TB, a
+    * curation pipeline usually does) and for the scan-strategy probe
+    * ([[graft.tools.PackScaleProbe]]). */
+  def packCounts(counted0: DataFrame, contextLen: Int): DataFrame = {
     require(contextLen > 0, s"contextLen=$contextLen must be positive")
-    val spark = docs.sparkSession
+    val spark = counted0.sparkSession
     import spark.implicits._
-    val counted = docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val counted = counted0
+      .select(col("doc_id"), col("n").cast("long").as("n"))
       .filter(col("n") >= 1) // empty docs contribute no tokens to pack
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")

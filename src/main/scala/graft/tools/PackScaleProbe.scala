@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale probe for [[graft.ops.TextOps.packSequences]]'s two-phase
+  * distributed prefix sum vs the naive spelling — `sum(n) over
+  * (order by doc_id)`, a global un-partitioned window that drags
+  * every row through ONE task regardless of cluster size. Both
+  * spellings run over the same synthetic (doc_id, n_tokens) corpus
+  * (token counts pure arithmetic on the id so the probe verifies
+  * offsets without a reference implementation), the outputs are
+  * asserted IDENTICAL, and the probe prints per-size timings plus
+  * the partition counts that tell the real story: the window plan
+  * collapses to 1 partition while the two-phase scan keeps every
+  * core busy. At probe scale the single task still finishes —
+  * the point is the shape (1 vs 32 active partitions): on a
+  * 1000-executor cluster against 100 TB the window spelling is a
+  * straggler by construction, the two-phase scan is not.
+  *
+  * Both spellings consume the identical pre-materialized (doc_id, n)
+  * frame through [[graft.ops.TextOps.packCounts]] — tokenize cost is
+  * out of the picture, the delta is pure scan strategy.
+  *
+  * Usage: sbt "runMain graft.tools.PackScaleProbe [sizes...]"
+  * (default 10M 50M 100M rows)
+  */
+object PackScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(10000000L, 50000000L, 100000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-pack-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val C = 2048
+
+    val results = sizes.map { n =>
+      // synthetic counts: n_tokens = (id*37 mod 97) + 1 — both
+      // spellings consume the IDENTICAL (doc_id, n) frame, so the
+      // delta is pure scan strategy
+      val counted = spark.range(n).toDF("doc_id")
+        .withColumn("n", (pmod(col("doc_id") * 37, lit(97)) + 1).cast("long"))
+
+      // naive spelling: global-order window cumsum — Exchange
+      // SinglePartition, every row through ONE task
+      val t0 = System.nanoTime()
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+      val naive = counted
+        .withColumn("start_tok", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("end_tok", col("start_tok") + col("n"))
+        .select(col("doc_id"), col("n"), col("start_tok"), col("end_tok"))
+      val naiveAgg = naive.agg(
+        count(lit(1)), max(col("end_tok")), sum(col("start_tok"))).collect()(0)
+      val naiveSec = (System.nanoTime() - t0) / 1e9
+      // how many tasks does the window stage actually use?
+      val naiveParts = naive.rdd.getNumPartitions
+
+      // two-phase distributed scan (the shipped operator's core)
+      val t1 = System.nanoTime()
+      val packed = graft.ops.TextOps.packCounts(counted, C)
+      val packedAgg = packed.agg(
+        count(lit(1)), max(col("end_tok")), sum(col("start_tok"))).collect()(0)
+      val twoPhaseSec = (System.nanoTime() - t1) / 1e9
+      val packedParts = packed.rdd.getNumPartitions
+
+      // equivalence: same row count, same total token span, same
+      // offset checksum — any drift in any row moves the sum
+      assert(naiveAgg.getLong(0) == packedAgg.getLong(0),
+        s"row count diverged: ${naiveAgg.getLong(0)} vs ${packedAgg.getLong(0)}")
+      assert(naiveAgg.getLong(1) == packedAgg.getLong(1),
+        s"total tokens diverged: ${naiveAgg.getLong(1)} vs ${packedAgg.getLong(1)}")
+      assert(naiveAgg.getLong(2) == packedAgg.getLong(2),
+        s"offset checksum diverged: ${naiveAgg.getLong(2)} vs ${packedAgg.getLong(2)}")
+      packed.unpersist(false)
+
+      (n, naiveSec, naiveParts, twoPhaseSec, packedParts,
+        naiveAgg.getLong(1))
+    }
+
+    val stages = results.map { case (n, ns, np, ts, tp, toks) =>
+      s"""{"rows":$n,"total_tokens":$toks,""" +
+        f""""window_sec":$ns%.2f,"window_partitions":$np,""" +
+        f""""two_phase_sec":$ts%.2f,"two_phase_partitions":$tp}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"pack_scale","context_len":$C,"stages":$stages}""")
+    spark.stop()
+  }
+}

@@ -66,6 +66,28 @@ class PlanSpec extends SparkSpec {
       s"verification must be the popcount filter:\n${p.take(2000)}")
   }
 
+  test("q_audio_neardup runs the same rep-collapsed capped band join") {
+    val p = plan("q_audio_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"audio near-dup candidates must come from the band join:\n${p.take(2000)}")
+    // shared HammingDedup discipline: groupBy(fingerprint) -> min(id)
+    // representative collapse feeds the banding
+    assert(p.contains("min(__id"),
+      s"band join must consume the rep-collapsed aggregate:\n${p.take(3000)}")
+    assert(p.contains("bit_count"),
+      s"verification must be the popcount filter:\n${p.take(2000)}")
+  }
+
+  test("q_mixture_sample broadcasts the rate table and keeps the corpus map-side") {
+    val p = plan("q_mixture_sample")
+    // the data-derived rate table joins back as a broadcast — the
+    // corpus never shuffles for its keep decision
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate-table join must be broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rate join:\n${p.take(2000)}")
+  }
+
   test("q_video_neardup candidates come from the sig-collapsed band join") {
     val p = plan("q_video_neardup")
     assert(!p.contains("CartesianProduct"),

@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util._
+import TextOps.{tokens, tokensSql}
+
+/** Retrieval and model-based quality operators for the training-data
+  * pipeline: BM25 full-text search (the retrieval primitive behind
+  * RAG corpus construction and dedup-by-retrieval), an n-gram
+  * language-model perplexity gate (the CCNet-style quality filter —
+  * score every document under a model trained on a trusted slice,
+  * keep the low-perplexity tail), and PII detection/redaction (the
+  * compliance pass every production corpus runs before training).
+  *
+  * Cross-engine determinism disciplines (inherited from TextOps):
+  * the shared whitespace tokenizer, `roundTo` (floor(x·s+0.5)/s —
+  * identical IEEE ops in both engines), and order-independent DECIMAL
+  * sums for any aggregate of rounded doubles, so float results
+  * hash-match the DuckDB oracle bit for bit.
+  */
+object Retrieval {
+
+  // ---------------------------------------------------------------
+  // BM25
+  // ---------------------------------------------------------------
+
+  /** Okapi BM25 parameters (the standard defaults). */
+  val BmK1 = 1.2
+  val BmB = 0.75
+
+  /** Fixed query-term set for the declared query — chosen from the
+    * synthetic corpus vocabulary so tf/df vary across documents. */
+  val BmTerms: Seq[String] = Seq("spark", "merge", "window", "filter")
+
+  /** BM25 top-k retrieval over a (doc_id, text) frame.
+    *
+    * SCALE SHAPE: the per-doc token explode filters to the query's
+    * terms INSIDE the array before exploding, so the exchange after
+    * tokenization carries only (doc_id, query-term, dl) rows — a
+    * q-term posting list, not the corpus. df and the (n_docs, avgdl)
+    * scalars are tiny aggregates joined back as broadcasts. The
+    * final top-k is a TakeOrdered (orderBy.limit) — no global
+    * window over the scored set; the row_number ranking runs on the
+    * k collected survivors only. avgdl is an integer-sum / count
+    * division (exact in both engines); per-term contributions round
+    * to 6 then sum as DECIMAL so the score is summation-order-free.
+    *
+    * At 100 TB the posting-list shuffle is the only corpus-sized
+    * exchange, and it is pre-filtered by the term list — the classic
+    * inverted-index access path expressed as a declarative plan. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // corpus stats: n_docs + average doc length (exact arithmetic:
+    // SUM of integer lengths cast to double / count)
+    val stats = d.select(size(col("toks")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // posting rows: filter the token array to query terms BEFORE the
+    // explode — only matching tokens ever leave the map side
+    val ex = d.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", roundTo(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (BmK1 + 1.0)) /
+          (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))), 6))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
+      .select(col("doc_id"), roundTo(col("s0"), 4).as("score"))
+    // TakeOrdered top-k, then rank the k survivors (the window runs
+    // over k rows, not the corpus)
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("score"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // Bigram-LM perplexity gate (CCNet-style quality scoring)
+  // ---------------------------------------------------------------
+
+  /** Add-one-smoothed bigram language model: train on the even-doc_id
+    * half of the corpus, score EVERY document (≥2 tokens) by its
+    * average negative log-likelihood per bigram (log-perplexity; the
+    * exp is left to the consumer — e^x is the one op whose libm
+    * spelling differs across engines).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), V = training vocab.
+    *
+    * SCALE SHAPE: bigrams are generated map-side (an index explode
+    * over the token array — no joins, no pair space); the count
+    * tables are vocab-bounded aggregates of skinny rows; scoring is
+    * a broadcast join of those counts onto the bigram stream (drop
+    * the hint and AQE picks a shuffle join when the model outgrows
+    * broadcast range), and the per-doc reduction is a map-side
+    * partial DECIMAL sum. The corpus text itself never shuffles. */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // map-side bigrams: explode positions 1..len-1, pair (w_i, w_i+1);
+    // <2-token docs produce no bigrams and are absent from the output
+    val bg = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    val train = bg.filter(col("doc_id") % 2 === 0)
+    val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = d.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val nll = bg
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll", roundTo(-log(
+        (coalesce(col("c2"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6))
+    nll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("a0"))
+      .select(col("doc_id"), col("n_bigrams"), roundTo(col("a0"), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // PII detection / redaction
+  // ---------------------------------------------------------------
+
+  /** Patterns restricted to syntax with IDENTICAL semantics in Java
+    * regex and DuckDB's RE2: character classes, +, {m,n} — no \b, no
+    * lookaround, no engine-specific escapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Deterministic PII fixture: the synthetic corpus carries no PII,
+    * so plant id-derived addresses/hosts/numbers (the image-fixture
+    * discipline — the oracle restates the same concatenation, so a
+    * detector that miscounts or a redactor that leaves a residue
+    * hash-mismatches). */
+  def piiText(text: Column, docId: Column): Column = concat(text,
+    when(docId % 5 === 0, concat(lit(" contact user"),
+      docId.cast("string"), lit("@example.com now")))
+      .when(docId % 5 === 1, concat(lit(" from host 10."),
+        (docId % 256).cast("string"), lit(".0."),
+        (docId % 100).cast("string"), lit(" logged")))
+      .when(docId % 5 === 2, concat(lit(" call +1-555-"),
+        lpad((docId % 10000).cast("string"), 4, "0"),
+        lit(" or mail ops"), docId.cast("string"), lit("@example.org")))
+      .otherwise(lit("")))
+
+  /** SQL twin of [[piiText]] for the oracle. */
+  def piiTextSql: String =
+    """concat(text,
+      | CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |      WHEN doc_id % 5 = 1 THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+      |      WHEN doc_id % 5 = 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or mail ops' || CAST(doc_id AS VARCHAR) || '@example.org'
+      |      ELSE '' END)""".stripMargin
+
+  /** Per-document PII counts + the md5 of the redacted text
+    * (redaction order: email → ip → phone, stated identically in the
+    * oracle). Entirely map-side — the only exchange is the
+    * presentation sort; at 100 TB this is a single pass over the
+    * text with codegen'd regex ops, no shuffle at all. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val t = piiText(col("text"), col("doc_id"))
+    docs.select(
+        col("doc_id"),
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(t, lit(IpRe)).cast("long").as("n_ip"),
+        regexp_count(t, lit(PhoneRe)).cast("long").as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          lit(EmailRe), lit("<EMAIL>")),
+          lit(IpRe), lit("<IP>")),
+          lit(PhoneRe), lit("<PHONE>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Declared queries + oracles
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-text BM25 retrieval, top-10 for a fixed 4-term query.
+    "q_bm25_search" -> ((s, dir) =>
+      bm25TopK(Tables.documents(s, dir), BmTerms, 10)),
+
+    // LM-perplexity quality gate: train-on-half, score-all.
+    "q_lm_perplexity" -> ((s, dir) =>
+      lmPerplexity(Tables.documents(s, dir))),
+
+    // PII detect + redact with an end-to-end content hash.
+    "q_pii_redact" -> ((s, dir) =>
+      piiRedact(Tables.documents(s, dir)))
+  )
+
+  private def toksSql = tokensSql("text")
+
+  val oracle: Map[String, String] = {
+    val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    Map(
+      "q_bm25_search" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |stats AS (SELECT count(*) AS n_docs,
+           |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+           |ex AS (
+           |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
+           |fx AS (SELECT * FROM ex WHERE token IN (SELECT unnest($termsList))),
+           |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+           |       FROM fx GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |contrib AS (
+           |  SELECT tf.doc_id,
+           |    ${roundToSql(
+                 s"ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))" +
+                   s" * (tf.tf * ${BmK1 + 1.0})" +
+                   s" / (tf.tf + $BmK1 * (${1.0 - BmB} + $BmB * tf.dl / s.avgdl))", 6)} AS c
+           |  FROM tf JOIN df USING (token) CROSS JOIN stats s),
+           |scored AS (
+           |  SELECT doc_id, ${roundToSql(
+                 "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
+           |  FROM contrib GROUP BY 1),
+           |ranked AS (
+           |  SELECT doc_id, score,
+           |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           |  FROM scored)
+           |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 10
+           |ORDER BY rnk""".stripMargin,
+
+      "q_lm_perplexity" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |big AS (
+           |  SELECT d.doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |  FROM d, unnest(CASE WHEN len(toks) < 2 THEN []
+           |                      ELSE range(1, len(toks)) END) AS t(i)),
+           |train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+           |v AS (SELECT count(DISTINCT token) AS v FROM
+           |  (SELECT unnest(toks) AS token FROM d WHERE doc_id % 2 = 0)),
+           |nll AS (
+           |  SELECT b.doc_id, ${roundToSql(
+                 "-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))", 6)} AS nll
+           |  FROM big b
+           |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  ${roundToSql(
+               "CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)", 4)} AS avg_nll
+           |FROM nll GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      "q_pii_redact" ->
+        s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+           |  len(regexp_extract_all(t, '$IpRe')) AS n_ip,
+           |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phone,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$EmailRe', '<EMAIL>', 'g'),
+           |    '$IpRe', '<IP>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+           |FROM p ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import Util._
@@ -134,6 +135,37 @@ object VectorOps {
         s"i -> CAST($emb[i] AS DOUBLE) * (${hyperplaneSql(j)})[i])), (x, y) -> x + y) > 0 " +
         s"THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  /** SemDeDup core: greedy-by-id semantic dedup of a cell-assigned
+    * embedding frame — drop row v iff some u < v in the same cell has
+    * round-6 cosine ≥ tau. Returns (vec_id, cell: long, kept: bool).
+    *
+    * The pair join runs over per-cell EXACT-DUPLICATE REPRESENTATIVES
+    * (min vec_id per identical embedding, one window pass), which is
+    * semantics-preserving: identical vectors share every cosine
+    * verdict, the group minimum is the group's greedy survivor, and a
+    * representative r is dropped iff some smaller representative sits
+    * within tau (any qualifying u < r has rep(u) ≤ u < r with the
+    * same cosine). A mass-duplicated vector therefore contributes ONE
+    * row to the pair space instead of n² — the r8 image-near-dup
+    * degenerate-bucket lesson, wired structurally. */
+  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val w = Window.partitionBy(col("cell"), col("embedding"))
+    val withRep = assigned.withColumn("rep_id", min(col("vec_id")).over(w))
+    val reps = withRep.filter(col("vec_id") === col("rep_id"))
+      .select(col("cell"), col("vec_id").as("rid"), col("embedding"))
+    val droppedReps = reps
+      .select(col("cell"), col("rid").as("ida"), col("embedding").as("ea"))
+      .join(reps.select(col("cell"), col("rid").as("idb"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("ida") < col("idb") &&
+        roundTo(graft.functions.cosine_sim(col("ea"), col("eb")), 6) >= tau)
+      .select(col("idb").as("dropped_id")).distinct()
+    withRep.join(broadcast(droppedReps),
+        col("rep_id") === col("dropped_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (col("vec_id") === col("rep_id") && col("dropped_id").isNull).as("kept"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate nearest neighbors via sign-LSH: bucket every vector
@@ -518,6 +550,44 @@ object VectorOps {
             typedlit(qEmb.toSeq)), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // SemDeDup — SEMANTIC dedup over embeddings (the
+    // cluster-then-prune recipe of LLM corpus curation): cluster with
+    // the SAME k=8 / 2-iter k-means fit the IVF lane replays
+    // bit-exactly, then inside each cell drop every vector that has a
+    // LOWER-id neighbor at cosine ≥ 0.999 (greedy-by-id — a total
+    // order both engines state identically, no connected components
+    // needed). The corpus has no natural semantic dups (all pairs
+    // < 0.9), so the fixture plants them: a ±0.15% element-wise
+    // perturbed, float-rounded copy of every vec_id ≡ 0 (mod 7) —
+    // the oracle replays the copy bit-exactly and restates the
+    // greedy rule naively.
+    //
+    // SCALE SHAPE: the pair join runs over per-cell EXACT-DUPLICATE
+    // REPRESENTATIVES only (min vec_id per identical embedding, one
+    // window pass) — the r8 image-near-dup lesson wired from day
+    // one: a mass-duplicated vector (one boilerplate embedding × 10M
+    // copies) contributes ONE row to the pair space, not n². The
+    // collapse is semantics-preserving for the greedy rule (identical
+    // vectors share every neighbor verdict and the group minimum IS
+    // the group's greedy survivor), so the oracle needs no replay of
+    // it. In production k scales ~√N so cells stay bounded; k=8 here
+    // is fixed by the shared fit replay.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val perturbed = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((col("vec_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
+            .as("embedding"),
+          col("label"))
+      val aug = e.select(col("vec_id"), col("embedding"), col("label"))
+        .union(perturbed)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      semanticDedup(Ivf.assign(aug, col("embedding"), centers), tau = 0.999)
+        .orderBy("vec_id")
     }),
 
     // Centroid summary per label — the IVF coarse-quantizer build step:
@@ -933,6 +1003,28 @@ object VectorOps {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH $fitReplayCtes,
+         |aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (1.0 + ((vec_id + i - 1) % 7 - 3) * 0.0005) AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT a.vec_id, a.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${distSqSql("a.embedding", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM aug a CROSS JOIN c2 c) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS d
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${roundToSql(cosineSql("a.embedding", "b.embedding"), 6)} >= 0.999)
+         |SELECT v.vec_id, v.cell,
+         |  (v.vec_id NOT IN (SELECT d FROM dropped)) AS kept
+         |FROM asg v ORDER BY v.vec_id""".stripMargin,
 
     "q_label_centroids" -> {
       val dims = (0 until 4).map(i =>

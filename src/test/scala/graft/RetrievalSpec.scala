@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, VectorOps}
+
+/** Retrieval/quality-operator properties: BM25 ranking arithmetic, the
+  * bigram-LM perplexity gate, PII redaction end-to-end, and the
+  * SemDeDup greedy rule under mass duplication. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  // ---------------- BM25 ----------------
+
+  test("bm25: tf raises, absence excludes, ranking is dense from 1") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat cat dog"),
+      (3L, "dog dog")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, Seq("cat"), 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    // doc 3 has no query term — absent; doc 2 has higher tf — first
+    assert(r.map(_._1).toSeq === Seq(2L, 1L))
+    assert(r.map(_._3).toSeq === Seq(1L, 2L))
+    assert(r(0)._2 > r(1)._2)
+    // hand-check doc 1: idf = ln(1 + (3-2+0.5)/(2+0.5)), tf=1, dl=2,
+    // avgdl=8/3 — same roundTo(…,6)-then-4 discipline as the operator
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val c1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / (8.0 / 3)))
+    val exp = math.floor(math.floor(c1 * 1e6 + 0.5) / 1e6 * 1e4 + 0.5) / 1e4
+    assert(r(1)._2 === exp)
+  }
+
+  test("bm25: length normalization — equal tf, longer doc scores lower") {
+    val docs = Seq(
+      (1L, "cat x"),
+      (2L, "cat x x x x x")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, Seq("cat"), 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L))
+  }
+
+  // ---------------- bigram-LM perplexity ----------------
+
+  test("lm perplexity: seen bigrams score below unseen, exact add-one value") {
+    // train = even doc_ids: "a b a b a" → c2(a,b)=2, c2(b,a)=2,
+    // c1(a)=2, c1(b)=2, V=2
+    val docs = Seq(
+      (0L, "a b a b a"),
+      (1L, "a b"),
+      (3L, "b b"),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.lmPerplexity(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val byId = r.map(t => t._1 -> t).toMap
+    // <2-token doc yields no bigrams and no row
+    assert(!byId.contains(5L))
+    // doc 1: one bigram (a,b): -ln((2+1)/(2+2)) = ln(4/3)
+    val nll = math.floor(-math.log(3.0 / 4.0) * 1e6 + 0.5) / 1e6
+    val exp = math.floor(nll * 1e4 + 0.5) / 1e4
+    assert(byId(1L)._3 === exp)
+    // doc 3's (b,b) is unseen → strictly higher nll than doc 1
+    assert(byId(3L)._3 > byId(1L)._3)
+    assert(byId(0L)._2 === 4L) // 4 bigrams in the training doc
+  }
+
+  // ---------------- PII redaction ----------------
+
+  test("pii: counts match plants and redaction leaves no residue") {
+    // doc_id ≡ 3 (mod 5) appends nothing — the text is the fixture
+    val docs = Seq(
+      (3L, "mail a@b.com and 10.1.2.3 then call +1-555-0042 done"),
+      (8L, "clean text no pii")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.piiRedact(docs)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    assert(r(3L)._1 === 1L); assert(r(3L)._2 === 1L); assert(r(3L)._3 === 1L)
+    assert(r(8L) === ((0L, 0L, 0L, md5Hex("clean text no pii"))))
+    assert(r(3L)._4 ===
+      md5Hex("mail <EMAIL> and <IP> then call <PHONE> done"))
+  }
+
+  test("pii: email matched inside the ip-redacted form does not double-redact") {
+    // the phone plant for doc_id ≡ 2 (mod 5) carries BOTH an email and
+    // a phone — the fixture path through piiText must count 2 emails
+    // for a doc that already has one
+    val docs = Seq((2L, "reach x@y.org today")).toDF("doc_id", "text")
+    val r = Retrieval.piiRedact(docs).collect()(0)
+    assert(r.getLong(1) === 2L) // x@y.org + planted ops2@example.org
+    assert(r.getLong(3) === 1L) // planted +1-555-0002
+  }
+
+  // ---------------- SemDeDup ----------------
+
+  test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {
+    // 2000 exact copies of u + a near-dup + a below-tau neighbor +
+    // distinct basis vectors; the pair stage sees REPRESENTATIVES
+    // (≤ 8 rows), not the 2000-row group — the structural guarantee
+    // that a mass-duplicated embedding cannot recreate the quadratic.
+    val u = Seq(1f, 0f, 0f, 0f)
+    val near = Seq(1f, 0.001f, 0f, 0f)      // cos ≈ 0.9999995 ≥ τ
+    val far = Seq(1f, 0.5f, 0f, 0f)         // cos ≈ 0.894 < τ
+    val rows =
+      (0L until 2000L).map(i => (i, u)) ++
+        Seq((2500L, near), (2600L, far),
+          (3000L, Seq(0f, 1f, 0f, 0f)), (3001L, Seq(0f, 0f, 1f, 0f)))
+    val assigned = rows.toDF("vec_id", "embedding")
+      .withColumn("cell", lit(0))
+    val r = VectorOps.semanticDedup(assigned, tau = 0.999)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r(0L))                       // group minimum survives
+    assert((1L until 2000L).forall(i => !r(i)))  // copies dropped
+    assert(!r(2500L))                   // near-dup dropped
+    assert(r(2600L))                    // below-tau kept
+    assert(r(3000L) && r(3001L))        // distinct vectors kept
+  }
+
+  test("semantic dedup: cells are dedup scopes — same vector in different cells both kept") {
+    val u = Seq(1f, 0f)
+    val assigned = Seq((1L, u, 0), (2L, u, 1)).toDF("vec_id", "embedding", "cell")
+    val r = VectorOps.semanticDedup(assigned, tau = 0.999)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r === Map(1L -> true, 2L -> true))
+  }
+}

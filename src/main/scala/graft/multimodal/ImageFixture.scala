@@ -5,6 +5,10 @@ package graft.multimodal
   * functions are pure arithmetic on the id so the DuckDB oracle can
   * state the expected parse results without seeing any bytes. */
 object ImageFixture {
+
+  // memory-backed ImageIO streams for the fixture encodes (see
+  // ImageCodec: the default is a temp FILE per encode)
+  javax.imageio.ImageIO.setUseCache(false)
   private val Formats = Vector("png", "jpeg", "gif")
 
   def formatOf(id: Long): String = Formats((((id % 3) + 3) % 3).toInt)

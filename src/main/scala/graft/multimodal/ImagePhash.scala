@@ -26,13 +26,14 @@ object ImagePhash {
     * corrupt rows drop out of the dedup candidate space instead of
     * poisoning it). */
   def aHash64(payload: Array[Byte]): Option[Long] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+    val img = ImageCodec.decode(payload)
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
     if (w <= 0 || h <= 0) return None
+    // one bulk ARGB conversion (same default-sRGB ints as per-pixel
+    // getRGB, without the per-call color-model conversion)
+    val px = ImageCodec.argb(img)
     // integer box-average luminance per cell: cell (r,c) covers pixel
     // rows [r·h/8, (r+1)·h/8) × cols [c·w/8, (c+1)·w/8), clamped to at
     // least one pixel so images narrower than 8px stay total
@@ -48,9 +49,10 @@ object ImagePhash {
         var sum = 0L
         var y = y0
         while (y < y1) {
+          val row = y * w
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(row + x)
             // integer Rec.601 luma — deterministic, no float rounding
             sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
               114 * (rgb & 0xff)) / 1000

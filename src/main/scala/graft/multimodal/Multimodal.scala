@@ -287,9 +287,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(maxW >= 1 && maxH >= 1, s"degenerate resize box ${maxW}x$maxH")
     media.map { r =>
-      lazy val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: Exception => null }
+      lazy val img = ImageCodec.decode(r.payload)
       if (r.kind != "image" || img == null) r
       else {
         val (nw, nh) = fitWithin(img.getWidth, img.getHeight, maxW, maxH)

@@ -83,6 +83,62 @@ object Retrieval {
       .orderBy(col("rnk"))
   }
 
+  /** Batch BM25: top-k retrieval for a FRAME of queries — the
+    * retrieval-serving shape behind decontamination-by-retrieval, RAG
+    * corpus pairing, and hard-negative mining. Every doc_id ≡ 0
+    * (mod 100) with ≥9 tokens contributes a query (its tokens at
+    * positions 1/5/9 — repeated terms weight double, the standard
+    * query-term-frequency behavior, replayed identically by the
+    * oracle); the query doc itself is excluded from its results.
+    *
+    * SCALE SHAPE: the query-term union broadcasts onto the exploded
+    * token stream, so non-matching tokens die map-side BEFORE the tf
+    * shuffle; df / query-terms / corpus stats all join as broadcasts;
+    * and the per-query ranking runs through the BOUNDED-STATE
+    * `topk_by_score` aggregate — k rows of state per query, no
+    * score-space sort, the same serving discipline as q_batch_topk. */
+  def bm25Batch(docs: DataFrame, k: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val q = d.filter(col("doc_id") % 100 === 0 && size(col("toks")) >= 9)
+      .select(col("doc_id").as("q_id"),
+        explode(array(element_at(col("toks"), 1),
+          element_at(col("toks"), 5),
+          element_at(col("toks"), 9))).as("token"))
+    val qTerms = q.select(col("token")).distinct()
+    val stats = d.select(size(col("toks")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val ex = d.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(qTerms), Seq("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), Seq("token"))
+      .join(broadcast(q), Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", roundTo(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (BmK1 + 1.0)) /
+          (col("tf") + lit(BmK1) * (lit(1.0 - BmB) +
+            lit(BmB) * col("dl") / col("avgdl"))), 6))
+    val scored = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
+      .select(col("q_id"), col("doc_id"), roundTo(col("s0"), 4).as("score"))
+    scored
+      .select(col("q_id"), col("score"),
+        // FULL 19-digit pad (the q_batch_topk lesson: lpad truncates,
+        // an 8-digit pad corrupts ids ≥ 1e8 at exactly corpus scale)
+        lpad(col("doc_id").cast("string"), 19, "0").as("key"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("score"), col("key"), k).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").cast("long").as("doc_id"), col("col.score").as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------------
   // Bigram-LM perplexity gate (CCNet-style quality scoring)
   // ---------------------------------------------------------------
@@ -196,6 +252,10 @@ object Retrieval {
     "q_bm25_search" -> ((s, dir) =>
       bm25TopK(Tables.documents(s, dir), BmTerms, 10)),
 
+    // Batch BM25 serving over a query frame, top-5 per query.
+    "q_bm25_batch" -> ((s, dir) =>
+      bm25Batch(Tables.documents(s, dir), 5)),
+
     // LM-perplexity quality gate: train-on-half, score-all.
     "q_lm_perplexity" -> ((s, dir) =>
       lmPerplexity(Tables.documents(s, dir))),
@@ -237,6 +297,41 @@ object Retrieval {
            |  FROM scored)
            |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 10
            |ORDER BY rnk""".stripMargin,
+
+      "q_bm25_batch" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |q AS (
+           |  SELECT doc_id AS q_id,
+           |    unnest([toks[1], toks[5], toks[9]]) AS token
+           |  FROM d WHERE doc_id % 100 = 0 AND len(toks) >= 9),
+           |stats AS (SELECT count(*) AS n_docs,
+           |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+           |ex AS (
+           |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
+           |fx AS (SELECT * FROM ex WHERE token IN (SELECT token FROM q)),
+           |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+           |       FROM fx GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |contrib AS (
+           |  SELECT q.q_id, tf.doc_id,
+           |    ${roundToSql(
+                 s"ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))" +
+                   s" * (tf.tf * ${BmK1 + 1.0})" +
+                   s" / (tf.tf + $BmK1 * (${1.0 - BmB} + $BmB * tf.dl / s.avgdl))", 6)} AS c
+           |  FROM tf JOIN df USING (token) JOIN q USING (token)
+           |  CROSS JOIN stats s
+           |  WHERE tf.doc_id <> q.q_id),
+           |scored AS (
+           |  SELECT q_id, doc_id, ${roundToSql(
+                 "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
+           |  FROM contrib GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT q_id, doc_id, score,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+           |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
       "q_lm_perplexity" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

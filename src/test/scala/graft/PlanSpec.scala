@@ -88,6 +88,58 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle for the rate join:\n${p.take(2000)}")
   }
 
+  test("q_bm25_search: term-filtered postings, broadcast stats, TakeOrdered top-k") {
+    val p = plan("q_bm25_search")
+    // df and the (n_docs, avgdl) scalars join back as broadcasts; the
+    // posting list is the only corpus-derived exchange
+    assert(!p.contains("SortMergeJoin"),
+      s"BM25 joins must all be broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar stats must broadcast, not cartesian:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort of the scored set:\n${p.take(2000)}")
+  }
+
+  test("q_bm25_batch ranks through the bounded-state aggregate over broadcast-joined postings") {
+    val p = plan("q_bm25_batch")
+    // per-query ranking must be TopKByScore partial aggregation — not
+    // a Window/rank (which would sort the full Q×N score space); the
+    // posting/df/query/stats joins all broadcast
+    assert(p.contains("partial_topk_by_score"),
+      s"expected map-side partial TopKByScore buffers:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"window-rank over the score space:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"posting joins must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q_lm_perplexity scores through broadcast count tables — the bigram stream never shuffles to join") {
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model counts must join as broadcasts:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the scoring joins must not shuffle the bigram stream:\n${p.take(2000)}")
+  }
+
+  test("q_pii_redact is pure map-side — no join, no aggregation") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join"), s"PII pass must not join:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"),
+      s"PII pass must not aggregate:\n${p.take(2000)}")
+  }
+
+  test("q_semantic_dedup pairs representatives via equi-join, drops via broadcast") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage must be the per-cell equi-join:\n${p.take(2000)}")
+    // the exact-duplicate collapse: min(vec_id) window over
+    // (cell, embedding) ahead of the pair join
+    assert(p.contains("min(vec_id"),
+      s"pair join must consume rep-collapsed rows:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dropped-rep verdicts must broadcast back:\n${p.take(2000)}")
+  }
+
   test("q_video_neardup candidates come from the sig-collapsed band join") {
     val p = plan("q_video_neardup")
     assert(!p.contains("CartesianProduct"),

@@ -45,6 +45,33 @@ class RetrievalSpec extends SparkSpec {
     assert(r(1L) > r(2L))
   }
 
+  test("bm25 batch: per-query top-k, self-excluded, repeated terms weight double") {
+    // doc 0 is the only query (id % 100 == 0, ≥9 tokens): terms at
+    // positions 1/5/9 = cat/cat/dog — "cat" counts twice
+    val docs = Seq(
+      (0L, "cat a b c cat d e f dog x"),
+      (1L, "cat dog e"),
+      (2L, "cat q r"),
+      (3L, "zzz yyy")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25Batch(docs, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // the query doc itself is excluded; doc 3 matches nothing
+    assert(r.forall(_._1 == 0L))
+    assert(!r.map(_._3).contains(0L) && !r.map(_._3).contains(3L))
+    assert(r.map(_._2).toSeq === Seq(1L, 2L))
+    // doc 1 (cat + dog) outranks doc 2 (cat only)
+    assert(r(0)._3 === 1L && r(1)._3 === 2L)
+    assert(r(0)._4 > r(1)._4)
+    // doc 2's score doubles the single-term contribution: "cat" is a
+    // repeated query term (positions 1 and 5)
+    val single = Retrieval.bm25TopK(docs, Seq("cat"), 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // same corpus stats; doc 2's batch score = 2 × its one-term
+    // contribution (round-6 contributions summed exactly in decimal)
+    assert(math.abs(r(1)._4 - 2 * single(2L)) < 2e-4)
+  }
+
   // ---------------- bigram-LM perplexity ----------------
 
   test("lm perplexity: seen bigrams score below unseen, exact add-one value") {

@@ -1105,6 +1105,27 @@ object TextOps {
     // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
+    // LEAKAGE-SAFE SPLIT ASSIGNMENT — train/val/test at NEAR-DUP
+    // CLUSTER granularity: every member inherits its cluster
+    // representative's split, so a document and its near-duplicates
+    // can never straddle a split boundary (the eval-leakage failure
+    // mode of document-level splitting — a test doc whose near-copy
+    // sits in train). The split decision is the deterministic
+    // salted-hash discipline of q_sample_det / q_mixture_sample (no
+    // per-row RNG: reruns and late-arriving cluster members land in
+    // the SAME split), 90/5/5 by hash bucket of the cluster rep.
+    // Cost on top of the cluster map: one map-side projection.
+    "q_leakage_split" -> ((s, dir) =>
+      dedupClusters(s, dir)
+        .withColumn("bucket",
+          hash60(concat(lit("split:"), col("cluster_rep").cast("string"))) % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .orderBy("doc_id")),
+
     // Corpus vocabulary: exact top-50 tokens by frequency — the
     // tokenizer-building / df-statistics primitive. Map-side partial
     // counts + a k-row TakeOrdered; the shuffle carries (token, count),
@@ -2163,6 +2184,23 @@ object TextOps {
            |  l.doc_id = l.cluster_rep AS is_keeper
            |FROM lbl l JOIN sz USING (cluster_rep)
            |ORDER BY l.doc_id""".stripMargin,
+
+      "q_leakage_split" ->
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1)
+           |SELECT doc_id, cluster_rep,
+           |  CASE WHEN ${hash60Sql("'split:' || CAST(cluster_rep AS VARCHAR)")} % 100 < 90
+           |         THEN 'train'
+           |       WHEN ${hash60Sql("'split:' || CAST(cluster_rep AS VARCHAR)")} % 100 < 95
+           |         THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM lbl ORDER BY doc_id""".stripMargin,
 
       "q_vocab_topk" ->
         s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)

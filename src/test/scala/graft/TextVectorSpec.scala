@@ -366,4 +366,21 @@ class TextVectorSpec extends SparkSpec {
     val big = got.find(_._1 == 100L).get
     assert(big._7 > 1, "planted long doc did not span multiple examples")
   }
+  test("leakage split: near-dup cluster members never straddle a split") {
+    val r = SparkEntry.queries("q_leakage_split")(spark, dir)
+    val perCluster = r.groupBy($"cluster_rep")
+      .agg(countDistinct($"split").as("n"), count(lit(1)).as("m"))
+      .persist()
+    // the leakage property: every cluster resolves to exactly ONE split
+    assert(perCluster.filter($"n" =!= 1).count() === 0L,
+      "a near-dup cluster straddles a split boundary")
+    // non-vacuous: the corpus really has multi-member clusters
+    assert(perCluster.filter($"m" > 1).count() > 0L)
+    perCluster.unpersist(false)
+    val splits = r.groupBy($"split").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits("train") > splits.getOrElse("val", 0L) &&
+      splits("train") > splits.getOrElse("test", 0L))
+  }
 }

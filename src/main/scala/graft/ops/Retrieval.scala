@@ -262,7 +262,32 @@ object Retrieval {
 
     // PII detect + redact with an end-to-end content hash.
     "q_pii_redact" -> ((s, dir) =>
-      piiRedact(Tables.documents(s, dir)))
+      piiRedact(Tables.documents(s, dir))),
+
+    // BPE TRAINING STEP — the tokenizer-learning primitive: the
+    // corpus-frequency-weighted count of adjacent character pairs
+    // inside tokens (one merge round of byte-pair encoding; iterate
+    // with the winning pair merged to learn a full merge table). The
+    // token VOCABULARY aggregates first — map-side partial counts,
+    // the shuffle carries (token, freq) — and pairs explode off the
+    // DISTINCT vocabulary weighted by freq, so the pair stage is
+    // vocab-bounded, not corpus-bounded: at 100 TB the second stage's
+    // input is the vocabulary, a set that grows sublinearly in corpus
+    // size. Top-20 via TakeOrdered. Both engines index substrings by
+    // codepoint (the zh tokens exercise the multibyte path).
+    "q_bpe_merges" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      vocab
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("token")) - 1),
+            i => col("token").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(20)
+    })
   )
 
   private def toksSql = tokensSql("text")
@@ -365,7 +390,17 @@ object Retrieval {
            |    '$EmailRe', '<EMAIL>', 'g'),
            |    '$IpRe', '<IP>', 'g'),
            |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
-           |FROM p ORDER BY doc_id""".stripMargin
+           |FROM p ORDER BY doc_id""".stripMargin,
+
+      "q_bpe_merges" ->
+        s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+           |v AS (SELECT token, count(*) AS freq FROM t
+           |      WHERE length(token) >= 2 GROUP BY 1),
+           |p AS (SELECT substr(token, CAST(i AS INT), 2) AS pair, freq
+           |      FROM v, unnest(range(1, length(token))) AS u(i))
+           |SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight
+           |FROM p GROUP BY 1
+           |ORDER BY weight DESC, pair ASC LIMIT 20""".stripMargin
     )
   }
 }

@@ -148,13 +148,35 @@ object VectorOps {
     * within tau (any qualifying u < r has rep(u) ≤ u < r with the
     * same cosine). A mass-duplicated vector therefore contributes ONE
     * row to the pair space instead of n² — the r8 image-near-dup
-    * degenerate-bucket lesson, wired structurally. */
-  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    * degenerate-bucket lesson, wired structurally.
+    *
+    * `maxCell` is the residual defense for the case the collapse
+    * cannot cover: a mass NEAR-duplicated group (perturbed, not
+    * byte-identical — re-embedded boilerplate) whose reps still pair
+    * quadratically within one cell. With `maxCell = Some(k)` only the
+    * k smallest reps per cell serve as LEFT-side dropper candidates —
+    * the one-sided streaming-cap semantics of
+    * `TextOps.minhashPairsOf`: every rep is still verified against
+    * the retained candidates (verification never skipped), only
+    * beyond-cap × beyond-cap drops are sacrificed, and because the
+    * greedy rule drops by the SMALLEST neighbor, the retained
+    * smallest-k candidates are exactly the most productive droppers.
+    * The declared query runs uncapped (the oracle states the exact
+    * greedy rule); production sets k ≈ expected cell membership. */
+  def semanticDedup(assigned: DataFrame, tau: Double,
+      maxCell: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col("cell"), col("embedding"))
     val withRep = assigned.withColumn("rep_id", min(col("vec_id")).over(w))
     val reps = withRep.filter(col("vec_id") === col("rep_id"))
       .select(col("cell"), col("vec_id").as("rid"), col("embedding"))
-    val droppedReps = reps
+    val droppers = maxCell match {
+      case None => reps
+      case Some(k) =>
+        reps.withColumn("__r", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("rid"))))
+          .filter(col("__r") <= k).drop("__r")
+    }
+    val droppedReps = droppers
       .select(col("cell"), col("rid").as("ida"), col("embedding").as("ea"))
       .join(reps.select(col("cell"), col("rid").as("idb"),
         col("embedding").as("eb")), Seq("cell"))

@@ -124,6 +124,30 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getLong(3) === 1L) // planted +1-555-0002
   }
 
+  // ---------------- BPE merge round ----------------
+
+  test("bpe merges: frequency-weighted adjacent pairs, vocab-level counting") {
+    // "abab" ×3 docs + "bc" ×1: pairs ab(×2/occurrence), ba, bc —
+    // weighted by corpus token frequency, not distinct-vocab count
+    val docs = Seq(
+      (1L, "abab abab bc"),
+      (2L, "abab x")
+    ).toDF("doc_id", "text")
+    val vocab = docs
+      .select(explode(graft.ops.TextOps.tokens($"text")).as("token"))
+      .filter(length($"token") >= 2)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val r = vocab
+      .select($"freq",
+        explode(transform(sequence(lit(1), length($"token") - 1),
+          i => $"token".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("weight"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // "abab" freq 3: ab at pos 1 and 3 → weight 6; ba once → 3;
+    // "bc" freq 1 → 1; "x" filtered (length < 2)
+    assert(r === Map("ab" -> 6L, "ba" -> 3L, "bc" -> 1L))
+  }
+
   // ---------------- SemDeDup ----------------
 
   test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {
@@ -147,6 +171,27 @@ class RetrievalSpec extends SparkSpec {
     assert(!r(2500L))                   // near-dup dropped
     assert(r(2600L))                    // below-tau kept
     assert(r(3000L) && r(3001L))        // distinct vectors kept
+  }
+
+  test("semantic dedup: maxCell caps droppers one-sided — verification never skipped") {
+    // three near-identical NON-exact vectors (the collapse cannot
+    // merge them) + distinct rest; with cap=1 only rep 1 serves as a
+    // dropper candidate, but 2 and 3 are still verified against it —
+    // both drop via rep 1; only the beyond-cap (2,3) relation is
+    // sacrificed (and is redundant here). Same one-sided semantics as
+    // minhashPairsOf(maxBucket).
+    val rows = Seq(
+      (1L, Seq(1f, 0.0000f, 0f, 0f)),
+      (2L, Seq(1f, 0.0010f, 0f, 0f)),
+      (3L, Seq(1f, 0.0020f, 0f, 0f)),
+      (9L, Seq(0f, 1f, 0f, 0f)))
+    val assigned = rows.toDF("vec_id", "embedding").withColumn("cell", lit(0))
+    for (cap <- Seq(None, Some(1))) {
+      val r = VectorOps.semanticDedup(assigned, tau = 0.999, maxCell = cap)
+        .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+      assert(r === Map(1L -> true, 2L -> false, 3L -> false, 9L -> true),
+        s"cap=$cap")
+    }
   }
 
   test("semantic dedup: cells are dedup scopes — same vector in different cells both kept") {

@@ -264,6 +264,39 @@ object Retrieval {
     "q_pii_redact" -> ((s, dir) =>
       piiRedact(Tables.documents(s, dir))),
 
+    // FEATURE-HASHED DOCUMENT EMBEDDINGS (the hashing trick) — the
+    // model-free text→vector bridge: each token's TF-IDF mass lands
+    // in dimension hash60(token) mod 64, giving every document a
+    // deterministic sparse 64-dim embedding with no trained model and
+    // no vocabulary table. Output is the SKINNY (doc_id, dim, val)
+    // form — the exchange-friendly spelling (densify with a 64-slot
+    // fill only at the consumer; the vector lane's cosine/ANN
+    // operators take it from there). Shapes: one token explode keyed
+    // (doc_id, token) for tf, vocab-sized df re-derived from tf, the
+    // corpus size as a broadcast scalar, and a final (doc_id, dim)
+    // aggregate of skinny rows — text never shuffles. Per-token
+    // scores round to 6 then sum as DECIMAL (order-free), the dim
+    // sum rounds to 4.
+    "q_hash_embed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          (TextOps.hash60(col("token")) % 64).as("dim"),
+          roundTo(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+            .as("w"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+          .as("val"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // BPE TRAINING STEP — the tokenizer-learning primitive: the
     // corpus-frequency-weighted count of adjacent character pairs
     // inside tokens (one merge round of byte-pair encoding; iterate
@@ -391,6 +424,22 @@ object Retrieval {
            |    '$IpRe', '<IP>', 'g'),
            |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
            |FROM p ORDER BY doc_id""".stripMargin,
+
+      "q_hash_embed" ->
+        s"""WITH ex AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |fx AS (SELECT doc_id, token FROM ex WHERE token != ''),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM fx GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |w AS (
+           |  SELECT tf.doc_id,
+           |    ${TextOps.hash60Sql("tf.token")} % 64 AS dim,
+           |    ${roundToSql("tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))", 6)} AS w
+           |  FROM tf JOIN df USING (token) CROSS JOIN n)
+           |SELECT doc_id, dim,
+           |  ${roundToSql("CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS val
+           |FROM w GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
       "q_bpe_merges" ->
         s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),

@@ -124,6 +124,35 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getLong(3) === 1L) // planted +1-555-0002
   }
 
+  // ---------------- feature-hashed embeddings ----------------
+
+  test("hash embed: token mass lands deterministically in hash60(token) mod 64") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("he_fixture")
+    def dimOf(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    // run the same shape the declared query uses, over the fixture
+    val ex = docs.select($"doc_id",
+        explode(graft.ops.TextOps.tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val tf = ex.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val r = tf.join(broadcast(dfq), Seq("token")).crossJoin(broadcast(n))
+      .select($"doc_id",
+        (graft.ops.TextOps.hash60($"token") % 64).as("dim"),
+        graft.ops.Util.roundTo($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6).as("w"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // df(aa)=2 of N=2 → idf = ln(3/3) = 0; df(bb)=1 → idf = ln(1.5)
+    val lnHalf = math.floor(math.log(3.0 / 2.0) * 1e6 + 0.5) / 1e6
+    assert(r((1L, dimOf("bb"))) === lnHalf)
+    assert(r((1L, dimOf("aa"))) === 0.0)
+    assert(r((2L, dimOf("aa"))) === 0.0)
+  }
+
   // ---------------- BPE merge round ----------------
 
   test("bpe merges: frequency-weighted adjacent pairs, vocab-level counting") {

@@ -190,6 +190,72 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------
+  // Multi-round BPE merge learning
+  // ---------------------------------------------------------------
+
+  /** Greedy left-to-right application of ONE merge (a, b) → "ab" to a
+    * symbol array — the standard BPE merge fold ("aaa" under (a,a)
+    * becomes ["aa","a"], not ["a","aa"]). */
+  private[ops] def mergePairFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn a BPE merge table: `rounds` iterations of (count
+    * frequency-weighted adjacent symbol pairs over the VOCABULARY →
+    * take the most frequent pair, ties broken (a asc, b asc) → merge
+    * it everywhere). q_bpe_merges declares round one; this is the
+    * full training loop.
+    *
+    * SCALE SHAPE: after the single corpus pass that aggregates the
+    * (token, freq) vocabulary, every round runs over vocab-sized data
+    * only — pair counting is a map-side explode + skinny aggregate,
+    * the winner is a 1-row TakeOrdered, and the merge application is
+    * a map-side fold. Each round's vocabulary materializes as an
+    * eager localCheckpoint so the plan stays flat across rounds (the
+    * Memo/corpus-stage discipline; lineage would otherwise nest one
+    * fold per round). Stops early when no adjacent pairs remain. */
+  def learnBpeMerges(docs: DataFrame, rounds: Int): Seq[(String, String)] = {
+    require(rounds >= 1, s"rounds=$rounds")
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("token"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      val best = vocab
+        // fully-merged tokens (one symbol) have no pairs — and
+        // sequence(1, 0) would count DOWN, not empty (the lmPerplexity
+        // guard)
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab
+          .select(col("freq"), mergePairFold(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------
   // PII detection / redaction
   // ---------------------------------------------------------------
 

@@ -177,6 +177,41 @@ class RetrievalSpec extends SparkSpec {
     assert(r === Map("ab" -> 6L, "ba" -> 3L, "bc" -> 1L))
   }
 
+  test("bpe learn: merge sequence matches an in-memory reference for 6 rounds") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "low lower widest widest newest")
+    ).toDF("doc_id", "text")
+    // reference: plain in-memory BPE over the token frequency map,
+    // same (weight desc, a asc, b asc) tie-break, same greedy
+    // left-to-right merge application
+    val freq = scala.collection.mutable.Map.empty[List[String], Long]
+    for ((_, text) <- Seq(docs.collect()).flatten.map(r => (r.getLong(0), r.getString(1)));
+         t <- text.split(" ") if t.length >= 2)
+      freq(t.split("").toList) = freq.getOrElse(t.split("").toList, 0L) + 1
+    def refRound(v: Map[List[String], Long]): Option[((String, String), Map[List[String], Long])] = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- v; p <- syms.sliding(2) if p.size == 2)
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+      if (counts.isEmpty) None
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((a, b), w) => (-w, a, b) }._1
+        def apply(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: apply(rest)
+          case x :: rest => x :: apply(rest)
+          case Nil => Nil
+        }
+        Some(((a, b), v.map { case (s, f) => (apply(s), f) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }))
+      }
+    }
+    var v = freq.toMap
+    val expected = scala.collection.mutable.Buffer.empty[(String, String)]
+    for (_ <- 0 until 6) refRound(v).foreach { case (m, nv) => expected += m; v = nv }
+    val got = Retrieval.learnBpeMerges(docs, 6)
+    assert(got === expected.toSeq)
+  }
+
   // ---------------- SemDeDup ----------------
 
   test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {

@@ -35,6 +35,30 @@ object Retrieval {
     * synthetic corpus vocabulary so tf/df vary across documents. */
   val BmTerms: Seq[String] = Seq("spark", "merge", "window", "filter")
 
+  /** One (doc, term) BM25 contribution, rounded to 6 — the SINGLE
+    * spelling both declared queries share (the MinhashK/LshBands
+    * can't-desynchronize discipline, applied to the whole scoring
+    * expression rather than just its constants). */
+  private def bmContrib(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column =
+    roundTo(log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * (BmK1 + 1.0)) /
+      (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * dl / avgdl)), 6)
+
+  /** SQL twin of [[bmContrib]]. EVERY integer operand is cast to
+    * DOUBLE before it meets a decimal literal: DuckDB evaluates
+    * BIGINT × DECIMAL in exact decimal arithmetic while Spark
+    * multiplies doubles, and the two differ by 1 ulp on values like
+    * 3 × 2.2 — enough to flip a roundTo-6 floor boundary and break
+    * the hash contract. */
+  private def bmContribSql(tf: String, df: String, dl: String,
+      n: String, avgdl: String): String =
+    roundToSql(
+      s"ln(1.0 + (CAST($n AS DOUBLE) - $df + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +
+        s" * (CAST($tf AS DOUBLE) * ${BmK1 + 1.0})" +
+        s" / (CAST($tf AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * $dl / $avgdl))",
+      6)
+
   /** BM25 top-k retrieval over a (doc_id, text) frame.
     *
     * SCALE SHAPE: the per-doc token explode filters to the query's
@@ -67,10 +91,8 @@ object Retrieval {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
-      .withColumn("c", roundTo(
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (BmK1 + 1.0)) /
-          (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))), 6))
+      .withColumn("c", bmContrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))
     val scored = contrib.groupBy(col("doc_id"))
       .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
       .select(col("doc_id"), roundTo(col("s0"), 4).as("score"))
@@ -118,11 +140,8 @@ object Retrieval {
       .join(broadcast(q), Seq("token"))
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("c", roundTo(
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (BmK1 + 1.0)) /
-          (col("tf") + lit(BmK1) * (lit(1.0 - BmB) +
-            lit(BmB) * col("dl") / col("avgdl"))), 6))
+      .withColumn("c", bmContrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))
     val scored = contrib.groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
       .select(col("q_id"), col("doc_id"), roundTo(col("s0"), 4).as("score"))
@@ -213,18 +232,22 @@ object Retrieval {
     * (token, freq) vocabulary, every round runs over vocab-sized data
     * only — pair counting is a map-side explode + skinny aggregate,
     * the winner is a 1-row TakeOrdered, and the merge application is
-    * a map-side fold. Each round's vocabulary materializes as an
-    * eager localCheckpoint so the plan stays flat across rounds (the
-    * Memo/corpus-stage discipline; lineage would otherwise nest one
-    * fold per round). Stops early when no adjacent pairs remain. */
+    * a map-side fold. Each round's vocabulary materializes behind a
+    * FLAT plan (`shims.materializedWithHandle` — the Graph-loop
+    * discipline) and the previous round's blocks unpersist as soon as
+    * the next lands, so the loop holds at most two vocabulary copies;
+    * a localCheckpoint-per-round loop would leave O(rounds) copies to
+    * driver-GC timing, exactly the failure mode Graph.scala
+    * documents. Stops early when no adjacent pairs remain. */
   def learnBpeMerges(docs: DataFrame, rounds: Int): Seq[(String, String)] = {
     require(rounds >= 1, s"rounds=$rounds")
-    var vocab = docs
+    val shims = org.apache.spark.sql.graft.shims
+    var (vocab, handle) = shims.materializedWithHandle(docs
       .select(explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) >= 2)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("token"), "").as("syms"))
-      .localCheckpoint(true)
+      .select(col("freq"), split(col("token"), "").as("syms")))
+    handle.count()
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var done = false
     var r = 0
@@ -246,12 +269,16 @@ object Retrieval {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        vocab = vocab
-          .select(col("freq"), mergePairFold(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
+        val (nv, nh) = shims.materializedWithHandle(vocab
+          .select(col("freq"), mergePairFold(col("syms"), a, b).as("syms")))
+        nh.count()
+        handle.unpersist(blocking = false)
+        vocab = nv
+        handle = nh
       }
       r += 1
     }
+    handle.unpersist(blocking = false)
     merges.toSeq
   }
 
@@ -406,10 +433,7 @@ object Retrieval {
            |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
            |contrib AS (
            |  SELECT tf.doc_id,
-           |    ${roundToSql(
-                 s"ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))" +
-                   s" * (tf.tf * ${BmK1 + 1.0})" +
-                   s" / (tf.tf + $BmK1 * (${1.0 - BmB} + $BmB * tf.dl / s.avgdl))", 6)} AS c
+           |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
            |  FROM tf JOIN df USING (token) CROSS JOIN stats s),
            |scored AS (
            |  SELECT doc_id, ${roundToSql(
@@ -438,10 +462,7 @@ object Retrieval {
            |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
            |contrib AS (
            |  SELECT q.q_id, tf.doc_id,
-           |    ${roundToSql(
-                 s"ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))" +
-                   s" * (tf.tf * ${BmK1 + 1.0})" +
-                   s" / (tf.tf + $BmK1 * (${1.0 - BmB} + $BmB * tf.dl / s.avgdl))", 6)} AS c
+           |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
            |  FROM tf JOIN df USING (token) JOIN q USING (token)
            |  CROSS JOIN stats s
            |  WHERE tf.doc_id <> q.q_id),

@@ -1114,9 +1114,12 @@ object TextOps {
     // salted-hash discipline of q_sample_det / q_mixture_sample (no
     // per-row RNG: reruns and late-arriving cluster members land in
     // the SAME split), 90/5/5 by hash bucket of the cluster rep.
-    // Cost on top of the cluster map: one map-side projection.
+    // Cost on top of the cluster map: one map-side projection —
+    // clusterAssignments directly, NOT dedupClusters, which would pay
+    // a size aggregation + join-back + two cache materializations for
+    // columns this query discards.
     "q_leakage_split" -> ((s, dir) =>
-      dedupClusters(s, dir)
+      clusterAssignments(s, dir)
         .withColumn("bucket",
           hash60(concat(lit("split:"), col("cluster_rep").cast("string"))) % 100)
         .withColumn("split",

@@ -183,7 +183,12 @@ object VectorOps {
       .filter(col("ida") < col("idb") &&
         roundTo(graft.functions.cosine_sim(col("ea"), col("eb")), 6) >= tau)
       .select(col("idb").as("dropped_id")).distinct()
-    withRep.join(broadcast(droppedReps),
+    // NO broadcast hint on the dropped set: at a production dedup
+    // rate it is proportional to the number of near-duplicated
+    // representatives (corpus-sized in the worst case), and a forced
+    // broadcast cannot fall back — let AQE pick broadcast when the
+    // runtime size allows (it does at the declared-query scale)
+    withRep.join(droppedReps,
         col("rep_id") === col("dropped_id"), "left")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         (col("vec_id") === col("rep_id") && col("dropped_id").isNull).as("kept"))

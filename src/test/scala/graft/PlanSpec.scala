@@ -128,7 +128,7 @@ class PlanSpec extends SparkSpec {
       s"PII pass must not aggregate:\n${p.take(2000)}")
   }
 
-  test("q_semantic_dedup pairs representatives via equi-join, drops via broadcast") {
+  test("q_semantic_dedup pairs representatives via equi-join over the rep collapse") {
     val p = plan("q_semantic_dedup")
     assert(!p.contains("CartesianProduct"),
       s"pair stage must be the per-cell equi-join:\n${p.take(2000)}")
@@ -136,8 +136,11 @@ class PlanSpec extends SparkSpec {
     // (cell, embedding) ahead of the pair join
     assert(p.contains("min(vec_id"),
       s"pair join must consume rep-collapsed rows:\n${p.take(3000)}")
-    assert(p.contains("BroadcastHashJoin"),
-      s"dropped-rep verdicts must broadcast back:\n${p.take(2000)}")
+    // the dropped-rep join carries NO broadcast hint (at production
+    // dedup rates the dropped set is corpus-sized; AQE broadcasts it
+    // at runtime when small) — pin only that it stays an equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dropped-rep join must be an equi-join:\n${p.take(2000)}")
   }
 
   test("q_video_neardup candidates come from the sig-collapsed band join") {

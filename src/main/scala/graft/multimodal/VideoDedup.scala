@@ -67,7 +67,9 @@ object VideoDedup {
     * The result is materialized and the wide intermediates released
     * (the minhashPairsOfHashes lifecycle). */
   def nearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
-      nBands: Int = 4, maxBucket: Option[Int] = Some(64)): DataFrame = {
+      nBands: Int = 4,
+      maxBucket: Option[Int] = Some(graft.ops.HammingDedup.CapBucket))
+      : DataFrame = {
     require(64 % nBands == 0, s"nBands=$nBands must divide 64")
     require(maxHamming < nBands,
       s"per-slot banding is exact only for maxHamming < nBands")

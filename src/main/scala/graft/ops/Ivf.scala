@@ -628,6 +628,15 @@ object Ivf {
       iters: Int = 2): Array[Array[Double]] = {
     require(driftFactor > 1.0, s"driftFactor=$driftFactor must exceed 1")
     val idx = spark.read.parquet(indexDir)
+    // PQ-augmented layouts are REJECTED, not silently corrupted: the
+    // rewrite below would carry each row's old pq_code into a cell
+    // whose centroid changed, and the residual ADC path would then
+    // decode codes against centroids they were never encoded for —
+    // wrong distances with no error. Refit the plain index and
+    // re-encode (writeIndexPq) instead.
+    require(!idx.columns.contains("pq_code"),
+      s"refitDriftedCells: $indexDir is a PQ-augmented layout — " +
+        "refit the base index and re-encode with writeIndexPq")
     val drifted = driftReport(idx, centers, baseline, embColName)
       .filter(col("drift_ratio") >= driftFactor && col("n") >= minRows)
       .select(col("cell")).collect().map(_.getInt(0)).sorted
@@ -635,10 +644,11 @@ object Ivf {
     // one pruned read of all drifted cells together — the refit sees
     // the full drifted region, so members may move BETWEEN drifted
     // cells (that is the repair; they never leave the drifted id set)
-    val rows = idx
+    val shims = org.apache.spark.sql.graft.shims
+    val (rows, rowsHandle) = shims.materializedWithHandle(idx
       .filter(col("cell").isin(drifted.map(Integer.valueOf).toIndexedSeq: _*))
-      .drop("cell")
-      .localCheckpoint(true)
+      .drop("cell"))
+    rowsHandle.count()
     val sub = fit(rows, col(embColName), Seq(col(idColName)),
       k = drifted.length, iters = iters, dims = centers(0).length)
     val updated = centers.map(_.clone())
@@ -651,6 +661,10 @@ object Ivf {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(indexDir)
+    // blocks released deterministically — a periodic drift-repair
+    // session must not accumulate one drifted-region copy per refit
+    // (localCheckpoint would leave release to driver-GC timing)
+    rowsHandle.unpersist(blocking = false)
     updated
   }
 
@@ -898,8 +912,24 @@ object Ivf {
     import spark.implicits._
     require(nProbe0 >= 1, s"nProbe=$nProbe0")
     require(topK >= 1, s"topK=$topK")
+    // fail fast on a non-long q_id: the escalation bookkeeping reads
+    // q_id as Long and rebuilds the retry set as a LongType join key —
+    // an Int-keyed query frame would ClassCastException only on the
+    // escalation path (i.e. in production, under a selective
+    // predicate), so reject it up front instead
+    require(queries.schema("q_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"searchBatchAdaptive: q_id must be LongType, got " +
+        s"${queries.schema("q_id").dataType.simpleString} — cast the " +
+        "query frame's q_id to long")
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = queries
+    // the full query-id set collects ONCE; each round's undershoot set
+    // is derived from the previous round's (collecting `remaining`
+    // per round would re-run a distinct job over the query frame each
+    // escalation for ids we already hold)
+    var remainingIds = queries.select(col("q_id")).distinct()
+      .collect().map(_.getLong(0))
     var probe = math.min(nProbe0, nCells)
     var done = false
     while (!done) {
@@ -912,14 +942,13 @@ object Ivf {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // queries with ZERO candidates are absent from the result
         // entirely — they undershoot too
-        val allQ = remaining.select(col("q_id")).distinct()
-          .collect().map(_.getLong(0))
-        val shortIds = allQ.filter(q => counts.getOrElse(q, 0L) < topK)
+        val shortIds = remainingIds.filter(q => counts.getOrElse(q, 0L) < topK)
         if (shortIds.isEmpty) { parts += res; done = true }
         else {
           val shortDf = shortIds.toSeq.toDF("q_id")
           parts += res.join(broadcast(shortDf), Seq("q_id"), "left_anti")
           remaining = remaining.join(broadcast(shortDf), Seq("q_id"), "left_semi")
+          remainingIds = shortIds
           probe = math.min(probe * 2, nCells)
         }
       }

@@ -9,24 +9,35 @@ import org.apache.spark.sql.SparkSession
   * source scan). Ownership of the checkpointed blocks is the memo's:
   * callers never unpersist what they are handed.
   *
-  * Round-9 hardening of the round-8 TextOps-private map (ADVICE r8):
-  *  - entries are keyed by session identity and SWEPT once the
-  *    session's SparkContext is stopped — a long-lived JVM cycling
-  *    sessions no longer accumulates dead-session DataFrames (their
-  *    checkpoint blocks died with the session's executors; the sweep
-  *    releases the last driver-side references so they can be GC'd);
-  *  - compute-and-insert runs under the memo's monitor (reentrant, so
-  *    nested stages — cluster keepers inside the pipeline selection —
-  *    still compose), closing the get-then-put race that could run
-  *    the same expensive stage twice concurrently. The lock is NOT
-  *    `computeIfAbsent` because nested stages would recursively
-  *    update the same map, which ConcurrentHashMap forbids.
+  * Concurrency (round-9, second pass): entries are FUTURE-VALUED —
+  * `computeIfAbsent` only CONSTRUCTS an unstarted task (cheap, no
+  * user code inside the map's lock, so nested stages cannot recurse
+  * into the map mid-update), and the compute itself runs via
+  * `FutureTask.run()` with NO monitor held. The first caller of a key
+  * executes it, concurrent callers of the SAME key block on the
+  * task's result (not on a lock), and callers of DIFFERENT keys —
+  * including nested stages invoked from inside a running compute —
+  * proceed in parallel. This replaces the earlier whole-object
+  * `synchronized`, which serialized every memoized stage across all
+  * sessions for the full compute duration and could deadlock if a
+  * compute ever touched the memo from another thread. A failed
+  * compute removes its entry (failures are retried, not cached).
+  *
+  * Entries are keyed by session identity and SWEPT once the session's
+  * SparkContext is stopped — a long-lived JVM cycling sessions does
+  * not accumulate dead-session DataFrames (their checkpoint blocks
+  * died with the session's executors; the sweep releases the last
+  * driver-side references so they can be GC'd). (ADVICE r8.)
   */
 object Memo {
 
+  private final class Entry(val session: SparkSession, thunk: () => AnyRef) {
+    val task = new java.util.concurrent.FutureTask[AnyRef](
+      new java.util.concurrent.Callable[AnyRef] { def call(): AnyRef = thunk() })
+  }
+
   private val entries =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, String, String), (SparkSession, AnyRef)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]()
 
   private def keyOf(s: SparkSession, dir: String, stage: String) =
     (s.sparkContext.applicationId + "#" + System.identityHashCode(s), dir, stage)
@@ -36,23 +47,25 @@ object Memo {
     * already-materialized value (eager localCheckpoint) so no lazy
     * plan — with caches it expects alive — outlives this call. */
   def stage[A <: AnyRef](s: SparkSession, dir: String, stage: String)(
-      compute: => A): A = synchronized {
+      compute: => A): A = {
     sweepStopped()
     val key = keyOf(s, dir, stage)
-    val hit = entries.get(key)
-    if (hit != null) hit._2.asInstanceOf[A]
-    else {
-      val v = compute
-      entries.put(key, (s, v))
-      v
+    val e = entries.computeIfAbsent(key,
+      _ => new Entry(s, () => compute))
+    e.task.run() // first caller executes; others fall through to get()
+    try e.task.get().asInstanceOf[A]
+    catch {
+      case ex: java.util.concurrent.ExecutionException =>
+        entries.remove(key, e)
+        throw ex.getCause
     }
   }
 
   /** Drop entries whose owning session has stopped — their blocks are
     * already gone; this releases the driver-side references. */
   private def sweepStopped(): Unit =
-    entries.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    entries.entrySet().removeIf(e => e.getValue.session.sparkContext.isStopped)
 
   /** Visible for tests: number of live entries after a sweep. */
-  private[graft] def liveEntries: Int = synchronized { sweepStopped(); entries.size() }
+  private[graft] def liveEntries: Int = { sweepStopped(); entries.size() }
 }

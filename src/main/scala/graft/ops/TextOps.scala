@@ -869,8 +869,14 @@ object TextOps {
     * kept counts scale as sqrt(c) — the multilingual rebalancing step
     * of corpus mixing. The rate table is data-derived (languages-sized
     * agg × 1-row min anchor, broadcast), and the keep decision is a
-    * map-side deterministic salted-hash threshold: reruns, retries,
-    * and incremental appends keep the SAME documents. */
+    * map-side deterministic salted-hash threshold: RERUNS AND RETRIES
+    * over the same snapshot keep the SAME documents. Incremental
+    * appends do NOT — the rates are a function of the current counts,
+    * so new data shifts every language's threshold and can flip
+    * previously-kept documents. A pipeline emitting shards
+    * incrementally must FREEZE the rate table (compute `rates` once,
+    * persist it, and filter each increment against the frozen copy)
+    * rather than re-deriving it per batch. */
   def mixtureSample(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
     val minC = counts.agg(min(col("c")).as("cmin"))

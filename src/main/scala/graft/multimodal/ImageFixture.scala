@@ -6,9 +6,6 @@ package graft.multimodal
   * state the expected parse results without seeing any bytes. */
 object ImageFixture {
 
-  // memory-backed ImageIO streams for the fixture encodes (see
-  // ImageCodec: the default is a temp FILE per encode)
-  javax.imageio.ImageIO.setUseCache(false)
   private val Formats = Vector("png", "jpeg", "gif")
 
   def formatOf(id: Long): String = Formats((((id % 3) + 3) % 3).toInt)
@@ -51,10 +48,10 @@ object ImageFixture {
       }
       cell += 1
     }
-    val out = new java.io.ByteArrayOutputStream(1024)
-    val ok = javax.imageio.ImageIO.write(img, format, out)
-    require(ok, s"no ImageIO writer for $format")
-    out.toByteArray
+    // memory-backed ImageIO stream (see ImageCodec: the default is a
+    // temp FILE per encode)
+    ImageCodec.encode(img, format)
+      .getOrElse(throw new IllegalArgumentException(s"no ImageIO writer for $format"))
   }
 
   /** Encode a w×h image with id-derived flat color via ImageIO.
@@ -69,9 +66,7 @@ object ImageFixture {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream(1024)
-    val ok = javax.imageio.ImageIO.write(img, format, out)
-    require(ok, s"no ImageIO writer for $format")
-    out.toByteArray
+    ImageCodec.encode(img, format)
+      .getOrElse(throw new IllegalArgumentException(s"no ImageIO writer for $format"))
   }
 }

@@ -306,10 +306,9 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, nw, nh, null)
           g.dispose()
-          val out = new java.io.ByteArrayOutputStream(1024)
-          val ok = javax.imageio.ImageIO.write(dst, fmt, out)
-          if (!ok) throw new IllegalStateException(s"no ImageIO writer for $fmt")
-          r.copy(payload = out.toByteArray)
+          val bytes = ImageCodec.encode(dst, fmt).getOrElse(
+            throw new IllegalStateException(s"no ImageIO writer for $fmt"))
+          r.copy(payload = bytes)
         }
       }
     }

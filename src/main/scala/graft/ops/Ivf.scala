@@ -917,9 +917,13 @@ object Ivf {
     // an Int-keyed query frame would ClassCastException only on the
     // escalation path (i.e. in production, under a selective
     // predicate), so reject it up front instead
+    // named after THIS shared helper, not one public entry point: both
+    // searchBatchAdaptive and searchPqBatchAdaptive route here, and a
+    // caller-specific name would mislead on the other path (ADVICE r9)
     require(queries.schema("q_id").dataType ==
       org.apache.spark.sql.types.LongType,
-      s"searchBatchAdaptive: q_id must be LongType, got " +
+      s"escalatingSearch (searchBatchAdaptive/searchPqBatchAdaptive): " +
+        s"q_id must be LongType, got " +
         s"${queries.schema("q_id").dataType.simpleString} — cast the " +
         "query frame's q_id to long")
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -39,6 +39,17 @@ object Memo {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]()
 
+  /** Keys whose compute is running ON THIS THREAD. A compute that
+    * re-enters [[stage]] with the SAME key would find its own
+    * FutureTask already running: `run()` returns immediately and
+    * `get()` blocks forever on the very thread executing the task — a
+    * silent permanent hang. Nested stages with DIFFERENT keys are
+    * fine (and used: pipeline stages compose); same-key re-entry is a
+    * programming error and fails loudly instead. (ADVICE r9.) */
+  private val inProgress = new ThreadLocal[scala.collection.mutable.Set[(String, String, String)]] {
+    override def initialValue() = scala.collection.mutable.Set.empty
+  }
+
   private def keyOf(s: SparkSession, dir: String, stage: String) =
     (s.sparkContext.applicationId + "#" + System.identityHashCode(s), dir, stage)
 
@@ -50,15 +61,22 @@ object Memo {
       compute: => A): A = {
     sweepStopped()
     val key = keyOf(s, dir, stage)
+    if (inProgress.get.contains(key))
+      throw new IllegalStateException(
+        s"Memo.stage re-entered with its own key (stage '$stage', dir '$dir') " +
+          "from inside its compute — this would deadlock waiting on itself")
     val e = entries.computeIfAbsent(key,
       _ => new Entry(s, () => compute))
-    e.task.run() // first caller executes; others fall through to get()
-    try e.task.get().asInstanceOf[A]
-    catch {
-      case ex: java.util.concurrent.ExecutionException =>
-        entries.remove(key, e)
-        throw ex.getCause
-    }
+    inProgress.get += key
+    try {
+      e.task.run() // first caller executes; others fall through to get()
+      try e.task.get().asInstanceOf[A]
+      catch {
+        case ex: java.util.concurrent.ExecutionException =>
+          entries.remove(key, e)
+          throw ex.getCause
+      }
+    } finally inProgress.get -= key
   }
 
   /** Drop entries whose owning session has stopped — their blocks are

@@ -148,8 +148,15 @@ object Retrieval {
     scored
       .select(col("q_id"), col("score"),
         // FULL 19-digit pad (the q_batch_topk lesson: lpad truncates,
-        // an 8-digit pad corrupts ids ≥ 1e8 at exactly corpus scale)
-        lpad(col("doc_id").cast("string"), 19, "0").as("key"))
+        // an 8-digit pad corrupts ids ≥ 1e8 at exactly corpus scale).
+        // NON-NEGATIVE contract, enforced: a negative id zero-pads to
+        // '00…0-5', breaking the lexicographic-equals-numeric
+        // tie-break and casting back to NULL below (ADVICE r9) —
+        // fail at the encode, not with silently wrong ranks.
+        lpad(when(col("doc_id") < 0, raise_error(lit(
+            "bm25Batch: negative doc_id — the lpad key encoding " +
+              "requires non-negative ids")))
+          .otherwise(col("doc_id")).cast("string"), 19, "0").as("key"))
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(col("score"), col("key"), k).as("topk"))
       .select(col("q_id"), posexplode(col("topk")))

@@ -456,6 +456,105 @@ object TextOps {
     * into both q_substring_dedup spellings (the MinhashK pattern). */
   val SubstrWindow = 8
 
+  // ---------------------------------------------------------------
+  // Shared substring-dedup core (r9 deferred self-review item): ONE
+  // derivation of the window-hash + duplicated-start machinery for
+  // q_substring_dedup / q_substring_spans / q_substring_clean — three
+  // hash-green queries previously carried inline copies that a future
+  // edit to one could silently diverge.
+  // ---------------------------------------------------------------
+
+  /** The tokenized documents base every substring query starts from:
+    * (doc_id, toks, n). */
+  private def substrTokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+
+  /** Run `finish` over the DUPLICATED-WINDOW STARTS frame
+    * (doc_id, st): windows of [[SubstrWindow]] consecutive tokens at
+    * stride 1 hash map-side INSIDE the explode (the
+    * Generate-placement rule — text never shuffles, only skinny
+    * (doc_id, st, h) rows); a window is duplicated iff its hash
+    * occurs more than once corpus-wide — ONE hash-keyed count
+    * (map-side partials) applied back as a semi-join on the same key.
+    *
+    * Lifecycle owned here: the O(total tokens) window-hash frame
+    * persists across its two consumers (the sf-local trade, r8
+    * verdict — at 100 TB drop the persist and recompute the map-side
+    * explode instead of spilling the corpus token count to disk), the
+    * finished result materializes persisted, and the window cache
+    * releases before returning (the minhashPairsOfHashes lifecycle —
+    * no leaked cache entry per invocation). */
+  private def withDupWindowStarts(base: DataFrame, w: Int)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val wins = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), col("n") - (w - 1)),
+        st => struct(st.as("st"),
+          hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))).as("h"))))
+        .as("sw"))
+      .select(col("doc_id"), col("sw.st").as("st"), col("sw.h").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("st"))
+    val out = finish(dupStarts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    wins.unpersist(false)
+    out
+  }
+
+  /** Merge stride-1 duplicated window starts into MAXIMAL spans by
+    * gaps-and-islands: windows all have width `w` and starts arrive
+    * sorted per doc, so the running span end is lag(st)+w-1 and a new
+    * island starts exactly when st > lag(st)+w (overlapping OR
+    * abutting windows merge — one verbatim region, one span).
+    * Returns (doc_id, island, s0, s1) with s1 = last start + w - 1;
+    * the island sum and the span aggregation shuffle on doc_id over
+    * skinny (doc_id, st) rows only. */
+  private def mergeDupSpans(dupStarts: DataFrame, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    dupStarts
+      .withColumn("brk",
+        when(lag(col("st"), 1).over(byDoc).isNull ||
+          col("st") <= lag(col("st"), 1).over(byDoc) + w, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("s0"), (max(col("st")) + (w - 1)).as("s1"))
+  }
+
+  /** DuckDB restatement of the shared substring chain, as CTEs:
+    * t (tokenized) → b (≥ w tokens) → w (window hashes, starts) →
+    * dh (duplicated hashes) → dw (duplicated starts — exactly
+    * [[withDupWindowStarts]]'s frame) → g/i/sp (gaps-and-islands
+    * maximal spans — exactly [[mergeDupSpans]]). One derivation for
+    * the three substring oracles, mirroring the one Scala core. */
+  private def substrCtesSql(w: Int): String =
+    s"""t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= $w),
+       |w AS (
+       |  SELECT doc_id, s AS st,
+       |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
+       |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)),
+       |dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+       |dw AS (SELECT doc_id, st FROM w WHERE h IN (SELECT h FROM dh)),
+       |g AS (
+       |  SELECT doc_id, st,
+       |    CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+       |           OR st <= lag(st) OVER (PARTITION BY doc_id ORDER BY st) + $w
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM dw),
+       |i AS (
+       |  SELECT doc_id, st,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g),
+       |sp AS (SELECT doc_id, island, min(st) AS s0, max(st) + ${w - 1} AS s1
+       |       FROM i GROUP BY doc_id, island)""".stripMargin
+
   /** DuckDB spelling of [[minhashPairs]] as a CTE block ending in a
     * relation named `np(id_a, id_b)`. `maxBucket` mirrors
     * [[minhashPairsOf]]'s one-sided hot-bucket cap: the candidate
@@ -1374,41 +1473,19 @@ object TextOps {
     // window granularity.
     "q_substring_dedup" -> ((s, dir) => {
       val w = SubstrWindow
-      val base = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        .filter(col("n") >= w)
-      val wins = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("n") - (w - 1)),
-          st => hash60(concat_ws(" ", slice(col("toks"), st, lit(w))))))
-          .as("h"))
-        // sf-local choice (r8 verdict): persisting the O(total tokens)
-        // window hashes trades memory/disk for the second tokenize+hash
-        // pass, right at gate scale where the frame fits an executor.
-        // At 100 TB drop the persist — the explode is map-side off the
-        // columnar scan, and recomputing it for the semi-join pass is
-        // cheaper than spilling the corpus's token count to disk.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1).select(col("h"))
-      val dupPerDoc = wins.join(dupHashes, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
-      val out = base
-        .select(col("doc_id"), (col("n") - (w - 1)).cast("long").as("total_windows"))
-        .join(dupPerDoc, Seq("doc_id"), "left")
-        .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
-        .withColumn("dup_frac",
-          roundTo(col("dup_windows").cast("double") / col("total_windows"), 4))
-        .withColumn("keep", col("dup_frac") <= 0.2)
-        .orderBy("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the skinny per-doc profile, then release the
-      // O(total tokens) window-hash cache — the minhashPairsOfHashes
-      // lifecycle (r8 advice: `wins` previously leaked one cache
-      // entry per invocation outside the harness's clearCache)
-      out.count()
-      wins.unpersist(false)
-      out
+      val base = substrTokenized(s, dir).filter(col("n") >= w)
+      withDupWindowStarts(base, w) { dupStarts =>
+        val dupPerDoc = dupStarts
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+        base
+          .select(col("doc_id"), (col("n") - (w - 1)).cast("long").as("total_windows"))
+          .join(dupPerDoc, Seq("doc_id"), "left")
+          .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
+          .withColumn("dup_frac",
+            roundTo(col("dup_windows").cast("double") / col("total_windows"), 4))
+          .withColumn("keep", col("dup_frac") <= 0.2)
+          .orderBy("doc_id")
+      }
     }),
 
     // SPAN-LEVEL substring dedup output (r8 verdict item 2):
@@ -1426,38 +1503,15 @@ object TextOps {
     // semi-join as q_substring_dedup.
     "q_substring_spans" -> ((s, dir) => {
       val w = SubstrWindow
-      val base = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        .filter(col("n") >= w)
-      val wins = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("n") - (w - 1)),
-          st => struct(st.as("st"),
-            hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))).as("h"))))
-          .as("sw"))
-        .select(col("doc_id"), col("sw.st").as("st"), col("sw.h").as("h"))
-        // same sf-local persist trade as q_substring_dedup's `wins`
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1).select(col("h"))
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-      val out = wins.join(dupHashes, Seq("h"), "left_semi")
-        .select(col("doc_id"), col("st"))
-        .withColumn("brk",
-          when(lag(col("st"), 1).over(byDoc).isNull ||
-            col("st") <= lag(col("st"), 1).over(byDoc) + w, 0).otherwise(1))
-        .withColumn("island", sum(col("brk")).over(
-          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("st")).cast("long").as("span_start"),
-          (max(col("st")) + (w - 1)).cast("long").as("span_end"))
-        .withColumn("span_len", col("span_end") - col("span_start") + 1)
-        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
-        .orderBy("doc_id", "span_start")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      wins.unpersist(false)
-      out
+      val base = substrTokenized(s, dir).filter(col("n") >= w)
+      withDupWindowStarts(base, w) { dupStarts =>
+        mergeDupSpans(dupStarts, w)
+          .select(col("doc_id"),
+            col("s0").cast("long").as("span_start"),
+            col("s1").cast("long").as("span_end"))
+          .withColumn("span_len", col("span_end") - col("span_start") + 1)
+          .orderBy("doc_id", "span_start")
+      }
     }),
 
     // CLEANED-TEXT substring dedup — the cut applied: tokens covered
@@ -1471,47 +1525,24 @@ object TextOps {
     // text passes through).
     "q_substring_clean" -> ((s, dir) => {
       val w = SubstrWindow
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      val docs = substrTokenized(s, dir)
       val base = docs.filter(col("n") >= w)
-      val wins = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("n") - (w - 1)),
-          st => struct(st.as("st"),
-            hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))).as("h"))))
-          .as("sw"))
-        .select(col("doc_id"), col("sw.st").as("st"), col("sw.h").as("h"))
-        // same sf-local persist trade as q_substring_dedup's `wins`
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1).select(col("h"))
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-      val spans = wins.join(dupHashes, Seq("h"), "left_semi")
-        .select(col("doc_id"), col("st"))
-        .withColumn("brk",
-          when(lag(col("st"), 1).over(byDoc).isNull ||
-            col("st") <= lag(col("st"), 1).over(byDoc) + w, 0).otherwise(1))
-        .withColumn("island", sum(col("brk")).over(
-          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("st")).as("s0"), (max(col("st")) + (w - 1)).as("s1"))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("s0"), col("s1"))).as("spans"))
-      val out = docs.join(spans, Seq("doc_id"), "left")
-        .withColumn("spans", coalesce(col("spans"),
-          array().cast("array<struct<s0:int,s1:int>>")))
-        .withColumn("kept", filter(col("toks"), (t, i) =>
-          !exists(col("spans"),
-            sp => i + 1 >= sp("s0") && i + 1 <= sp("s1"))))
-        .select(col("doc_id"),
-          col("n").cast("long").as("n_tokens"),
-          size(col("kept")).cast("long").as("kept_tokens"),
-          array_join(col("kept"), " ").as("clean_text"))
-        .orderBy("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      wins.unpersist(false)
-      out
+      withDupWindowStarts(base, w) { dupStarts =>
+        val spans = mergeDupSpans(dupStarts, w)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("s0"), col("s1"))).as("spans"))
+        docs.join(spans, Seq("doc_id"), "left")
+          .withColumn("spans", coalesce(col("spans"),
+            array().cast("array<struct<s0:int,s1:int>>")))
+          .withColumn("kept", filter(col("toks"), (t, i) =>
+            !exists(col("spans"),
+              sp => i + 1 >= sp("s0") && i + 1 <= sp("s1"))))
+          .select(col("doc_id"),
+            col("n").cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("kept_tokens"),
+            array_join(col("kept"), " ").as("clean_text"))
+          .orderBy("doc_id")
+      }
     }),
 
     // PERCEPTUAL image near-dup — the media analog of q_minhash_dedup,
@@ -1945,15 +1976,8 @@ object TextOps {
 
       "q_substring_dedup" -> {
         val w = SubstrWindow
-        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
-           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= $w),
-           |w AS (
-           |  SELECT doc_id,
-           |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
-           |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)),
-           |dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
-           |d AS (SELECT doc_id, count(*) AS dup_windows FROM w
-           |      WHERE h IN (SELECT h FROM dh) GROUP BY doc_id)
+        s"""WITH ${substrCtesSql(w)},
+           |d AS (SELECT doc_id, count(*) AS dup_windows FROM dw GROUP BY doc_id)
            |SELECT b.doc_id, CAST(b.n - ${w - 1} AS BIGINT) AS total_windows,
            |  COALESCE(d.dup_windows, 0) AS dup_windows,
            |  ${roundToSql(s"COALESCE(d.dup_windows, 0) / (b.n - ${w - 1})", 4)} AS dup_frac,
@@ -1961,61 +1985,22 @@ object TextOps {
            |FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
       },
 
-      // the same window hashes + the same gaps-and-islands merge,
-      // restated: islands break when st > lag(st) + w
+      // the shared chain's maximal spans, presented
       "q_substring_spans" -> {
         val w = SubstrWindow
-        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
-           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= $w),
-           |w AS (
-           |  SELECT doc_id, s AS st,
-           |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
-           |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)),
-           |dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
-           |dw AS (SELECT doc_id, st FROM w WHERE h IN (SELECT h FROM dh)),
-           |g AS (
-           |  SELECT doc_id, st,
-           |    CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
-           |           OR st <= lag(st) OVER (PARTITION BY doc_id ORDER BY st) + $w
-           |         THEN 0 ELSE 1 END AS brk
-           |  FROM dw),
-           |i AS (
-           |  SELECT doc_id, st,
-           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY st
-           |                   ROWS UNBOUNDED PRECEDING) AS island
-           |  FROM g)
-           |SELECT doc_id, CAST(min(st) AS BIGINT) AS span_start,
-           |  CAST(max(st) + ${w - 1} AS BIGINT) AS span_end,
-           |  CAST(max(st) + ${w - 1} - min(st) + 1 AS BIGINT) AS span_len
-           |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+        s"""WITH ${substrCtesSql(w)}
+           |SELECT doc_id, CAST(s0 AS BIGINT) AS span_start,
+           |  CAST(s1 AS BIGINT) AS span_end,
+           |  CAST(s1 - s0 + 1 AS BIGINT) AS span_len
+           |FROM sp ORDER BY doc_id, span_start""".stripMargin
       },
 
       // spans applied as the cut: token i survives iff no duplicated
       // span covers it; survivors rejoin in order
       "q_substring_clean" -> {
         val w = SubstrWindow
-        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+        s"""WITH ${substrCtesSql(w)},
            |a AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-           |b AS (SELECT * FROM a WHERE n >= $w),
-           |w AS (
-           |  SELECT doc_id, s AS st,
-           |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
-           |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)),
-           |dh AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
-           |dw AS (SELECT doc_id, st FROM w WHERE h IN (SELECT h FROM dh)),
-           |g AS (
-           |  SELECT doc_id, st,
-           |    CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
-           |           OR st <= lag(st) OVER (PARTITION BY doc_id ORDER BY st) + $w
-           |         THEN 0 ELSE 1 END AS brk
-           |  FROM dw),
-           |i AS (
-           |  SELECT doc_id, st,
-           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY st
-           |                   ROWS UNBOUNDED PRECEDING) AS island
-           |  FROM g),
-           |sp AS (SELECT doc_id, min(st) AS s0, max(st) + ${w - 1} AS s1
-           |       FROM i GROUP BY doc_id, island),
            |tok AS (SELECT doc_id, n, i, toks[i] AS tok
            |        FROM a, unnest(range(1, n + 1)) AS u(i)),
            |kept AS (

@@ -28,12 +28,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up pass of the IO + codegen paths so per-query timings
-    // measure the operators, not first-touch JIT/classloading
-    SparkEntry.queries.get("q1_agg").foreach { fn =>
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+    // warm-up passes of the IO + codegen paths so per-query timings
+    // measure the operators, not first-touch JIT/classloading. One
+    // representative per INPUT LANE (events / documents / embeddings /
+    // tpch), all sub-second queries: r9's driver run showed the
+    // sub-second event lane taxed ~1.17× across the board when new
+    // upstream queries pushed first-touch costs into it.
+    Seq("q1_agg", "q_sample_det", "q_token_count", "q_similarity_topk",
+        "q_sort_limit").foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.sharedState.cacheManager.clearCache()
     }
+    System.gc()
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -61,18 +70,51 @@ object Bench {
 
     // regression gate vs the pinned round-1 baseline (>1.5× slower)
     val baseline = readBaseline("bench_baseline.json")
-    val regressions = baseline.toSeq.flatMap { case (name, b) =>
+    val inline = baseline.toSeq.flatMap { case (name, b) =>
       timings.get(name).filter(t => !failed.contains(name) && b > 0 && t > b * 1.5)
         .map(t => name -> (t / b))
     }.sortBy(-_._2)
-    regressions.foreach { case (n, r) =>
-      System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx vs baseline")
+
+    // END-OF-RUN ISOLATION RE-TIME (r9 verdict #1): an in-run flag can
+    // be run-order noise — GC debt, JIT churn, or a neighboring query's
+    // memory pressure — not a plan regression. Re-time each flagged
+    // query after the full suite with a clean cache + settled heap,
+    // best of 2 (the second run removes residual first-touch effects
+    // of the query's own lane). `regressions` reports only queries
+    // that stay >1.5× IN ISOLATION; the raw in-run flags are kept in
+    // `regressions_inline` so the two regimes stay distinguishable.
+    val isolated = inline.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sharedState.cacheManager.clearCache()
+      name -> runs.min
+    }.toMap
+    val regressions = inline.flatMap { case (name, _) =>
+      val t = isolated(name)
+      val b = baseline(name)
+      if (t > b * 1.5) Some(name -> (t / b)) else None
     }
-    val regJson = regressions.map { case (k, r) => f""""$k":$r%.2f""" }
-      .mkString("{", ",", "}")
+    regressions.foreach { case (n, r) =>
+      System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx vs baseline (isolated)")
+    }
+    inline.foreach { case (n, r) =>
+      System.err.println(
+        f"[bench] inline flag $n: ${r}%.2fx in-run, ${isolated(n) / baseline(n)}%.2fx isolated")
+    }
+    def regJson(m: Seq[(String, Double)]) =
+      m.map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+    val isoJson = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":${regJson(regressions)},"regressions_inline":${regJson(inline)},"queries_isolated":$isoJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

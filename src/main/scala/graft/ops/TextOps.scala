@@ -506,6 +506,18 @@ object TextOps {
     out
   }
 
+  /** Deterministic leakage-safe split of a cluster REPRESENTATIVE —
+    * 90/5/5 train/val/test by salted-hash bucket (the q_sample_det
+    * discipline: no per-row RNG, reruns and late-arriving cluster
+    * members land in the same split). ONE definition shared by
+    * q_leakage_split and the streaming cluster store
+    * ([[graft.stream.StreamingDedup.updateClusterStore]]), so batch
+    * and stream agree by construction, not by parallel maintenance. */
+  def splitOfRep(rep: Column): Column = {
+    val bucket = hash60(concat(lit("split:"), rep.cast("string"))) % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise(lit("test"))
+  }
+
   /** Merge stride-1 duplicated window starts into MAXIMAL spans by
     * gaps-and-islands: windows all have width `w` and starts arrive
     * sorted per doc, so the running span end is lag(st)+w-1 and a new
@@ -686,7 +698,11 @@ object TextOps {
 
   def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val expanded = clusterAssignments(s, dir, maxRounds)
+    // default geometry serves from the session's memoized assignment
+    // (one CC run per session, shared with keepers + leakage split);
+    // a custom maxRounds is a convergence experiment — compute direct
+    val expanded = (if (maxRounds == 64) clusterAssignmentsMemo(s, dir)
+      else clusterAssignments(s, dir, maxRounds))
       .persist(MEMORY_AND_DISK) // consumed by the size agg + final join
     val sizes = expanded.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -747,16 +763,43 @@ object TextOps {
       compute: => DataFrame): DataFrame =
     Memo.stage(s, dir, stage)(compute)
 
+  /** The FULL (doc_id, cluster_rep) assignment, memoized per
+    * (session, dir) — ONE connected-components run per session now
+    * serves the corpus-pipeline keepers, q_dedup_clusters, AND
+    * q_leakage_split (r9 verdict #6: the leakage split previously
+    * re-ran the whole text scan + pair generation + CC for labels the
+    * session had already computed). `feats0` lets the corpus pipeline
+    * donate its already-persisted feature frame; the standalone path
+    * computes a PRUNED (doc_id, dig, hsh) projection — none of the
+    * quality/repetition arithmetic — and releases it once the labels
+    * checkpoint. Labels are identical under either path (docs sharing
+    * a normalized-text digest share the token sequence, hence the
+    * hash set — the [[clusterAssignmentsOfFeatures]] contract). */
+  private def clusterAssignmentsMemo(s: SparkSession, dir: String,
+      feats0: Option[DataFrame] = None): DataFrame =
+    memoizedStage(s, dir, "cluster_assignments") {
+      feats0 match {
+        case Some(f) => clusterAssignmentsOfFeatures(f).localCheckpoint(true)
+        case None =>
+          val f = corpusFeatures(s, dir, withRep = false)
+            .select(col("doc_id"), col("dig"), col("hsh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = clusterAssignmentsOfFeatures(f).localCheckpoint(true)
+          f.unpersist(false)
+          out
+      }
+    }
+
   /** The near-dup cluster-keeper id set (doc_id == cluster_rep),
-    * derived from the given persisted feature frame on first use and
-    * memoized per (session, dir) — clustering consumes only the
-    * `dig` and `hsh` columns, which are identical under either
+    * derived from the memoized full assignment on first use and
+    * itself memoized per (session, dir) — clustering consumes only
+    * the `dig` and `hsh` columns, which are identical under either
     * `withRep` spelling of [[corpusFeatures]], so every consumer
     * shares one computation. */
   private def clusterKeeperIds(s: SparkSession, dir: String,
       feats: => DataFrame): DataFrame =
     memoizedStage(s, dir, "cluster_keepers") {
-      clusterAssignmentsOfFeatures(feats)
+      clusterAssignmentsMemo(s, dir, Some(feats))
         .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
         .localCheckpoint(true)
     }
@@ -1219,18 +1262,13 @@ object TextOps {
     // salted-hash discipline of q_sample_det / q_mixture_sample (no
     // per-row RNG: reruns and late-arriving cluster members land in
     // the SAME split), 90/5/5 by hash bucket of the cluster rep.
-    // Cost on top of the cluster map: one map-side projection —
-    // clusterAssignments directly, NOT dedupClusters, which would pay
-    // a size aggregation + join-back + two cache materializations for
-    // columns this query discards.
+    // Cost on top of the cluster map: one map-side projection off the
+    // session-memoized assignment (r9 verdict #6 — previously this
+    // re-ran the whole pair generation + CC; now one CC run per
+    // session serves keepers, q_dedup_clusters, and this split).
     "q_leakage_split" -> ((s, dir) =>
-      clusterAssignments(s, dir)
-        .withColumn("bucket",
-          hash60(concat(lit("split:"), col("cluster_rep").cast("string"))) % 100)
-        .withColumn("split",
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val")
-            .otherwise(lit("test")))
+      clusterAssignmentsMemo(s, dir)
+        .withColumn("split", splitOfRep(col("cluster_rep")))
         .select(col("doc_id"), col("cluster_rep"), col("split"))
         .orderBy("doc_id")),
 

@@ -289,6 +289,69 @@ object Retrieval {
     merges.toSeq
   }
 
+  /** Merge-table size for q_bpe_encode / q_bpe_pack — interpolated
+    * into the oracle's chained-CTE learning replay (the MinhashK
+    * can't-desynchronize pattern). Small on purpose: each round is a
+    * full vocab re-fold in BOTH engines, and four rounds already
+    * exercise multi-symbol merges (a round-2+ winner can contain a
+    * round-1 merge). */
+  val BpeEncodeRounds = 4
+
+  /** Greedy application of a learned merge table IN LEARNED ORDER to
+    * a symbol-array column — the standard BPE encode step (each merge
+    * is one [[mergePairFold]] pass; a later merge sees the earlier
+    * merges' output symbols). */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (acc, (a, b)) => mergePairFold(acc, a, b) }
+
+  /** The learned merge table, memoized per (session, dir, rounds):
+    * learning is rounds+1 vocab-frame jobs and both q_bpe_encode and
+    * q_bpe_pack consume the identical table — the corpus-stage memo
+    * discipline ([[graft.ops.Memo]]). */
+  private def bpeMergesMemo(s: SparkSession, dir: String,
+      rounds: Int): Seq[(String, String)] =
+    graft.ops.Memo.stage(s, dir, s"bpe_merges_$rounds") {
+      learnBpeMerges(Tables.documents(s, dir), rounds)
+    }
+
+  /** CLOSE THE TOKENIZER LOOP (r9 verdict #3): the corpus encoded
+    * under its own learned BPE vocabulary, at VOCABULARY granularity
+    * — (token, freq, n_pieces, encoded). The merge table collects
+    * driver-side (rounds rows — operator metadata, not data), and the
+    * encode is a map-side fold over the DISTINCT vocabulary: at
+    * 100 TB the fold runs once per unique token, not once per token
+    * occurrence, and the result is the vocab-sized lookup table a
+    * pipeline broadcasts wherever occurrence-level encoding is
+    * needed ([[bpePackCounts]] does exactly that). */
+  def bpeEncodeVocab(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val merges = bpeMergesMemo(s, dir, rounds)
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", applyMerges(split(col("token"), ""), merges))
+      .select(col("token"), col("freq"),
+        size(col("syms")).cast("long").as("n_pieces"),
+        array_join(col("syms"), " ").as("encoded"))
+  }
+
+  /** Per-document token counts under the LEARNED BPE vocabulary —
+    * the "real token counts" feeding sequence packing: each ≥2-char
+    * token costs its encoded piece count (broadcast join against the
+    * vocab-granular [[bpeEncodeVocab]] table — the occurrence stream
+    * never carries text beyond the token itself), 1-char tokens are
+    * single symbols, empty tokens vanish. */
+  def bpePackCounts(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val vocabPieces = bpeEncodeVocab(s, dir, rounds)
+      .select(col("token"), col("n_pieces"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocabPieces), Seq("token"), "left")
+      .withColumn("p", coalesce(col("n_pieces"), lit(1L)))
+      .groupBy(col("doc_id")).agg(sum(col("p")).as("n"))
+  }
+
   // ---------------------------------------------------------------
   // PII detection / redaction
   // ---------------------------------------------------------------
@@ -420,10 +483,65 @@ object Retrieval {
         .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
         .orderBy(col("weight").desc, col("pair").asc)
         .limit(20)
-    })
+    }),
+
+    // BPE ENCODE — the learned merge table APPLIED (the tokenizer
+    // loop closed: q_bpe_merges learns, this encodes). Oracle replays
+    // the full [[BpeEncodeRounds]]-round learning AND the greedy
+    // merge application as chained CTEs — a wrong tie-break, a wrong
+    // fold direction ("aaa" must encode ["aa","a"]), or a
+    // codepoint/byte indexing slip all hash-mismatch.
+    "q_bpe_encode" -> ((s, dir) =>
+      bpeEncodeVocab(s, dir, BpeEncodeRounds).orderBy("token")),
+
+    // SEQUENCE PACKING ON REAL TOKENIZER COUNTS — q_pack_sequences'
+    // placement arithmetic driven by the learned-BPE piece counts
+    // instead of whitespace-token counts (what an LLM data pipeline
+    // actually packs by). Same two-phase distributed prefix sum, same
+    // oracle-side window-cumsum replay.
+    "q_bpe_pack" -> ((s, dir) =>
+      TextOps.packCounts(bpePackCounts(s, dir, BpeEncodeRounds),
+        TextOps.PackContext))
   )
 
   private def toksSql = tokensSql("text")
+
+  /** DuckDB replay of [[learnBpeMerges]] + [[applyMerges]] as chained
+    * CTEs: s0 = the char-split (token, freq, syms) vocabulary; each
+    * round r appends p{r} (frequency-weighted adjacent pairs), m{r}
+    * (the winner — max weight, ties (a, b) ascending), s{r} (the
+    * vocabulary with the winner merged everywhere by the SAME greedy
+    * left-to-right fold as [[mergePairFold]], lifted through
+    * list_reduce over singleton-list symbols). Terminal relation:
+    * s{rounds}. Requires a relation `tok0(token)` in scope. */
+  private def bpeChainSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""v0 AS (SELECT token, count(*) AS freq FROM tok0
+         |      WHERE length(token) >= 2 GROUP BY token),
+         |s0 AS (SELECT token, freq,
+         |         list_transform(range(1, length(token) + 1),
+         |           i -> substr(token, CAST(i AS INT), 1)) AS syms
+         |       FROM v0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val (p, m, prev, cur) = (s"p$r", s"m$r", s"s${r - 1}", s"s$r")
+      sb.append(s""",
+        |$p AS (SELECT syms[CAST(i AS INT)] AS a,
+        |         syms[CAST(i AS INT) + 1] AS b, sum(freq) AS w
+        |       FROM $prev, unnest(range(1, len(syms))) AS u(i)
+        |       GROUP BY 1, 2),
+        |$m AS (SELECT a, b FROM $p ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+        |$cur AS (SELECT token, freq,
+        |         list_reduce(
+        |           list_prepend(CAST([] AS VARCHAR[]),
+        |             list_transform(syms, s -> [s])),
+        |           (acc, x) -> CASE WHEN len(acc) > 0
+        |                         AND acc[-1] = $m.a AND x[1] = $m.b
+        |                       THEN list_append(acc[:-2], $m.a || $m.b)
+        |                       ELSE list_append(acc, x[1]) END) AS syms
+        |       FROM $prev CROSS JOIN $m)""".stripMargin)
+    }
+    sb.toString
+  }
 
   val oracle: Map[String, String] = {
     val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -543,7 +661,40 @@ object Retrieval {
            |      FROM v, unnest(range(1, length(token))) AS u(i))
            |SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight
            |FROM p GROUP BY 1
-           |ORDER BY weight DESC, pair ASC LIMIT 20""".stripMargin
+           |ORDER BY weight DESC, pair ASC LIMIT 20""".stripMargin,
+
+      "q_bpe_encode" ->
+        s"""WITH tok0 AS (SELECT unnest($toksSql) AS token FROM documents),
+           |${bpeChainSql(BpeEncodeRounds)}
+           |SELECT token, freq, CAST(len(syms) AS BIGINT) AS n_pieces,
+           |  array_to_string(syms, ' ') AS encoded
+           |FROM s$BpeEncodeRounds ORDER BY token""".stripMargin,
+
+      "q_bpe_pack" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tok0 AS (SELECT unnest(toks) AS token FROM d),
+           |${bpeChainSql(BpeEncodeRounds)},
+           |pc AS (SELECT token, len(syms) AS np FROM s$BpeEncodeRounds),
+           |fx AS (SELECT doc_id, unnest(toks) AS token FROM d),
+           |nf AS (SELECT doc_id, token FROM fx WHERE token != ''),
+           |dc AS (SELECT f.doc_id,
+           |         CAST(SUM(CASE WHEN length(f.token) >= 2 THEN pc.np
+           |                       ELSE 1 END) AS BIGINT) AS n
+           |       FROM nf f LEFT JOIN pc ON f.token = pc.token
+           |       GROUP BY 1),
+           |nz AS (SELECT doc_id, n FROM dc WHERE n >= 1),
+           |c AS (SELECT doc_id, n,
+           |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS st
+           |  FROM nz)
+           |SELECT doc_id, n AS n_tokens, st AS start_tok,
+           |  st + n AS end_tok,
+           |  st // ${TextOps.PackContext} AS first_example,
+           |  (st + n - 1) // ${TextOps.PackContext} AS last_example,
+           |  ((st + n - 1) // ${TextOps.PackContext}) - (st // ${TextOps.PackContext}) + 1
+           |    AS n_examples
+           |FROM c ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -212,6 +212,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got === expected.toSeq)
   }
 
+  test("bpe encode: applying the learned table matches the in-memory greedy encode") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "low lower widest widest newest")
+    ).toDF("doc_id", "text")
+    val merges = Retrieval.learnBpeMerges(docs, 4)
+    assert(merges.length === 4)
+    // in-memory greedy left-to-right application, in learned order
+    def enc(t: String): List[String] =
+      merges.foldLeft(t.split("").toList) { case (syms, (a, b)) =>
+        def ap(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: ap(rest)
+          case x :: rest => x :: ap(rest)
+          case Nil => Nil
+        }
+        ap(syms)
+      }
+    val toks = Seq("low", "lower", "newest", "widest", "lowest")
+    val got = toks.toDF("token")
+      .select(col("token"),
+        Retrieval.applyMerges(split(col("token"), ""), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    toks.foreach(t => assert(got(t) === enc(t), s"token $t"))
+  }
+
+  test("bpe encode: the fold is greedy left-to-right — 'aaa' under (a,a) is [aa, a]") {
+    val r = Seq(0).toDF("i")
+      .select(Retrieval.applyMerges(split(lit("aaa"), ""), Seq(("a", "a"))).as("s"))
+      .collect().head.getSeq[String](0).toList
+    assert(r === List("aa", "a"))
+  }
+
   // ---------------- SemDeDup ----------------
 
   test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {

@@ -98,10 +98,14 @@ object AudioDedup {
   /** Fixture store memoized per (session, dir) as an eager
     * localCheckpoint — fixture synthesis is not operator work
     * ([[Multimodal.imagesFromDocumentsMemo]] discipline). */
-  def nearDupAudiosFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+  def nearDupAudiosFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_audio_fixture") {
-      nearDupAudiosFromDocuments(spark, dir).localCheckpoint(true)
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fixture_v1") {
+        nearDupAudiosFromDocuments(spark, dir)
+      }.localCheckpoint(true)
     }
+  }
 
   /** Map-side fingerprints: (media_id, afp). Undecodable / non-PCM16
     * payloads drop out of the candidate space. */

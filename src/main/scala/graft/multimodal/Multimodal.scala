@@ -232,17 +232,25 @@ object Multimodal {
     * + the header-decoder lane) consume the same store: the gate
     * should measure the operators, not re-synthesize the store per
     * query (r8 verdict item 7). */
-  def imagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+  def imagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "image_fixture") {
-      imagesFromDocuments(spark, dir).localCheckpoint(true)
+      graft.ops.FixtureCache.dataset(spark, dir, "image_fixture_v1") {
+        imagesFromDocuments(spark, dir)
+      }.localCheckpoint(true)
     }
+  }
 
   /** [[nearDupImagesFromDocuments]] memoized per (session, dir) —
     * same fixture-store discipline as [[imagesFromDocumentsMemo]]. */
-  def nearDupImagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] =
+  def nearDupImagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_image_fixture") {
-      nearDupImagesFromDocuments(spark, dir).localCheckpoint(true)
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_fixture_v1") {
+        nearDupImagesFromDocuments(spark, dir)
+      }.localCheckpoint(true)
     }
+  }
 
   /** Perceptual hashes, map-side (payload bytes never shuffle):
     * (media_id, ahash). Undecodable payloads drop out of the

@@ -165,8 +165,12 @@ object VideoDedup {
   /** [[nearDupVideosFromDocuments]] memoized per (session, dir) —
     * the fixture-store discipline of the image lane. */
   def nearDupVideosFromDocumentsMemo(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Dataset[Multimodal.MediaRow] =
+      dir: String): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_video_fixture") {
-      nearDupVideosFromDocuments(spark, dir).localCheckpoint(true)
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_video_fixture_v1") {
+        nearDupVideosFromDocuments(spark, dir)
+      }.localCheckpoint(true)
     }
+  }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** DISK-backed cache for deterministic fixture stores (r9 verdict
+  * #4): the media fixture synthesis (ImageIO/AudioSystem encodes of
+  * id-derived payloads) is pure arithmetic on (dir, doc_id) — the
+  * same bytes every run — yet each fresh JVM re-paid it once per
+  * session because [[Memo]] is session-scoped. Benches and driver
+  * rounds run in fresh JVMs from the same working directory, so the
+  * synthesis cost landed in the FIRST media query of every round
+  * (q_video_neardup carried ~2/3 of its driver-bench wall in fixture
+  * synthesis). This cache persists the synthesized store as parquet
+  * under `target/fixture-cache` (override: `GRAFT_FIXTURE_CACHE`);
+  * later JVMs read the store instead of re-encoding it.
+  *
+  * Publish protocol: compute → write to a tmp sibling → rename into
+  * place; a concurrent winner's store is kept and ours dropped
+  * (fixtures are deterministic, both copies are identical). Within a
+  * JVM, callers additionally serialize through [[Memo]], so the race
+  * arm is cross-process only.
+  *
+  * VERSIONING IS THE CALLER'S CONTRACT: the `stage` string must
+  * carry a version suffix (e.g. `image_fixture_v1`) bumped whenever
+  * the synthesis code changes — the cache cannot see code, only
+  * names. Test/gate scope: fixture stores only (synthetic, derived,
+  * reproducible) — never operator outputs.
+  */
+object FixtureCache {
+
+  private def rootDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_CACHE", "target/fixture-cache")
+
+  /** Serve `stage` for `dir` from the disk cache, synthesizing and
+    * publishing it at most once per cache lifetime. Returns the
+    * parquet-backed frame (lazy scan, no cache dependency — callers
+    * that want clearCache-surviving in-memory serving checkpoint the
+    * result themselves, as the fixture memos do). */
+  def dataset[T](spark: SparkSession, dir: String, stage: String)(
+      compute: => Dataset[T])(implicit enc: Encoder[T]): Dataset[T] = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val key = s"$stage-$dirKey"
+    val path = new Path(new Path(rootDir), key)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "_SUCCESS"))) {
+      val tmp = new Path(path.getParent,
+        s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      compute.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(new Path(path, "_SUCCESS"))) fs.delete(tmp, true)
+      else if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    spark.read.parquet(path.toString).as[T]
+  }
+}

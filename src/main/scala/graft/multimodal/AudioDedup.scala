@@ -41,10 +41,21 @@ import graft.ops.HammingDedup
   */
 object AudioDedup {
 
-  /** 64-bit energy-delta-sign fingerprint of an audio payload. None
-    * when the payload is not PCM16 or has fewer than 65 frames (too
-    * short to fingerprint — the caller's filter-drop discipline,
-    * matching [[ImagePhash.aHash64]]). */
+  /** Samples per fingerprint window on the NORMALIZED grid — 65
+    * windows × 32 samples. Interpolating every clip onto this fixed
+    * grid before windowing makes the fingerprint RATE-NORMALIZED
+    * (r9 verdict #8): a 44.1→48 kHz remaster resample previously
+    * shifted the integer window boundaries against the proportional
+    * split and could flip near-tie energy comparisons; on the fixed
+    * grid the window geometry is identical for every delivery rate
+    * of the same recording, so only interpolation noise (bounded,
+    * ≪ the fixture's ≥9× inter-window energy separation) remains. */
+  val GridPerWindow = 32
+
+  /** 64-bit energy-delta-sign fingerprint of an audio payload,
+    * rate-normalized. None when the payload is not PCM16 or has
+    * fewer than 65 frames (too short to fingerprint — the caller's
+    * filter-drop discipline, matching [[ImagePhash.aHash64]]). */
   def fingerprint64(payload: Array[Byte]): Option[Long] =
     AudioHeader.pcm16(payload).flatMap { case (meta, samples) =>
       val ch = meta.channels
@@ -52,24 +63,32 @@ object AudioDedup {
       val windows = 65
       if (frames < windows) None
       else {
+        // mono mix: channel sum (a fixed positive scale of the mean —
+        // delta signs are scale-invariant, so no division)
+        val mono = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          var s = 0L
+          var c = 0
+          while (c < ch) { s += samples(f * ch + c); c += 1 }
+          mono(f) = s
+          f += 1
+        }
+        // integer linear resample onto the fixed grid: output i sits
+        // at source position i·(frames−1)/(N−1); the interpolated
+        // value rescales by /(N−1) (≤1 LSB loss) so energies stay in
+        // sample scale — no Long overflow at any clip length
+        val n = windows * GridPerWindow
         val energy = new Array[Long](windows)
-        var w = 0
-        while (w < windows) {
-          val from = (w.toLong * frames / windows).toInt
-          val until = ((w + 1).toLong * frames / windows).toInt
-          var e = 0L
-          var f = from
-          while (f < until) {
-            // mono mix: channel sum (a fixed positive scale of the
-            // mean — delta signs are scale-invariant, so no division)
-            var s = 0L
-            var c = 0
-            while (c < ch) { s += samples(f * ch + c); c += 1 }
-            e += s * s
-            f += 1
-          }
-          energy(w) = e
-          w += 1
+        var i = 0
+        while (i < n) {
+          val num = i.toLong * (frames - 1)
+          val idx = (num / (n - 1)).toInt
+          val frac = num % (n - 1)
+          val nxt = if (idx + 1 < frames) idx + 1 else idx
+          val v = (mono(idx) * ((n - 1) - frac) + mono(nxt) * frac) / (n - 1)
+          energy(i / GridPerWindow) += v * v
+          i += 1
         }
         var fp = 0L
         var b = 0

@@ -472,6 +472,62 @@ class MultimodalSpec extends SparkSpec {
         s"groups $g/$h collided across independent recordings")
   }
 
+  test("audio fingerprint: rate-normalized — a resampled remaster still collides") {
+    import graft.multimodal.{AudioDedup, AudioFixture, AudioHeader}
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def wav(samples: Array[Int], rate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = samples(i).toByte
+        pcm(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    (0L until 10L).foreach { g =>
+      val orig = AudioFixture.encodeNearDup(3 * g) // member 0: wav
+      val (meta, s) = AudioHeader.pcm16(orig).getOrElse(
+        fail(s"group $g: wav member did not decode"))
+      // the same recording delivered at 2× the rate (sample repeat —
+      // exactly how the analog waveform samples at double rate)
+      val up = Array.tabulate(s.length * 2)(i => s(i / 2))
+      // and at 3/2 the rate (non-integer ratio, linear interpolation).
+      // No DOWNSAMPLE case: the fixture's square wave alternates every
+      // frame — content AT the source Nyquist — so any lower rate
+      // cannot represent it (aliasing destroys the recording itself,
+      // not the fingerprint); real remasters only resample content
+      // below the target Nyquist.
+      val dn = Array.tabulate(s.length * 3 / 2) { i =>
+        val num = i.toLong * 2
+        val idx = (num / 3).toInt
+        val frac = num % 3
+        val nxt = math.min(idx + 1, s.length - 1)
+        ((s(idx).toLong * (3 - frac) + s(nxt).toLong * frac) / 3).toInt
+      }
+      val f0 = AudioDedup.fingerprint64(orig)
+        .getOrElse(fail(s"group $g: no fingerprint for original"))
+      val fu = AudioDedup.fingerprint64(wav(up, meta.sample_rate * 2))
+        .getOrElse(fail(s"group $g: no fingerprint for 2x resample"))
+      val fd = AudioDedup.fingerprint64(wav(dn, meta.sample_rate * 3 / 2))
+        .getOrElse(fail(s"group $g: no fingerprint for 3/2 resample"))
+      assert(ham(f0, fu) <= 3,
+        s"group $g: 2x resample moved ${ham(f0, fu)} bits — outside the band join")
+      assert(ham(f0, fd) <= 3,
+        s"group $g: 3/2 resample moved ${ham(f0, fd)} bits — outside the band join")
+    }
+    // resampling must not create cross-recording collisions either
+    val a0 = AudioDedup.fingerprint64(AudioFixture.encodeNearDup(0)).get
+    val b0 = AudioDedup.fingerprint64(AudioFixture.encodeNearDup(33)).get
+    assert(ham(a0, b0) > 3, "independent recordings collided after normalization")
+  }
+
   test("audio near-dup emits exactly the planted triples") {
     import graft.multimodal.AudioDedup
     val fp = AudioDedup.audioFingerprints(

@@ -132,8 +132,12 @@ object StreamingDedup {
 
   /** INCREMENTAL cluster maintenance — `foreachBatch` sink over
     * [[nearDupVerdicts]] that keeps a persistent
-    * (doc_id, cluster_rep) store current as documents stream in,
-    * without ever re-clustering the corpus:
+    * (doc_id, cluster_rep, split) store current as documents stream
+    * in, without ever re-clustering the corpus (`split` is the
+    * leakage-safe train/val/test assignment at cluster granularity —
+    * [[graft.ops.TextOps.splitOfRep]], the identical function behind
+    * batch q_leakage_split, re-derived per write so streamed corpora
+    * carry the same no-straddle guarantee):
     *
     *   1. the batch's verified edges (doc → every matched partner,
     *      all bands — bridges between existing clusters included)
@@ -231,10 +235,16 @@ object StreamingDedup {
           // residual risk is executor loss BETWEEN materialize and
           // commit, which parquet-without-a-transaction-log cannot
           // close (see caveat above).
+          // split = pure function of the (possibly relabeled) rep —
+          // the SAME splitOfRep as batch q_leakage_split, recomputed
+          // for every written row so a cluster merge that changes a
+          // doc's rep also moves its whole cluster to ONE split
+          // (leakage discipline holds incrementally, r9 verdict #7)
           val (result, resultHandle) =
             org.apache.spark.sql.graft.shims.materializedWithHandle(
             carried.select(col("doc_id"), col("cluster_rep"), col("bucket"))
-              .unionByName(updated))
+              .unionByName(updated)
+              .withColumn("split", TextOps.splitOfRep(col("cluster_rep"))))
           try {
             resultHandle.count() // eager: reads store + labels NOW
             result.write.mode("overwrite")

@@ -782,6 +782,19 @@ class StreamingSpec extends SparkSpec {
       assert(got.size === want.size, s"${got.size} docs in store, want ${want.size}")
       val diff = want.collect { case (d, r) if got.get(d) != Some(r) => (d, got.get(d), r) }
       assert(diff.isEmpty, s"assignments diverged (doc, got, want): ${diff.take(10)}")
+      // leakage discipline (r9 verdict #7): the store's incremental
+      // split assignment equals batch q_leakage_split's — a doc and
+      // its near-duplicates never straddle a split boundary, streamed
+      // or not
+      val gotSplit = spark.read.parquet(s"$root/store")
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      val wantSplit = SparkEntry.queries("q_leakage_split")(spark, dir)
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      val sdiff = wantSplit.collect {
+        case (d, s) if gotSplit.get(d) != Some(s) => (d, gotSplit.get(d), s)
+      }
+      assert(sdiff.isEmpty,
+        s"stream-final splits diverged from batch (doc, got, want): ${sdiff.take(10)}")
     } finally q.stop()
   }
 

@@ -121,6 +121,29 @@ class PlanSpec extends SparkSpec {
       s"the scoring joins must not shuffle the bigram stream:\n${p.take(2000)}")
   }
 
+  test("q_bpe_encode folds map-side over the vocabulary — one shuffle, no join") {
+    val p = plan("q_bpe_encode")
+    // the merge table is driver-side metadata baked into the fold
+    // expression; the only exchange is the (token, freq) vocabulary
+    // aggregation — encoding must never join or re-shuffle
+    assert(!p.contains("Join"), s"vocab encode must not join:\n${p.take(2000)}")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one vocab aggregation exchange expected (plus AQE read):\n${p.take(2000)}")
+  }
+
+  test("bpe pack counts broadcast the piece-count vocab onto the token stream") {
+    // q_bpe_pack's final frame is the RDD-backed two-phase packing
+    // output (its executedPlan is a flat scan); the join discipline
+    // lives in the counts stage feeding it — pin THAT plan
+    val p = graft.ops.Retrieval
+      .bpePackCounts(spark, dir, graft.ops.Retrieval.BpeEncodeRounds)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab piece counts must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-stream join must not sort-merge:\n${p.take(2000)}")
+  }
+
   test("q_pii_redact is pure map-side — no join, no aggregation") {
     val p = plan("q_pii_redact")
     assert(!p.contains("Join"), s"PII pass must not join:\n${p.take(2000)}")

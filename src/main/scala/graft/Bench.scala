@@ -83,23 +83,38 @@ object Bench {
     // of the query's own lane). `regressions` reports only queries
     // that stay >1.5× IN ISOLATION; the raw in-run flags are kept in
     // `regressions_inline` so the two regimes stay distinguishable.
+    //
+    // Two deliberate caveats of this regime (review r10): (a) a query
+    // that FAILS during the re-time keeps its INLINE ratio in
+    // `regressions` (a crash must never read as "cleared"); (b)
+    // session-memoized stages (fixture stores, the CC assignment, BPE
+    // merges) are warm by end of run, so a regression INSIDE a
+    // memoized compute won't re-show in isolation — that cost is
+    // covered by the `total_vs_baseline` gate below, which no memo
+    // can hide.
     val isolated = inline.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
+      var isoFailed = false
       val runs = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          isoFailed = true
+          System.err.println(s"[bench] isolation re-time of $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.sharedState.cacheManager.clearCache()
-      name -> runs.min
+      name -> (if (isoFailed) Double.NaN else runs.min)
     }.toMap
-    val regressions = inline.flatMap { case (name, _) =>
+    val regressions = inline.flatMap { case (name, inlineRatio) =>
       val t = isolated(name)
       val b = baseline(name)
-      if (t > b * 1.5) Some(name -> (t / b)) else None
+      if (t.isNaN) Some(name -> inlineRatio) // crashed re-time: keep the flag
+      else if (t > b * 1.5) Some(name -> (t / b))
+      else None
     }
     regressions.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx vs baseline (isolated)")
@@ -111,10 +126,24 @@ object Bench {
     def regJson(m: Seq[(String, Double)]) =
       m.map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
     val isoJson = isolated.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${if (v.isNaN) "-1.0" else v.toString}""" }
+      .mkString("{", ",", "}")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // whole-suite gate: IN-RUN total over the sum of pins for pinned,
+    // non-failed queries — broad slowdowns (including regressions
+    // inside session-memoized stages, whose cost lands in some
+    // query's in-run time) show here even when every per-query flag
+    // isolation-clears
+    val pinnedSum = baseline.collect {
+      case (k, b) if timings.contains(k) && !failed.contains(k) && b > 0 => b
+    }.sum
+    val pinnedGot = baseline.collect {
+      case (k, b) if timings.contains(k) && !failed.contains(k) && b > 0 => timings(k)
+    }.sum
+    val totalRatio =
+      if (pinnedSum > 0) f"${pinnedGot / pinnedSum}%.3f" else "null"
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":${regJson(regressions)},"regressions_inline":${regJson(inline)},"queries_isolated":$isoJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":${regJson(regressions)},"regressions_inline":${regJson(inline)},"queries_isolated":$isoJson,"total_vs_baseline":$totalRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 

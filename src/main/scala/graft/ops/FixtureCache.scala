@@ -36,15 +36,38 @@ object FixtureCache {
     * publishing it at most once per cache lifetime. Returns the
     * parquet-backed frame (lazy scan, no cache dependency — callers
     * that want clearCache-surviving in-memory serving checkpoint the
-    * result themselves, as the fixture memos do). */
+    * result themselves, as the fixture memos do).
+    *
+    * The key fingerprints the SOURCE TABLE (documents.parquet length
+    * + mtime) in addition to (stage, dir): regenerated test data in
+    * the same directory gets a fresh cache entry instead of a stale
+    * store derived from the old doc_id set (review r10). A `path`
+    * that exists WITHOUT its `_SUCCESS` (crashed publish, partial
+    * delete) is torn down and rebuilt rather than read forever;
+    * orphaned `.tmp` dirs of crashed writers for the same key are
+    * swept before writing. */
   def dataset[T](spark: SparkSession, dir: String, stage: String)(
       compute: => Dataset[T])(implicit enc: Encoder[T]): Dataset[T] = {
+    val fsForDir = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcStamp =
+      try {
+        val st = fsForDir.getFileStatus(new Path(dir, "documents.parquet"))
+        s"${st.getLen}|${st.getModificationTime}"
+      } catch { case _: java.io.IOException => "nosrc" }
     val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      .digest(s"$dir|$srcStamp".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
     val key = s"$stage-$dirKey"
     val path = new Path(new Path(rootDir), key)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path, "_SUCCESS"))) {
+      // partial publish (no _SUCCESS) would otherwise wedge the key:
+      // recompute writes tmp, rename fails against the corpse, and
+      // the corpse gets read every run — tear it down first
+      if (fs.exists(path)) fs.delete(path, true)
+      Option(fs.globStatus(new Path(path.getParent, s".$key.tmp-*")))
+        .foreach(_.foreach(s => fs.delete(s.getPath, true)))
       val tmp = new Path(path.getParent,
         s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       compute.write.mode("overwrite").parquet(tmp.toString)

@@ -741,7 +741,7 @@ object Ivf {
     val topc = candid
       .select(col("q_id"),
         Pq.adcDistSqCol(col("pq_code"), col("lut")).as("adc"),
-        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+        Util.lpadKey(col("vec_id")).as("key"))
       .filter(col("adc").isNotNull)
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(negate(col("adc")), col("key"), rerankC)
@@ -761,7 +761,7 @@ object Ivf {
       .join(broadcast(topc), Seq("vec_id"))
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
       .select(col("q_id"), score.as("cos_sim"),
-        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+        Util.lpadKey(col("vec_id")).as("key"))
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), topK)
         .as("topk"))
@@ -838,7 +838,7 @@ object Ivf {
       .select(col("q_id"), score.as("cos_sim"),
         // full 19-digit pad: lpad truncates beyond its target width,
         // which would corrupt ids ≥ 10⁸ (q_batch_topk's lesson)
-        lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+        Util.lpadKey(col("vec_id")).as("key"))
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), topK)
         .as("topk"))

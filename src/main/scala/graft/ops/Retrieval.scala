@@ -147,16 +147,9 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), roundTo(col("s0"), 4).as("score"))
     scored
       .select(col("q_id"), col("score"),
-        // FULL 19-digit pad (the q_batch_topk lesson: lpad truncates,
-        // an 8-digit pad corrupts ids ≥ 1e8 at exactly corpus scale).
-        // NON-NEGATIVE contract, enforced: a negative id zero-pads to
-        // '00…0-5', breaking the lexicographic-equals-numeric
-        // tie-break and casting back to NULL below (ADVICE r9) —
-        // fail at the encode, not with silently wrong ranks.
-        lpad(when(col("doc_id") < 0, raise_error(lit(
-            "bm25Batch: negative doc_id — the lpad key encoding " +
-              "requires non-negative ids")))
-          .otherwise(col("doc_id")).cast("string"), 19, "0").as("key"))
+        // the shared guarded 19-digit pad (ADVICE r9 + review r10:
+        // one spelling for every topk_by_score key site)
+        Util.lpadKey(col("doc_id")).as("key"))
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(col("score"), col("key"), k).as("topk"))
       .select(col("q_id"), posexplode(col("topk")))
@@ -513,7 +506,15 @@ object Retrieval {
     * vocabulary with the winner merged everywhere by the SAME greedy
     * left-to-right fold as [[mergePairFold]], lifted through
     * list_reduce over singleton-list symbols). Terminal relation:
-    * s{rounds}. Requires a relation `tok0(token)` in scope. */
+    * s{rounds}. Requires a relation `tok0(token)` in scope.
+    *
+    * The winner joins back with LEFT JOIN ON TRUE, not CROSS JOIN: on
+    * a degenerate corpus whose vocabulary fully merges before the
+    * last round, m{r} is EMPTY and a cross join would annihilate the
+    * vocabulary (oracle returns zero rows while Spark's early-stopped
+    * learnBpeMerges still encodes everything — review r10); with the
+    * left join the null winner makes the fold an identity append and
+    * the round is the same no-op as Spark's shorter merge table. */
   private def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder(
       s"""v0 AS (SELECT token, count(*) AS freq FROM tok0
@@ -538,7 +539,7 @@ object Retrieval {
         |                         AND acc[-1] = $m.a AND x[1] = $m.b
         |                       THEN list_append(acc[:-2], $m.a || $m.b)
         |                       ELSE list_append(acc, x[1]) END) AS syms
-        |       FROM $prev CROSS JOIN $m)""".stripMargin)
+        |       FROM $prev LEFT JOIN $m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

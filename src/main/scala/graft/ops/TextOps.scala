@@ -636,7 +636,13 @@ object TextOps {
     * `doc_id === cluster_rep`). Recomputing this frame is cheap: the
     * CC labels come back as a flat materialized DataFrame, so a second
     * consumer re-runs only the skinny expansion join, never the loop. */
-  def clusterAssignments(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
+  /** Default CC round bound shared by every clustering entry point —
+    * ONE constant so [[dedupClusters]]' memo-route check can never
+    * silently diverge from the parameter defaults. */
+  val DefaultCcRounds = 64
+
+  def clusterAssignments(s: SparkSession, dir: String,
+      maxRounds: Int = DefaultCcRounds): DataFrame = {
     val docs = Tables.documents(s, dir)
     // doc → exact-dup group rep (min doc_id per normalized-text digest):
     // one text scan, then one skinny (doc_id, digest) shuffle — the text
@@ -683,7 +689,8 @@ object TextOps {
     * (Identical labels to the text form: docs sharing a normalized-
     * text digest share the token sequence, hence the hash set, so any
     * group member's `hsh` is THE group's `hsh`.) */
-  def clusterAssignmentsOfFeatures(feats: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def clusterAssignmentsOfFeatures(feats: DataFrame,
+      maxRounds: Int = DefaultCcRounds): DataFrame = {
     val win = Window.partitionBy(col("dig"))
     val d2g = feats.select(col("doc_id"), col("dig"))
       .withColumn("grp", min(col("doc_id")).over(win))
@@ -696,12 +703,13 @@ object TextOps {
     ccExpand(d2g, pairs, maxRounds)
   }
 
-  def dedupClusters(s: SparkSession, dir: String, maxRounds: Int = 64): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String,
+      maxRounds: Int = DefaultCcRounds): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // default geometry serves from the session's memoized assignment
     // (one CC run per session, shared with keepers + leakage split);
     // a custom maxRounds is a convergence experiment — compute direct
-    val expanded = (if (maxRounds == 64) clusterAssignmentsMemo(s, dir)
+    val expanded = (if (maxRounds == DefaultCcRounds) clusterAssignmentsMemo(s, dir)
       else clusterAssignments(s, dir, maxRounds))
       .persist(MEMORY_AND_DISK) // consumed by the size agg + final join
     val sizes = expanded.groupBy(col("cluster_rep"))

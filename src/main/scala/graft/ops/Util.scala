@@ -26,6 +26,21 @@ object Util {
   /** SQL text of [[dsum]] for oracle queries. */
   def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** 19-digit zero-padded key encode for Long ids flowing through
+    * `topk_by_score` buffers — the full-Long-range pad (an 8-digit
+    * pad corrupts ids ≥ 1e8 at exactly corpus scale) with the
+    * NON-NEGATIVE contract enforced at the encode: a negative id
+    * zero-pads to '00…0-5', breaking lexicographic-equals-numeric
+    * ordering and casting back to NULL on the way out, so every pad
+    * site shares this one guarded spelling instead of failing with
+    * silently wrong ranks (review r10 — previously only bm25Batch
+    * guarded). */
+  def lpadKey(id: Column): Column =
+    lpad(when(id < 0, raise_error(lit(
+        "lpadKey: negative id — the 19-digit pad key encoding " +
+          "requires non-negative ids")))
+      .otherwise(id).cast("string"), 19, "0")
+
   /** Deterministic round-half-up to `d` decimals via floor arithmetic.
     *
     * Spark's `round` rounds the exact decimal value of the double

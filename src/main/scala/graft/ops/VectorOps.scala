@@ -257,7 +257,7 @@ object VectorOps {
           // longer than its target, so an 8-digit pad would corrupt ids
           // ≥ 10⁸ (collapse + misorder) at exactly the corpus sizes
           // this query is for
-          lpad(col("vec_id").cast("string"), 19, "0").as("key"))
+          Util.lpadKey(col("vec_id")).as("key"))
         .groupBy(col("q_id"))
         .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5).as("topk"))
         .select(col("q_id"), posexplode(col("topk")))

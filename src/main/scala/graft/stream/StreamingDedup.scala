@@ -34,6 +34,12 @@ import graft.ops.TextOps
   */
 object StreamingDedup {
 
+  /** storeDirs whose every bucket has been confirmed split-bearing —
+    * skip the per-flush legacy-schema footer scan once clean (new
+    * legacy buckets cannot appear after a clean check). */
+  private val splitMigrated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Streaming EXACT dedup by normalized-text digest: emits only the
     * first-arriving copy of each distinct normalized text (the
     * streaming form of q_dedup_exact's keeper rule, ordered by arrival
@@ -210,7 +216,32 @@ object StreamingDedup {
           val updated = labels
             .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
             .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
-          // rewrite ONLY the buckets that hold updated docs: carry over
+          // ONE-TIME SCHEMA MIGRATION (review r10): a store written
+          // before the split column only rewrites buckets a batch
+          // touches — untouched bucket dirs would keep 2-column files
+          // forever, and readers of `split` would see NULL (or fail)
+          // for exactly those docs. Surface every bucket whose files
+          // still lack the column as affected THIS flush; once a
+          // check comes back clean the storeDir is remembered and the
+          // footer scan skipped (new legacy buckets cannot appear —
+          // every write from here on carries split).
+          val legacyBuckets: Seq[Long] =
+            if (splitMigrated.contains(storeDir) || !fs.exists(storePath)) Nil
+            else {
+              val found = fs.listStatus(storePath).toSeq
+                .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+                .flatMap { s =>
+                  scala.util.Try {
+                    val b = s.getPath.getName.stripPrefix("bucket=").toLong
+                    val sch = spark.read.parquet(s.getPath.toString).schema
+                    if (sch.fieldNames.contains("split")) None else Some(b)
+                  }.toOption.flatten
+                }
+              if (found.isEmpty) splitMigrated.add(storeDir)
+              found
+            }
+          // rewrite ONLY the buckets that hold updated docs (plus any
+          // legacy-schema buckets, above): carry over
           // their unchanged rows, then overwrite those partitions.
           // COMMIT-ATOMICITY CAVEAT: dynamic partition overwrite commits
           // bucket directories individually; a crash INSIDE the commit
@@ -219,7 +250,14 @@ object StreamingDedup {
           // the common case). A production deployment puts this store on
           // a transactional table format (or single-partition commits);
           // plain parquet has no atomic multi-partition swap to offer.
-          val affected = updated.select(col("bucket")).distinct()
+          val affected = {
+            val base = updated.select(col("bucket")).distinct()
+            if (legacyBuckets.isEmpty) base
+            else {
+              import spark.implicits._
+              base.union(legacyBuckets.toDF("bucket")).distinct()
+            }
+          }
           val carried = store
             .withColumn("bucket", pmod(col("doc_id"), lit(bucketCount)))
             .join(affected, Seq("bucket"), "left_semi")

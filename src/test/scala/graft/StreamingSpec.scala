@@ -798,6 +798,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cluster store migrates a pre-split legacy store: untouched buckets gain the column") {
+    import graft.stream.StreamingDedup
+    import graft.ops.TextOps
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstore_legacy").toString
+    // a store written by the pre-split code: 2 columns, docs spread
+    // over several buckets (bucketCount = 4 keeps the test tight)
+    Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (5L, 5L), (6L, 6L))
+      .toDF("doc_id", "cluster_rep")
+      .withColumn("bucket", pmod($"doc_id", lit(4)))
+      .write.partitionBy("bucket").parquet(s"$root/store")
+    // one batch touching ONLY bucket 3 (doc 7)
+    StreamingDedup.updateClusterStore(s"$root/store", bucketCount = 4)(
+      Seq((7L, Seq.empty[Long])).toDF("doc_id", "matches"), 0L)
+    val store = spark.read.parquet(s"$root/store")
+    assert(store.columns.contains("split"), "split column missing after migration")
+    val rows = store.select($"doc_id", $"cluster_rep", $"split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 5L, 6L, 7L))
+    // every row — including untouched buckets 0/1/2 — carries the
+    // batch-identical split of its rep, never NULL
+    val wantSplit = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (5L, 5L),
+        (6L, 6L), (7L, 7L))
+      .toDF("doc_id", "rep")
+      .select($"doc_id", TextOps.splitOfRep($"rep").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, (rep, s)) =>
+      assert(s != null && s === wantSplit(d), s"doc $d split $s, want ${wantSplit(d)}")
+      assert(rep === d)
+    }
+  }
+
   test("cluster store pulls a redelivered doc's own cluster, not just its partners'") {
     import graft.stream.StreamingDedup
     val root = java.nio.file.Files.createTempDirectory("graft_ccstore_redeliver").toString

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the BPE lane ([[graft.ops.Retrieval.learnBpeMerges]]
+  * + [[graft.ops.Retrieval.applyMerges]]): the claim under test is
+  * VOCAB-BOUNDEDNESS — after the single corpus pass that aggregates
+  * (token, freq), every learning round and the whole encode run over
+  * the DISTINCT vocabulary, so cost scales with unique tokens, not
+  * corpus tokens.
+  *
+  * Two axes, same harness:
+  *   - corpus 10× at FIXED vocab (docs 100k → 1M, vocab 10k): the
+  *     learn time should move only by the first aggregation's scan
+  *     share; the encode (vocab fold) should be flat.
+  *   - vocab 10× at FIXED corpus (vocab 10k → 100k over 1M docs):
+  *     learn/encode should scale roughly linearly in vocab.
+  *
+  * The synthetic corpus is pure id arithmetic (50 tokens/doc drawn
+  * from `w<k>` word ids via a hash mix), so row counts and the
+  * encode's output cardinality are verifiable without a reference.
+  * Emits one JSON line per configuration (BPE_SCALE.json artifact).
+  *
+  * Usage: sbt "runMain graft.tools.BpeScaleProbe"
+  */
+object BpeScaleProbe {
+
+  private def corpus(spark: SparkSession, nDocs: Long, vocab: Int): DataFrame = {
+    // 50 tokens per doc; token k of doc d = "w" + mix(d, k) % vocab —
+    // the concat_ws text matches the whitespace tokenizer exactly
+    val toks = (0 until 50).map(k =>
+      concat(lit("w"), pmod(hash(col("id") * lit(k + 1) + lit(k)), lit(vocab))
+        .cast("string")))
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bpe-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val configs = Seq(
+      (100000L, 10000),  // base
+      (1000000L, 10000), // corpus 10×, vocab fixed
+      (1000000L, 100000) // vocab 10×, corpus fixed
+    )
+    val rounds = 4
+    val results = configs.map { case (nDocs, vocab) =>
+      val docs = corpus(spark, nDocs, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // corpus generation out of the timed region
+      // CORPUS-BOUNDED share, measured alone: the one (token, freq)
+      // aggregation pass — inherent to any tokenizer trainer, scales
+      // with corpus tokens
+      val t0 = System.nanoTime()
+      val vocabDf = docs
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEncoded = vocabDf.count()
+      val tVocab = (System.nanoTime() - t0) / 1e9
+      // learning (includes its own internal corpus pass — reported
+      // as-is; the rounds themselves run over the vocabulary)
+      val t1 = System.nanoTime()
+      val merges = graft.ops.Retrieval.learnBpeMerges(docs, rounds)
+      val tLearn = (System.nanoTime() - t1) / 1e9
+      require(merges.length == rounds, s"learned ${merges.length} of $rounds")
+      // VOCAB-BOUNDED share, measured alone: the merge fold over the
+      // MATERIALIZED vocabulary — must be flat under corpus growth at
+      // fixed vocab, ~linear under vocab growth
+      val t2 = System.nanoTime()
+      val encoded = vocabDf
+        .withColumn("syms",
+          graft.ops.Retrieval.applyMerges(split(col("token"), ""), merges))
+        .select(col("token"), size(col("syms")).as("n_pieces"))
+      val piecesShrunk = encoded.filter(col("n_pieces") <
+        length(col("token"))).count()
+      val tFold = (System.nanoTime() - t2) / 1e9
+      vocabDf.unpersist(true)
+      docs.unpersist(true)
+      require(nEncoded <= vocab,
+        s"encoded vocab $nEncoded exceeds the drawn vocab $vocab")
+      require(piecesShrunk > 0, "no token shrank — merges not applied")
+      f"""{"docs":$nDocs,"vocab_drawn":$vocab,"vocab_encoded":$nEncoded,""" +
+        f""""rounds":$rounds,"vocab_agg_sec":$tVocab%.2f,"learn_sec":$tLearn%.2f,""" +
+        f""""fold_sec":$tFold%.2f,""" +
+        f""""tokens_total":${nDocs * 50},"shrunk":$piecesShrunk}"""
+    }
+    println(s"""{"metric":"bpe_scale","configs":[${results.mkString(",")}]}""")
+    spark.stop()
+  }
+}

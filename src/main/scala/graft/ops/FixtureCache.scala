@@ -29,8 +29,12 @@ import org.apache.hadoop.fs.Path
   */
 object FixtureCache {
 
+  /** Cache root: system property first (tests point it at a temp
+    * dir), then env, then the repo-local default. */
   private def rootDir: String =
-    sys.env.getOrElse("GRAFT_FIXTURE_CACHE", "target/fixture-cache")
+    sys.props.get("graft.fixture.cache")
+      .orElse(sys.env.get("GRAFT_FIXTURE_CACHE"))
+      .getOrElse("target/fixture-cache")
 
   /** Serve `stage` for `dir` from the disk cache, synthesizing and
     * publishing it at most once per cache lifetime. Returns the

@@ -1292,6 +1292,45 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // CORPUS DRIFT MONITOR — unigram KL divergence between the
+    // reference slice (even doc_ids: "yesterday's corpus") and the
+    // current slice (odd: "today's"), add-one smoothed over the UNION
+    // vocabulary, reported as the top-20 tokens by contribution
+    // P(t)·ln(P(t)/Q(t)) — the statistic a pipeline alerts on when a
+    // crawler change or an upstream filter shifts the corpus, with
+    // the responsible tokens named. SCALE SHAPE: ONE token
+    // aggregation with conditional counts (map-side partials carry
+    // (token, cnt_ref, cnt_cur) — text never shuffles), the
+    // (N_ref, N_cur, V) scalars broadcast, contributions map-side,
+    // top-20 via TakeOrdered. Float discipline: every integer casts
+    // to DOUBLE before meeting a constant (the bmContrib rule), both
+    // engines run the identical IEEE ops, contributions round to 8.
+    "q_corpus_drift" -> ((s, dir) => {
+      val toksAll = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toksAll
+        .groupBy(col("token"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("c_cur"))
+      val totals = counts.agg(sum(col("c_ref")).as("n_ref"),
+        sum(col("c_cur")).as("n_cur"), count(lit(1)).as("v"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p_ref",
+          (col("c_ref").cast("double") + 1.0) /
+            (col("n_ref").cast("double") + col("v").cast("double")))
+        .withColumn("p_cur",
+          (col("c_cur").cast("double") + 1.0) /
+            (col("n_cur").cast("double") + col("v").cast("double")))
+        .select(col("token"),
+          roundTo(col("p_ref"), 8).as("p_ref"),
+          roundTo(col("p_cur"), 8).as("p_cur"),
+          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8)
+            .as("kl_contrib"))
+        .orderBy(col("kl_contrib").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // END-TO-END training-set selection — the query a data pipeline
     // actually ships: keep a document iff it is (a) the keeper of its
     // exact-dup group (min doc_id per normalized-text digest), (b) above
@@ -2246,6 +2285,30 @@ object TextOps {
         s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
            |SELECT token, count(*) AS n FROM t WHERE token != ''
            |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+      // the same conditional-count aggregation + smoothed KL
+      // contributions, restated; ln is natural log in both engines
+      "q_corpus_drift" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |f AS (SELECT doc_id, token FROM t WHERE token != ''),
+           |c AS (SELECT token,
+           |        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+           |        CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+           |      FROM f GROUP BY 1),
+           |n AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+           |        CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+           |        count(*) AS v FROM c),
+           |p AS (SELECT token,
+           |        (CAST(c_ref AS DOUBLE) + 1.0) /
+           |          (CAST(n_ref AS DOUBLE) + CAST(v AS DOUBLE)) AS p_ref,
+           |        (CAST(c_cur AS DOUBLE) + 1.0) /
+           |          (CAST(n_cur AS DOUBLE) + CAST(v AS DOUBLE)) AS p_cur
+           |      FROM c CROSS JOIN n)
+           |SELECT token, ${roundToSql("p_ref", 8)} AS p_ref,
+           |  ${roundToSql("p_cur", 8)} AS p_cur,
+           |  ${roundToSql("p_ref * ln(p_ref / p_cur)", 8)} AS kl_contrib
+           |FROM p
+           |ORDER BY kl_contrib DESC, token ASC LIMIT 20""".stripMargin,
 
       "q_corpus_select" ->
         s"""WITH ${qualityCtesSql(withDigest = true)},

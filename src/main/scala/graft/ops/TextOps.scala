@@ -572,8 +572,22 @@ object TextOps {
     * [[minhashPairsOf]]'s one-sided hot-bucket cap: the candidate
     * join's LEFT side keeps only the `k` lowest doc_ids per band
     * bucket, the right side stays complete. */
-  def minhashPairsSqlCtes(maxBucket: Option[Int] = None): String = {
+  /** The d/sig/banded CTE prefix shared by [[minhashPairsSqlCtes]]
+    * and the q_doc_similar oracle — constants interpolated from
+    * MinhashK/LshBands/LshRows so a tuning change updates every
+    * oracle spelling and the Spark path together. */
+  def minhashBaseSqlCtes: String = {
     val toksSql = tokensSql("text")
+    s"""d AS (SELECT doc_id,
+       |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+       |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", MinhashK)} AS sig FROM d),
+       |banded AS (
+       |  SELECT doc_id, b.band_id,
+       |    array_to_string(sig[b.band_id * $LshRows + 1 : b.band_id * $LshRows + $LshRows], ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS band_id) b)""".stripMargin
+  }
+
+  def minhashPairsSqlCtes(maxBucket: Option[Int] = None): String = {
     val candLeft = maxBucket match {
       case None => "banded"
       case Some(k) =>
@@ -583,15 +597,7 @@ object TextOps {
            |                         ORDER BY doc_id) AS rn
            |    FROM banded) WHERE rn <= $k)""".stripMargin
     }
-    // constants interpolated from MinhashK/LshBands/LshRows — a tuning
-    // change updates this oracle spelling and the Spark path together
-    s"""d AS (SELECT doc_id,
-       |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-       |sig AS (SELECT doc_id, hsh, ${minhashSigSql("hsh", MinhashK)} AS sig FROM d),
-       |banded AS (
-       |  SELECT doc_id, b.band_id,
-       |    array_to_string(sig[b.band_id * $LshRows + 1 : b.band_id * $LshRows + $LshRows], ',') AS band_key
-       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS band_id) b),
+    s"""$minhashBaseSqlCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM $candLeft a JOIN banded b
@@ -1260,6 +1266,53 @@ object TextOps {
     // keep-one-per-cluster. See [[dedupClusters]].
     // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+
+    // TOP-K SIMILAR-DOCUMENT SELF-JOIN — retrieval-by-near-dup: for
+    // EVERY document, the top-5 most similar OTHER docs by exact
+    // shingle Jaccard, candidates restricted to docs sharing ≥1 LSH
+    // band bucket (the decontamination / hard-negative-mining access
+    // path: the corpus is probed through the SAME banded index the
+    // dedup pipeline maintains — a doc without collisions simply has
+    // no similars and emits nothing, never a scan). SCALE SHAPE: the
+    // candidate space is the banded collision set (the dedup pair
+    // space, both directions), never all-pairs; verification touches
+    // only colliding candidates; ranking runs through the
+    // bounded-state topk_by_score aggregate (5 rows of state per
+    // query — no Window over the scored space, no score-space sort).
+    // Jaccard rounds to 6 BEFORE ranking so both engines order
+    // identical values (ties: doc_id ascending, the key discipline).
+    "q_doc_similar" -> ((s, dir) => {
+      val d = minhashHashes(Tables.documents(s, dir))
+        .withColumn("sig", minhashSig(col("hsh"), MinhashK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = bandedBuckets(d).drop("hsh")
+      val qb = banded
+        .select(col("doc_id").as("q_id"), col("band_id"), col("band_key"))
+      val cand = qb.join(banded, Seq("band_id", "band_key"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id")).distinct()
+      val sets = d.select(col("doc_id"), col("hsh"))
+      val scored = cand
+        .join(sets.select(col("doc_id").as("q_id"), col("hsh").as("h_q")), Seq("q_id"))
+        .join(sets, Seq("doc_id"))
+        .withColumn("inter",
+          size(array_intersect(col("h_q"), col("hsh"))).cast("double"))
+        .withColumn("jaccard", roundTo(col("inter") /
+          (size(col("h_q")) + size(col("hsh")) - col("inter")), 6))
+        .filter(col("jaccard") > 0)
+      val out = scored
+        .select(col("q_id"), col("jaccard"), Util.lpadKey(col("doc_id")).as("key"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.topk_by_score(col("jaccard"), col("key"), 5).as("topk"))
+        .select(col("q_id"), posexplode(col("topk")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.key").cast("long").as("doc_id"), col("col.score").as("jaccard"))
+        .orderBy("q_id", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize, then release the signature cache
+      d.unpersist(false)
+      out
+    }),
 
     // LEAKAGE-SAFE SPLIT ASSIGNMENT — train/val/test at NEAR-DUP
     // CLUSTER granularity: every member inherits its cluster
@@ -2248,6 +2301,32 @@ object TextOps {
            |SELECT id_a, id_b,
            |  ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS jaccard
            |FROM np ORDER BY 1, 2""".stripMargin,
+
+      // the same banded index probed as a similarity search: LSH
+      // bucket collisions propose, exact Jaccard verifies, top-5 by
+      // (jaccard desc, doc_id asc) — the topk_by_score tie discipline
+      "q_doc_similar" ->
+        s"""WITH $minhashBaseSqlCtes,
+           |qb AS (SELECT doc_id AS q_id, band_id, band_key FROM banded),
+           |cand AS (
+           |  SELECT DISTINCT q.q_id, b.doc_id
+           |  FROM qb q JOIN banded b USING (band_id, band_key)
+           |  WHERE b.doc_id <> q.q_id),
+           |sc AS (
+           |  SELECT c.q_id, c.doc_id,
+           |    ${roundToSql(
+               "CAST(len(list_intersect(dq.hsh, dd.hsh)) AS DOUBLE)" +
+                 " / (len(dq.hsh) + len(dd.hsh)" +
+                 " - CAST(len(list_intersect(dq.hsh, dd.hsh)) AS DOUBLE))", 6)} AS jaccard
+           |  FROM cand c JOIN d dq ON c.q_id = dq.doc_id
+           |              JOIN d dd ON c.doc_id = dd.doc_id),
+           |r AS (
+           |  SELECT q_id, doc_id, jaccard,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY jaccard DESC, doc_id ASC) AS rank
+           |  FROM sc WHERE jaccard > 0)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, jaccard
+           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE ${minhashPairsSqlCtes()},

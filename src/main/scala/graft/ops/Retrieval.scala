@@ -209,6 +209,130 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------
+  // Hybrid retrieval: BM25 ⊕ hashed-embedding cosine via RRF
+  // ---------------------------------------------------------------
+
+  /** Per-leg candidate depth and final fusion size for
+    * q_hybrid_search, plus the standard reciprocal-rank-fusion
+    * constant (60.0 — exactly representable, same literal in both
+    * engines). */
+  val HybridK = 20
+  val HybridFinal = 10
+  val RrfC = 60.0
+
+  /** (doc_id, token, tf) term frequencies — the shared first stage of
+    * the hashed-embedding pipeline (one tokenize + one keyed
+    * aggregate; empty tokens die before the shuffle). */
+  private def docTermFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Skinny (doc_id, dim, val) feature-hashed tf-idf embeddings — the
+    * single definition behind q_hash_embed AND the semantic leg of
+    * q_hybrid_search (one spelling, the can't-desynchronize
+    * discipline). `tf` must be [[docTermFreq]] of `docs`. */
+  private def hashEmbedFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (TextOps.hash60(col("token")) % 64).as("dim"),
+        roundTo(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+          .as("w"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+        .as("val"))
+  }
+
+  def hashEmbedSkinny(docs: DataFrame): DataFrame =
+    hashEmbedFrom(docTermFreq(docs), docs)
+
+  /** HYBRID SEARCH — the modern retrieval-serving shape: a lexical
+    * BM25 leg and a semantic embedding leg retrieve top-[[HybridK]]
+    * candidates independently, and reciprocal-rank fusion
+    * (Σ 1/(60+rank), the TREC-standard combiner — robust to the two
+    * legs' incomparable score scales) merges them into one top-
+    * [[HybridFinal]] list. The semantic leg is the corpus's own
+    * hashed tf-idf embedding space ([[hashEmbedSkinny]]) scored by
+    * cosine against the query's tf-idf vector under corpus df — a
+    * model-free dense leg that still surfaces documents sharing no
+    * exact query term (hash collisions aside, any token co-hashing
+    * with a query term's dimension contributes).
+    *
+    * SCALE SHAPE: each leg is the already-audited retrieval plan
+    * (BM25: term-filtered posting shuffle + broadcast stats; cosine:
+    * skinny dim-join against a ≤64-row broadcast query vector +
+    * per-doc decimal sums). Both legs end in TakeOrdered top-K; the
+    * fusion joins two K-row lists and ranks ≤2K rows — the window
+    * runs over candidates, never the corpus. sqrt is IEEE-exact in
+    * both engines (unlike exp/ln it is correctly rounded by spec),
+    * so cosine parity needs only the usual round-then-decimal-sum
+    * treatment of the dot product and norms. */
+  def hybridSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val lex = bm25TopK(docs, terms, HybridK)
+      .select(col("doc_id"), col("rnk").as("r_lex"))
+
+    // tf is recomputed by its consumers rather than persisted:
+    // materializing the exploded (doc_id, token, tf) frame measured
+    // SLOWER (4.6 s vs 3.0 s at sf0.1) than re-running the codegen'd
+    // tokenize — the cache write breaks whole-stage pipelines and
+    // serializes the widest frame in the plan
+    val vecs = hashEmbedFrom(docTermFreq(docs), docs)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    // query tf-idf vector: qtf = 1 per distinct term, corpus idf.
+    // df of the (few) query terms comes from a term-filtered explode
+    // — same value as the full-vocab df (docs containing the term),
+    // a fraction of the cost; terms absent from the corpus
+    // contribute nothing (no df row)
+    val qdf = docs.select(explode(array_distinct(
+        filter(tokens(col("text")), t => t.isInCollection(terms)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qVec = qdf
+      .crossJoin(broadcast(n))
+      .select((TextOps.hash60(col("token")) % 64).as("dim"),
+        roundTo(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("w"))
+      .groupBy(col("dim"))
+      .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+        .as("qval"))
+    def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
+    val qNorm = qVec
+      .agg(sqrt(sum(sq(col("qval") * col("qval"))).cast("double")).as("qnorm"))
+    // ONE pass over the doc vectors computes norm AND dot: the ≤64-row
+    // query vector broadcast-left-joins on dim, non-query dims
+    // contribute 0 to the dot (exactly — round8(0) is 0 in decimal),
+    // and `hit` preserves the original candidate set (docs sharing ≥1
+    // dim with the query), so the fused aggregate is plan-for-plan
+    // cheaper with identical semantics
+    val agg = vecs.join(broadcast(qVec), Seq("dim"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("dnorm"),
+        sum(sq(coalesce(col("val") * col("qval"), lit(0.0)))).cast("double").as("dot"),
+        max(when(col("qval").isNotNull, lit(1)).otherwise(lit(0))).as("hit"))
+    val cos = agg.filter(col("hit") === 1).crossJoin(broadcast(qNorm))
+      .filter(col("dnorm") * col("qnorm") > 0)
+      .select(col("doc_id"), roundTo(col("dot") / (col("dnorm") * col("qnorm")), 6).as("cos"))
+    val sem = cos.orderBy(col("cos").desc, col("doc_id").asc).limit(HybridK)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_sem"))
+
+    def leg(r: Column): Column =
+      roundTo(when(r.isNotNull, lit(1.0) / (lit(RrfC) + r.cast("double")))
+        .otherwise(lit(0.0)), 9)
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        roundTo(leg(col("r_lex")) + leg(col("r_sem")), 9).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridFinal)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"), col("rrf"), col("r_lex"), col("r_sem"))
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------
   // Multi-round BPE merge learning
   // ---------------------------------------------------------------
 
@@ -433,25 +557,13 @@ object Retrieval {
     // aggregate of skinny rows — text never shuffles. Per-token
     // scores round to 6 then sum as DECIMAL (order-free), the dim
     // sum rounds to 4.
-    "q_hash_embed" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ex = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = docs.select(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(dfreq), Seq("token"))
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"),
-          (TextOps.hash60(col("token")) % 64).as("dim"),
-          roundTo(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
-            .as("w"))
-        .groupBy(col("doc_id"), col("dim"))
-        .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
-          .as("val"))
-        .orderBy("doc_id", "dim")
-    }),
+    "q_hash_embed" -> ((s, dir) =>
+      hashEmbedSkinny(Tables.documents(s, dir)).orderBy("doc_id", "dim")),
+
+    // HYBRID RETRIEVAL — BM25 and embedding-cosine legs fused by
+    // reciprocal rank (see [[hybridSearch]]).
+    "q_hybrid_search" -> ((s, dir) =>
+      hybridSearch(Tables.documents(s, dir), BmTerms)),
 
     // BPE TRAINING STEP — the tokenizer-learning primitive: the
     // corpus-frequency-weighted count of adjacent character pairs
@@ -544,33 +656,112 @@ object Retrieval {
     sb.toString
   }
 
+  /** The BM25 scoring chain (CTEs d, stats, ex, fx, tf, df, contrib,
+    * scored, ranked) for the fixed [[BmTerms]] — one spelling shared
+    * by the q_bm25_search oracle and the lexical leg of the
+    * q_hybrid_search oracle. */
+  private def bm25ChainSql: String = {
+    val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+       |ex AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
+       |fx AS (SELECT * FROM ex WHERE token IN (SELECT unnest($termsList))),
+       |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |       FROM fx GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
+       |  FROM tf JOIN df USING (token) CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT doc_id, ${roundToSql(
+             "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
+       |  FROM contrib GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)""".stripMargin
+  }
+
+  /** DuckDB replay of [[hybridSearch]]: the shared [[bm25ChainSql]]
+    * lexical leg, the hashed-embedding cosine leg (htf/hdf mirror the
+    * q_hash_embed chain off the SAME `ex` explode; query vector under
+    * corpus df), and the RRF fusion with rank windows over candidate
+    * lists only. */
+  private def hybridOracleSql: String = {
+    val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    def rrfLeg(r: String) = roundToSql(
+      s"CASE WHEN $r IS NULL THEN 0.0 ELSE 1.0 / ($RrfC + CAST($r AS DOUBLE)) END", 9)
+    s"""WITH $bm25ChainSql,
+       |htf AS (SELECT doc_id, token, count(*) AS tf FROM ex
+       |        WHERE token != '' GROUP BY 1, 2),
+       |hdf AS (SELECT token, count(*) AS df FROM htf GROUP BY 1),
+       |hw AS (
+       |  SELECT htf.doc_id, ${TextOps.hash60Sql("htf.token")} % 64 AS dim,
+       |    ${roundToSql("htf.tf * ln((s.n_docs + 1.0) / (hdf.df + 1.0))", 6)} AS w
+       |  FROM htf JOIN hdf USING (token) CROSS JOIN stats s),
+       |hvec AS (
+       |  SELECT doc_id, dim,
+       |    ${roundToSql("CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS val
+       |  FROM hw GROUP BY 1, 2),
+       |hqdf AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM ex
+       |  WHERE token IN (SELECT unnest($termsList)) GROUP BY 1),
+       |hq AS (
+       |  SELECT ${TextOps.hash60Sql("token")} % 64 AS dim,
+       |    ${roundToSql("ln((s.n_docs + 1.0) / (hqdf.df + 1.0))", 6)} AS w
+       |  FROM hqdf CROSS JOIN stats s),
+       |hqvec AS (
+       |  SELECT dim,
+       |    ${roundToSql("CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS qval
+       |  FROM hq GROUP BY 1),
+       |hqn AS (
+       |  SELECT sqrt(CAST(SUM(CAST(${roundToSql("qval * qval", 8)} AS DECIMAL(38,8))) AS DOUBLE)) AS qnorm
+       |  FROM hqvec),
+       |hagg AS (
+       |  SELECT v.doc_id,
+       |    sqrt(CAST(SUM(CAST(${roundToSql("v.val * v.val", 8)} AS DECIMAL(38,8))) AS DOUBLE)) AS dnorm,
+       |    CAST(SUM(CAST(${roundToSql("COALESCE(v.val * q.qval, 0.0)", 8)} AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+       |    MAX(CASE WHEN q.qval IS NOT NULL THEN 1 ELSE 0 END) AS hit
+       |  FROM hvec v LEFT JOIN hqvec q USING (dim) GROUP BY 1),
+       |hcos AS (
+       |  SELECT a.doc_id, ${roundToSql("a.dot / (a.dnorm * q2.qnorm)", 6)} AS cos
+       |  FROM hagg a CROSS JOIN hqn q2
+       |  WHERE a.hit = 1 AND a.dnorm * q2.qnorm > 0),
+       |sranked AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+       |  FROM hcos),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       |    l.rnk AS r_lex, r.rnk AS r_sem
+       |  FROM (SELECT doc_id, rnk FROM ranked WHERE rnk <= $HybridK) l
+       |  FULL JOIN (SELECT doc_id, rnk FROM sranked WHERE rnk <= $HybridK) r
+       |    ON l.doc_id = r.doc_id),
+       |fscored AS (
+       |  SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+       |    CAST(r_sem AS BIGINT) AS r_sem,
+       |    ${roundToSql(rrfLeg("r_lex") + " + " + rrfLeg("r_sem"), 9)} AS rrf
+       |  FROM fused),
+       |franked AS (
+       |  SELECT doc_id, r_lex, r_sem, rrf,
+       |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM fscored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, rrf, r_lex, r_sem
+       |FROM franked WHERE rank <= $HybridFinal ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     Map(
       "q_bm25_search" ->
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |stats AS (SELECT count(*) AS n_docs,
-           |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
-           |ex AS (
-           |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
-           |fx AS (SELECT * FROM ex WHERE token IN (SELECT unnest($termsList))),
-           |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
-           |       FROM fx GROUP BY 1, 2),
-           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-           |contrib AS (
-           |  SELECT tf.doc_id,
-           |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
-           |  FROM tf JOIN df USING (token) CROSS JOIN stats s),
-           |scored AS (
-           |  SELECT doc_id, ${roundToSql(
-                 "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
-           |  FROM contrib GROUP BY 1),
-           |ranked AS (
-           |  SELECT doc_id, score,
-           |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
-           |  FROM scored)
+        s"""WITH $bm25ChainSql
            |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 10
            |ORDER BY rnk""".stripMargin,
+
+      "q_hybrid_search" -> hybridOracleSql,
 
       "q_bm25_batch" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -297,4 +297,71 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(r === Map(1L -> true, 2L -> true))
   }
+
+  // ---------------- hybrid search ----------------
+
+  test("hybrid search: RRF arithmetic, single-leg docs survive the fusion") {
+    // doc 1: strong lexically (many 'cat') AND semantically; doc 2:
+    // lexical only (contains 'cat', rest of its mass elsewhere);
+    // doc 3: no query term at all — absent from BOTH legs (its tokens
+    // share no hash dim with 'cat' unless hash60 collides mod 64,
+    // asserted below); doc 4: no exact 'cat' but shares doc 1's
+    // non-query vocabulary.
+    val docs = Seq(
+      (1L, "cat cat cat alpha beta"),
+      (2L, "cat gamma gamma gamma gamma"),
+      (3L, "delta epsilon zeta"),
+      (4L, "alpha beta alpha beta")
+    ).toDF("doc_id", "text")
+    val dim = (t: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 64
+    }
+    assume(Seq("delta", "epsilon", "zeta").map(dim).toSet
+      .intersect(Set(dim("cat"))).isEmpty)
+    val r = Retrieval.hybridSearch(docs, Seq("cat")).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1),
+        x.getDouble(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    // doc 3 never appears; docs 1/2 carry both-or-lexical ranks
+    assert(!r.contains(3L))
+    assert(r.contains(1L) && r.contains(2L))
+    val (_, rrf1, l1, s1) = r(1L)
+    assert(l1 > 0 && s1 > 0)
+    // RRF value is exactly the two-leg reciprocal sum
+    def leg(k: Long) =
+      if (k <= 0) 0.0 else math.floor(1.0 / (60.0 + k) * 1e9 + 0.5) / 1e9
+    assert(rrf1 === math.floor((leg(l1) + leg(s1)) * 1e9 + 0.5) / 1e9)
+    // every returned doc's rrf matches its ranks; ranks are dense from 1
+    r.values.foreach { case (_, rrf, l, sm) =>
+      assert(rrf === math.floor((leg(l) + leg(sm)) * 1e9 + 0.5) / 1e9)
+    }
+    assert(r.values.map(_._1).toSeq.sorted === (1L to r.size).toSeq)
+  }
+
+  test("hybrid search: a lexical-only and a semantic-only doc both fuse in") {
+    // the semantic leg scores in HASHED dim space: a doc with no query
+    // term can only surface if one of its tokens lands in the query
+    // term's dimension — construct exactly that collision
+    def dim(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 64
+    }
+    val collider = (0 until 10000).iterator.map(i => s"w$i")
+      .find(w => dim(w) == dim("cat")).get
+    val docs = Seq(
+      (1L, "cat cat filler1"),
+      (2L, s"$collider $collider $collider"), // no 'cat', collides in dim space
+      (3L, "cat filler2 filler3")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.hybridSearch(docs, Seq("cat")).collect()
+      .map(x => x.getLong(0) -> ((!x.isNullAt(3), !x.isNullAt(4)))).toMap
+    // doc 2 has no query term: lexical leg absent, semantic leg present
+    assert(r.contains(2L) && !r(2L)._1 && r(2L)._2)
+    // doc 1 and 3 are lexical candidates
+    assert(r(1L)._1 && r(3L)._1)
+  }
 }

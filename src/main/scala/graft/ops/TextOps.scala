@@ -1052,6 +1052,28 @@ object TextOps {
         size(tokens(col("text"))).cast("long").as("n")),
       contextLen)
 
+  /** Phases 2+3 of the two-phase distributed prefix sum over an
+    * already partition-ordered RDD: per-partition totals (one Long
+    * per partition) to the driver, then a map-side running sum seeded
+    * by the broadcast partition offsets. Emits (row, exclusive-prefix
+    * start). Shared by [[packCounts]] (doc_id order) and
+    * [[budgetSelect]] (quality order) — ONE derivation of the
+    * window-free cumsum (the PACK_SCALE.json restructure). */
+  private[ops] def rddPrefixSum[T](rdd: org.apache.spark.rdd.RDD[T])(
+      n: T => Long): org.apache.spark.rdd.RDD[(T, Long)] = {
+    val totals = rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var s = 0L; it.foreach(x => s += n(x)); Iterator((p, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val bc = rdd.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (p, it) =>
+      var off = bc.value(p)
+      it.map { x => val st = off; off += n(x); (x, st) }
+    }
+  }
+
   /** The counts-level core of [[packSequences]]: placement over an
     * already-tokenized (doc_id, n) frame — the entry point for
     * callers that carry token counts as metadata (at 100 TB, a
@@ -1068,22 +1090,8 @@ object TextOps {
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = counted.rdd
-    // phase 2: one Long per partition to the driver
-    val totals = rdd
-      .mapPartitionsWithIndex { (p, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((p, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    // phase 3: local running sum + partition offset
-    val placed = rdd.mapPartitionsWithIndex { (p, it) =>
-      var off = bc.value(p)
-      it.map { case (id, n) =>
-        val st = off; off += n; (id, n, st, st + n)
-      }
-    }
+    val placed = rddPrefixSum(counted.rdd)(_._2)
+      .map { case ((id, n), st) => (id, n, st, st + n) }
     val out = placed.toDF("doc_id", "n_tokens", "start_tok", "end_tok")
       // integral `div`, not `/` (which widens to double): offsets are
       // exact Longs and stay exact past 2^53 tokens
@@ -1093,6 +1101,48 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the packing input
     counted.unpersist(false)
+    out
+  }
+
+  /** TOKEN-BUDGET CORPUS SELECTION — keep the highest-quality
+    * documents until a token budget is exhausted (the fixed-compute
+    * curation rule: a training run affords B tokens, take the best B
+    * tokens' worth of documents). The keep set is the maximal prefix
+    * of the (quality_score DESC, doc_id ASC) order whose cumulative
+    * token count stays ≤ budget; budget here is data-derived (half
+    * the corpus's tokens) so the query is scale-free.
+    *
+    * SCALE SHAPE: a VALUE-ordered distributed prefix sum — range
+    * partition by (quality DESC, doc_id), local sort, then the shared
+    * [[rddPrefixSum]] phases (one Long per partition to the driver,
+    * map-side running sums). No global Window, no single-partition
+    * sort: the same restructure PACK_SCALE.json measured 10× on the
+    * doc_id-ordered twin, applied to a quality-ordered key. The
+    * cumulative sum is monotone, so `cum ≤ B` IS the maximal-prefix
+    * rule — no iteration, one pass. */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = scoredDocs(docs, withDigest = false)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n"))
+      .filter(col("n") >= 1)
+    // the budget scalar: one Long to the driver (operator metadata)
+    val total = base.agg(sum(col("n")).cast("long")).collect()(0).getLong(0)
+    val budget = total / 2
+    val parted = base
+      .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("quality_score").desc, col("doc_id").asc)
+      .as[(Long, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val placed = rddPrefixSum(parted.rdd)(_._3)
+      .map { case ((id, q, n), st) => (id, q, n, st + n) }
+    val out = placed.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the selection input
+    parted.unpersist(false)
     out
   }
 
@@ -1473,6 +1523,12 @@ object TextOps {
     "q_pack_sequences" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir), PackContext)
         .orderBy("doc_id")),
+
+    // TOKEN-BUDGET SELECTION — best documents first until half the
+    // corpus's tokens are spent (see [[budgetSelect]]); the oracle
+    // replays the maximal-prefix rule with a window cumsum.
+    "q_budget_select" -> ((s, dir) =>
+      budgetSelect(Tables.documents(s, dir))),
 
     // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
     // (context-window chunks of 64 tokens, stride 48 → 16-token
@@ -2028,6 +2084,19 @@ object TextOps {
            |  ((st + n - 1) // $PackContext) - (st // $PackContext) + 1
            |    AS n_examples
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q_budget_select" ->
+        s"""WITH ${qualityCtesSql(withDigest = false)},
+           |b AS (SELECT doc_id, quality_score,
+           |    CAST(n_tokens AS BIGINT) AS n FROM u WHERE n_tokens >= 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) // 2 AS budget FROM b),
+           |c AS (SELECT doc_id, quality_score, n,
+           |    CAST(SUM(n) OVER (ORDER BY quality_score DESC, doc_id ASC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM b)
+           |SELECT doc_id, quality_score, n AS n_tokens, cum AS cum_tokens
+           |FROM c CROSS JOIN tot WHERE cum <= budget
+           |ORDER BY quality_score DESC, doc_id""".stripMargin,
 
       "q_chunk_docs" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

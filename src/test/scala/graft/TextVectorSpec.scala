@@ -366,6 +366,43 @@ class TextVectorSpec extends SparkSpec {
     val big = got.find(_._1 == 100L).get
     assert(big._7 > 1, "planted long doc did not span multiple examples")
   }
+  test("budgetSelect: maximal quality-ordered prefix within the token budget") {
+    import graft.ops.TextOps
+    val dir = sf("sf0.001")
+    val docs = graft.io.Tables.documents(spark, dir)
+    val got = TextOps.budgetSelect(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // reference: sequential selection over the scored frame
+    val scored = TextOps.scoredDocs(docs, withDigest = false)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("quality_score"),
+        org.apache.spark.sql.functions.col("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+      .filter(_._3 >= 1)
+    val budget = scored.map(_._3).sum / 2
+    val ordered = scored.sortBy { case (id, q, _) => (-q, id) }
+    // STRICT prefix rule: cum runs over ALL docs in order; the first
+    // overflow ends the selection (monotone cum — nothing after fits)
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Long)]
+    var cum = 0L
+    ordered.foreach { case (id, q, n) =>
+      cum += n
+      if (cum <= budget) ref += ((id, q, n, cum))
+    }
+    assert(got.toSeq === ref.toSeq,
+      "distributed budget selection diverged from the sequential rule")
+    // the budget binds: kept total <= budget < kept total + first drop
+    assert(got.map(_._3).sum <= budget)
+    val kept = got.map(_._1).toSet
+    val firstDropped = ordered.find(d => !kept.contains(d._1))
+    firstDropped.foreach { d =>
+      assert(got.map(_._3).sum + d._3 > budget,
+        "the first dropped doc would still have fit — prefix rule violated")
+    }
+  }
+
   test("leakage split: near-dup cluster members never straddle a split") {
     val r = SparkEntry.queries("q_leakage_split")(spark, dir)
     val perCluster = r.groupBy($"cluster_rep")

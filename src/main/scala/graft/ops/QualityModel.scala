@@ -147,19 +147,29 @@ object QualityModel {
     }.toDF("iter", "w0", "w1", "w2", "w3", "w4", "w5").orderBy("iter")
   }
 
-  /** q_quality_infer: the trained model applied to every document —
-    * (doc_id, score, pred, label). Pure map-side once the (memoized)
-    * weights exist; at 100 TB this is the single-pass scoring job the
-    * pipeline runs over each incoming shard. */
-  def infer(s: SparkSession, dir: String): DataFrame = {
-    val w = fitWeights(s, dir).last
-    fitFeatures(Tables.documents(s, dir))
+  /** The trained model applied to a (doc_id, text, n_chars) frame
+    * with FROZEN weights — one map-side projection (features → fast
+    * sigmoid → threshold), no shuffle, no state. Works unchanged on a
+    * STREAMING frame: this is the online-scoring deployment mode (a
+    * pipeline trains in batch, freezes the weight vector, and scores
+    * every incoming micro-batch with it — QualityModelSpec asserts
+    * stream-final scores equal the batch answer). */
+  def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == 6, s"weight vector has ${w.length} entries, want 6")
+    fitFeatures(docs)
       .select(col("doc_id"), roundTo(sigma9(zOf(w)), 6).as("score"), col("y"))
       .select(col("doc_id"), col("score"),
         when(col("score") >= 0.5, lit(1)).otherwise(lit(0)).as("pred"),
         col("y").cast("int").as("label"))
-      .orderBy("doc_id")
   }
+
+  /** q_quality_infer: the trained model applied to every document —
+    * (doc_id, score, pred, label). Pure map-side once the (memoized)
+    * weights exist; at 100 TB this is the single-pass scoring job the
+    * pipeline runs over each incoming shard. */
+  def infer(s: SparkSession, dir: String): DataFrame =
+    scoreWith(Tables.documents(s, dir), fitWeights(s, dir).last)
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------
   // Oracle: the training replay as chained CTEs

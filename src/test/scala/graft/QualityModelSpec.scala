@@ -82,6 +82,37 @@ class QualityModelSpec extends SparkSpec {
     assert(labels === gate)
   }
 
+  test("streaming scoring with frozen weights equals the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sf("sf0.001")
+    val w = QualityModel.fitWeights(spark, dir).last
+    val batch = QualityModel.infer(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    val rows = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)]
+    val scored = QualityModel.scoreWith(
+      input.toDF().toDF("doc_id", "text", "n_chars"), w)
+    val q = scored.writeStream.format("memory")
+      .queryName("qm_out").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("qm_out").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getInt(3))))
+        .toMap
+      assert(got === batch,
+        "stream-scored documents diverged from batch inference")
+    } finally q.stop()
+  }
+
   test("weights are 8-decimal quantized and x-degenerate features stay zero") {
     val dir = sf("sf0.001")
     val traj = QualityModel.fitWeights(spark, dir)

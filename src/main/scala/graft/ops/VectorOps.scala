@@ -105,6 +105,44 @@ object VectorOps {
        |       FROM c1 p LEFT JOIN m2 m USING (cell))""".stripMargin
   }
 
+  /** The batched IVF serving leg (fit k=8/iters=2, queries vec_id<8,
+    * nProbe 2, top-5, self-excluded) — ONE definition behind
+    * q_ivf_batch and the served side of q_ann_recall. */
+  private def ivfBatchLeg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ivf.searchBatchOf(Ivf.assign(e, col("embedding"), centers), queries,
+      centers, nProbe = 2, topK = 5, excludeSelf = true,
+      scoreRound = Some(6))
+  }
+
+  /** CTEs qs→routed→af→sc→rk of the q_ivf_batch replay — the oracle
+    * twin of [[ivfBatchLeg]], shared with the q_ann_recall oracle.
+    * Requires [[fitReplayCtes]] in scope. */
+  private def ivfBatchCtes: String =
+    s"""qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 8),
+       |routed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+       |af AS (${fitAssignSql("c2")}),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+       |  FROM af e JOIN routed r ON e.cell = r.cell
+       |  JOIN qs q ON q.q_id = r.q_id
+       |  WHERE e.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+       |  FROM sc)""".stripMargin
+
   def hyperplane(j: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until dims).toArray.map { i =>
@@ -367,15 +405,40 @@ object VectorOps {
     // bounded-state per-query top-k. The oracle replays the identical
     // fit (bit-equal decimal means), routes each query in SQL, and
     // ranks with the same (cos desc, vec_id asc) total order.
-    "q_ivf_batch" -> ((s, dir) => {
+    "q_ivf_batch" -> ((s, dir) =>
+      ivfBatchLeg(s, dir).orderBy("q_id", "rank")),
+
+    // ANN RECALL TRACKING — the measurement a production vector index
+    // ships with: the IVF-served top-5 (q_ivf_batch's exact plan)
+    // joined against the brute-force cosine truth for the same
+    // queries, reported as per-query hit counts and recall@5. Both
+    // legs are deterministic, so recall itself is oracle-checkable —
+    // an index regression (bad fit, wrong routing, probe starvation)
+    // moves a NUMBER the driver hash-verifies, not a vibe. The truth
+    // leg is the q_batch_topk bounded-state shape (corpus never
+    // shuffles, queries broadcast); the join is candidate-list sized.
+    "q_ann_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Ivf.searchBatchOf(Ivf.assign(e, col("embedding"), centers), queries,
-          centers, nProbe = 2, topK = 5, excludeSelf = true,
-          scoreRound = Some(6))
-        .orderBy("q_id", "rank")
+      val ivf = ivfBatchLeg(s, dir).select(col("q_id"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("cos_sim"),
+          Util.lpadKey(col("vec_id")).as("key"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5).as("topk"))
+        .select(col("q_id"), explode(col("topk")).as("hit"))
+        .select(col("q_id"), col("hit.key").cast("long").as("vec_id"),
+          lit(1).as("m"))
+      ivf.join(exact, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall"))
+        .orderBy("q_id")
     }),
 
     // INDEX DELETES, driver-gated end to end: build a REAL persisted
@@ -673,28 +736,32 @@ object VectorOps {
 
     "q_ivf_batch" ->
       s"""WITH $fitReplayCtes,
-         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |       FROM embeddings WHERE vec_id < 8),
-         |routed AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.q_id, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
-         |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
-         |af AS (${fitAssignSql("c2")}),
-         |sc AS (
-         |  SELECT q.q_id, e.vec_id,
-         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
-         |  FROM af e JOIN routed r ON e.cell = r.cell
-         |  JOIN qs q ON q.q_id = r.q_id
-         |  WHERE e.vec_id <> q.q_id),
-         |rk AS (
-         |  SELECT q_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-         |  FROM sc)
+         |$ivfBatchCtes
          |SELECT q_id, rank, vec_id, cos_sim FROM rk
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // recall@5 of the IVF leg against the brute-force truth: both
+    // legs replayed (rk = the served list, exr = the exact list),
+    // hits counted per query
+    "q_ann_recall" ->
+      s"""WITH $fitReplayCtes,
+         |$ivfBatchCtes,
+         |ex AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id),
+         |exr AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM ex)
+         |SELECT i.q_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(x.vec_id) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT q_id, vec_id FROM rk WHERE rank <= 5) i
+         |LEFT JOIN (SELECT q_id, vec_id FROM exr WHERE rank <= 5) x
+         |  ON i.q_id = x.q_id AND i.vec_id = x.vec_id
+         |GROUP BY i.q_id ORDER BY i.q_id""".stripMargin,
 
     // survivors = everything except the tombstoned residue class,
     // plus the revived half; cells from the identical fit replay

@@ -879,4 +879,19 @@ class IvfSpec extends SparkSpec {
         s"batch over the compacted index diverged for query $qid")
     }
   }
+
+  test("q_ann_recall contract: recall = hits/5, bounded, non-degenerate") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("q_ann_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (0L until 8L).toSeq)
+    rows.foreach { case (q, hits, recall) =>
+      assert(hits >= 0 && hits <= 5, s"query $q hits=$hits")
+      assert(recall === hits.toDouble / 5, s"query $q recall!=hits/5")
+    }
+    // nProbe=2 of 8 cells on a clustered corpus must find SOMETHING:
+    // an all-zero recall row would mean routing is broken, not "low
+    // recall"
+    assert(rows.map(_._2).sum > 0, "IVF leg found no true neighbors at all")
+  }
 }

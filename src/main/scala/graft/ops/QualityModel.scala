@@ -124,6 +124,10 @@ object QualityModel {
             gsum(e * col("x3")).as("g3"),
             gsum(e * col("x4")).as("g4"),
             gsum(e * col("x5")).as("g5")).collect()(0)
+          // n first: on an empty corpus the gradient sums are NULL and
+          // a bare getDouble would die with an opaque NPE — fail loudly
+          require(r.getLong(0) > 0,
+            "QualityModel.fitWeights: empty corpus — nothing to train on")
           val n = r.getLong(0).toDouble
           var j = 0
           while (j < 6) {

@@ -1127,8 +1127,11 @@ object TextOps {
       .select(col("doc_id"), col("quality_score"),
         col("n_tokens").cast("long").as("n"))
       .filter(col("n") >= 1)
-    // the budget scalar: one Long to the driver (operator metadata)
-    val total = base.agg(sum(col("n")).cast("long")).collect()(0).getLong(0)
+    // the budget scalar: one Long to the driver (operator metadata);
+    // coalesce so an empty corpus reads budget 0 (empty selection),
+    // not an NPE out of the null SUM
+    val total = base.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
     val budget = total / 2
     val parted = base
       .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
@@ -1529,6 +1532,30 @@ object TextOps {
     // replays the maximal-prefix rule with a window cumsum.
     "q_budget_select" -> ((s, dir) =>
       budgetSelect(Tables.documents(s, dir))),
+
+    // PER-SOURCE CORPUS HEALTH — the data-vendor scorecard: document
+    // and token volume, mean heuristic quality (decimal-exact sum of
+    // the already-rounded scores), and the WITHIN-source exact-dup
+    // share (docs minus distinct normalized digests — redundancy a
+    // vendor ships inside its own feed; cross-source dups are the
+    // dedup pipeline's business, not this report's). One scan +
+    // one (source, digest)-keyed aggregate; sources are few, so the
+    // final frame is dashboard-sized at any corpus scale.
+    "q_source_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val u = scoredDocs(docs, withDigest = true)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      u.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).cast("long").as("n_tokens"),
+          roundTo(sum(col("quality_score").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1)), 4).as("avg_quality"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("avg_quality"),
+          (col("n_docs") - col("n_distinct")).as("dup_docs"))
+        .orderBy("source")
+    }),
 
     // Sliding-window DOCUMENT CHUNKING — the sequence-prep primitive
     // (context-window chunks of 64 tokens, stride 48 → 16-token
@@ -2097,6 +2124,19 @@ object TextOps {
            |SELECT doc_id, quality_score, n AS n_tokens, cum AS cum_tokens
            |FROM c CROSS JOIN tot WHERE cum <= budget
            |ORDER BY quality_score DESC, doc_id""".stripMargin,
+
+      "q_source_quality" ->
+        s"""WITH ${qualityCtesSql(withDigest = true)},
+           |s AS (SELECT u.doc_id, u.h, u.n_tokens, u.quality_score,
+           |    d.source
+           |  FROM u JOIN documents d ON u.doc_id = d.doc_id)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+           |  ${roundToSql(
+               "CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)" +
+                 " / count(*)", 4)} AS avg_quality,
+           |  count(*) - count(DISTINCT h) AS dup_docs
+           |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
       "q_chunk_docs" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

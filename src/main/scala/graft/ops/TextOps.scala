@@ -1533,6 +1533,29 @@ object TextOps {
     "q_budget_select" -> ((s, dir) =>
       budgetSelect(Tables.documents(s, dir))),
 
+    // LSH CANDIDATE-GENERATION RECALL — the dedup lane's quality
+    // gauge (the q_ann_recall analog): the banded MinHash pipeline's
+    // verified pairs measured against the exact same-lang n-gram
+    // Jaccard truth (q_ngram_jaccard's inverted-index pair set). Both
+    // legs are deterministic, so the recall number itself is
+    // oracle-gated — a banding change that silently starts missing
+    // true near-dup pairs moves a hash-checked value, not a vibe.
+    // One row: truth volume, candidate volume, hits, recall.
+    "q_dedup_recall" -> ((s, dir) => {
+      val truth = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+      val cand = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+      val hits = truth
+        .join(cand.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("m")), lit(0L)).cast("long").as("n_hits"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(nc)
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          when(col("n_truth") === 0, lit(1.0))
+            .otherwise(roundTo(
+              col("n_hits").cast("double") / col("n_truth"), 6)).as("recall"))
+    }),
+
     // PER-SOURCE CORPUS HEALTH — the data-vendor scorecard: document
     // and token volume, mean heuristic quality (decimal-exact sum of
     // the already-rounded scores), and the WITHIN-source exact-dup
@@ -2124,6 +2147,36 @@ object TextOps {
            |SELECT doc_id, quality_score, n AS n_tokens, cum AS cum_tokens
            |FROM c CROSS JOIN tot WHERE cum <= budget
            |ORDER BY quality_score DESC, doc_id""".stripMargin,
+
+      // truth = the q_ngram_jaccard chain (t-prefixed names — the
+      // minhash CTEs own d/sig/banded); hits by pair-key join
+      "q_dedup_recall" ->
+        s"""WITH ${minhashPairsSqlCtes()},
+           |td AS (SELECT doc_id, lang,
+           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
+           |tex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM td),
+           |tsz AS (SELECT doc_id, len(hsh) AS sz FROM td),
+           |tc AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           |  FROM tex a JOIN tex b
+           |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |tr AS (
+           |  SELECT tc.id_a, tc.id_b
+           |  FROM tc JOIN tsz sa ON tc.id_a = sa.doc_id
+           |          JOIN tsz sb ON tc.id_b = sb.doc_id
+           |  WHERE CAST(tc.common AS DOUBLE) / (sa.sz + sb.sz - tc.common) >= 0.5),
+           |mp AS (SELECT id_a, id_b FROM np),
+           |agg AS (
+           |  SELECT (SELECT count(*) FROM tr) AS n_truth,
+           |    (SELECT count(*) FROM mp) AS n_candidates,
+           |    (SELECT count(*) FROM tr JOIN mp
+           |       ON tr.id_a = mp.id_a AND tr.id_b = mp.id_b) AS n_hits)
+           |SELECT n_truth, n_candidates, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${roundToSql("CAST(n_hits AS DOUBLE) / n_truth", 6)}
+           |  END AS recall
+           |FROM agg""".stripMargin,
 
       "q_source_quality" ->
         s"""WITH ${qualityCtesSql(withDigest = true)},

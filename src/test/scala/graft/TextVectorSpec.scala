@@ -403,6 +403,22 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_recall contract: hits bounded by both legs, recall = hits/truth") {
+    val dir = sf("sf0.001")
+    val r = SparkEntry.queries("q_dedup_recall")(spark, dir).collect()
+    assert(r.length === 1)
+    val (truth, cand, hits, recall) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(hits <= truth && hits <= cand)
+    if (truth > 0)
+      assert(recall ===
+        math.floor(hits.toDouble / truth * 1e6 + 0.5) / 1e6)
+    else assert(recall === 1.0)
+    // the fixture has real near-dups: an empty truth set would make
+    // this gauge vacuous
+    assert(truth > 0, "no exact near-dup pairs at sf0.001 — vacuous recall")
+  }
+
   test("leakage split: near-dup cluster members never straddle a split") {
     val r = SparkEntry.queries("q_leakage_split")(spark, dir)
     val perCluster = r.groupBy($"cluster_rep")

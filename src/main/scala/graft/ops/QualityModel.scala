@@ -57,32 +57,22 @@ object QualityModel {
 
   /** Per-document training frame (doc_id, x1..x5, y): the five rational
     * quality signals (each capped to [0,1] and rounded to 6 decimals)
-    * plus the heuristic keep-label. The sub-expressions are the exact
-    * trees of [[TextOps.scoredDocs]] so the label here IS the
-    * q_corpus_select gate, not a re-derivation that could drift. */
+    * plus the heuristic keep-label. Signals, composite, and gate come
+    * from the SHARED [[TextOps.qualitySignals]]/[[TextOps.qualityOf]]/
+    * [[TextOps.keepGateRaw]] definitions, so the label here IS the
+    * q_corpus_select gate — a weight or threshold tweak there moves
+    * this classifier and its oracle together. */
   def fitFeatures(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "[.!?,;:]", ""))
-    val stopHits = size(filter(toks,
-      t => t.isInCollection(TextOps.stopwords))).cast("double")
-    val allMarkers = TextOps.langMarkers.flatMap(_._2)
-    val markerHits = size(filter(toks, t => t.isInCollection(allMarkers)))
-    val quality =
-      least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
-        least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
-        least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)),
-          lit(1.0)) * 0.3
+    val (t1, t2, t3, markerHits, nToks) = TextOps.qualitySignals()
+    val quality = TextOps.qualityOf(t1, t2, t3)
     docs.select(
       col("doc_id"),
-      roundTo(least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6).as("x1"),
-      roundTo(least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)), 6).as("x2"),
-      roundTo(least(punct.cast("double") * 10.0 /
-        greatest(length(col("text")), lit(1)), lit(1.0)), 6).as("x3"),
+      roundTo(t1, 6).as("x1"),
+      roundTo(t2, 6).as("x2"),
+      roundTo(t3, 6).as("x3"),
       roundTo(least(markerHits.cast("double") / 5.0, lit(1.0)), 6).as("x4"),
-      roundTo(least(nTok / 100.0, lit(1.0)), 6).as("x5"),
-      when(roundTo(quality, 4) >= 0.3 && markerHits > 0, lit(1.0))
+      roundTo(least(nToks.cast("double") / 100.0, lit(1.0)), 6).as("x5"),
+      when(TextOps.keepGateRaw(quality, markerHits), lit(1.0))
         .otherwise(lit(0.0)).as("y"))
   }
 

@@ -231,8 +231,9 @@ object Retrieval {
   /** Skinny (doc_id, dim, val) feature-hashed tf-idf embeddings — the
     * single definition behind q_hash_embed AND the semantic leg of
     * q_hybrid_search (one spelling, the can't-desynchronize
-    * discipline). `tf` must be [[docTermFreq]] of `docs`. */
-  private def hashEmbedFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
+    * discipline). */
+  def hashEmbedSkinny(docs: DataFrame): DataFrame = {
+    val tf = docTermFreq(docs)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), Seq("token"))
@@ -245,9 +246,6 @@ object Retrieval {
       .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
         .as("val"))
   }
-
-  def hashEmbedSkinny(docs: DataFrame): DataFrame =
-    hashEmbedFrom(docTermFreq(docs), docs)
 
   /** HYBRID SEARCH — the modern retrieval-serving shape: a lexical
     * BM25 leg and a semantic embedding leg retrieve top-[[HybridK]]
@@ -274,12 +272,12 @@ object Retrieval {
     val lex = bm25TopK(docs, terms, HybridK)
       .select(col("doc_id"), col("rnk").as("r_lex"))
 
-    // tf is recomputed by its consumers rather than persisted:
-    // materializing the exploded (doc_id, token, tf) frame measured
-    // SLOWER (4.6 s vs 3.0 s at sf0.1) than re-running the codegen'd
-    // tokenize — the cache write breaks whole-stage pipelines and
-    // serializes the widest frame in the plan
-    val vecs = hashEmbedFrom(docTermFreq(docs), docs)
+    // the embedding subtree is recomputed by its consumers rather
+    // than persisted: materializing the exploded (doc_id, token, tf)
+    // frame measured SLOWER (4.6 s vs 3.0 s at sf0.1) than re-running
+    // the codegen'd tokenize — the cache write breaks whole-stage
+    // pipelines and serializes the widest frame in the plan
+    val vecs = hashEmbedSkinny(docs)
     val n = docs.select(count(lit(1)).as("n_docs"))
     // query tf-idf vector: qtf = 1 per distinct term, corpus idf.
     // df of the (few) query terms comes from a term-filtered explode

@@ -138,25 +138,51 @@ object TextOps {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "is", "are", "to", "in")
 
+  /** The RAW quality signals over a documents frame — the three
+    * capped [0,1] sub-terms (length, stopword-density, punctuation)
+    * plus marker hits and the integer token count. ONE definition
+    * behind [[scoredDocs]]' composite score AND
+    * [[QualityModel.fitFeatures]]' feature vector (review r10, second
+    * pass: the classifier had re-spelled these trees — a weight tweak
+    * would have forked its Spark side from its qualityCtesSql-based
+    * oracle). */
+  private[ops] def qualitySignals(): (Column, Column, Column, Column, Column) = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val allMarkers = langMarkers.flatMap(_._2)
+    val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
+    (least(col("n_chars").cast("double") / 500.0, lit(1.0)),
+      least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)),
+      least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)),
+      anyHits,
+      size(toks))
+  }
+
+  /** The composite raw quality from the three signal terms — the
+    * 0.4/0.3/0.3 weighting exists exactly here (and in
+    * [[qualityCtesSql]]). */
+  private[ops] def qualityOf(t1: Column, t2: Column, t3: Column): Column =
+    t1 * 0.4 + t2 * 0.3 + t3 * 0.3
+
+  /** The corpus keep gate over RAW signal expressions — the
+    * `quality_score >= 0.3 && marker_hits > 0` rule of
+    * q_corpus_select, for callers that gate before naming columns. */
+  private[ops] def keepGateRaw(quality: Column, markerHits: Column): Column =
+    roundTo(quality, 4) >= 0.3 && markerHits > 0
+
   /** THE corpus-selection scoring projection —
     * (doc_id, lang[, h], n_tokens, quality_score, marker_hits) — the
     * single definition shared by q_corpus_select and
     * q_corpus_select_dedup; [[qualityCtesSql]] is its DuckDB twin. A
     * weight/threshold tweak happens here (and there) exactly once. */
   def scoredDocs(docs: DataFrame, withDigest: Boolean): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
-    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
-    val quality =
-      least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
-        least(stopHits / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3 +
-        least(punct.cast("double") * 10.0 / greatest(length(col("text")), lit(1)), lit(1.0)) * 0.3
-    val allMarkers = langMarkers.flatMap(_._2)
-    val anyHits = size(filter(toks, t => t.isInCollection(allMarkers)))
+    val (t1, t2, t3, anyHits, nToks) = qualitySignals()
+    val quality = qualityOf(t1, t2, t3)
     val cols = Seq(col("doc_id"), col("lang")) ++
       (if (withDigest) Seq(md5(normText(col("text"))).as("h")) else Nil) ++
-      Seq(size(toks).as("n_tokens"),
+      Seq(nToks.as("n_tokens"),
         roundTo(quality, 4).as("quality_score"),
         anyHits.as("marker_hits"))
     docs.select(cols: _*)
@@ -446,6 +472,11 @@ object TextOps {
     d.unpersist(false)
     pairs
   }
+
+  /** Hot-shingle document-frequency cap of [[ngramJaccardPairs]] —
+    * the declared-query default, interpolated into the q_ngram_jaccard
+    * and q_dedup_recall oracles so both engines drop the same hashes. */
+  val NgramDfCap = 10000
 
   /** Hot-bucket cap used by the declared capped query — interpolated
     * into BOTH the Spark call and the oracle SQL (the MinhashK
@@ -953,11 +984,13 @@ object TextOps {
     * to the self-join — at 100 TB one stopword-heavy shingle makes the
     * common-count groupBy quadratic. Such hashes are dropped from the
     * JOIN INPUT only (sizes stay exact, so jaccard denominators are
-    * unchanged); the default sits far above the testdata max df (25 at
-    * sf0.1), so the oracle result is identical while the plan carries
-    * the cap. TextVectorSpec drives a low cap to prove the mechanism. */
+    * unchanged). The ORACLES of q_ngram_jaccard and q_dedup_recall
+    * replay the cap at [[NgramDfCap]] (review r10, second pass: the
+    * cap used to be Spark-side only — latent divergence on a corpus
+    * with a genuinely hot shingle). TextVectorSpec drives a low cap
+    * to prove the mechanism. */
   def ngramJaccardPairs(s: SparkSession, dir: String,
-      dfCap: Int = 10000): DataFrame = {
+      dfCap: Int = NgramDfCap): DataFrame = {
     val ex = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
@@ -1127,17 +1160,17 @@ object TextOps {
       .select(col("doc_id"), col("quality_score"),
         col("n_tokens").cast("long").as("n"))
       .filter(col("n") >= 1)
-    // the budget scalar: one Long to the driver (operator metadata);
-    // coalesce so an empty corpus reads budget 0 (empty selection),
-    // not an NPE out of the null SUM
-    val total = base.agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
-    val budget = total / 2
     val parted = base
       .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
       .sortWithinPartitions(col("quality_score").desc, col("doc_id").asc)
       .as[(Long, Double, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the budget scalar comes off the PERSISTED frame (one Long to the
+    // driver; fold handles the empty corpus as budget 0 → empty
+    // selection) — summing `base` directly would re-run the whole
+    // scoredDocs text scan a second time (review r10, second pass)
+    val total = parted.rdd.map(_._3).fold(0L)(_ + _)
+    val budget = total / 2
     val placed = rddPrefixSum(parted.rdd)(_._3)
       .map { case ((id, q, n), st) => (id, q, n, st + n) }
     val out = placed.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
@@ -2155,10 +2188,12 @@ object TextOps {
            |td AS (SELECT doc_id, lang,
            |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
            |tex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM td),
+           |tjx AS (SELECT * FROM tex WHERE h NOT IN (
+           |    SELECT h FROM tex GROUP BY h HAVING count(*) > $NgramDfCap)),
            |tsz AS (SELECT doc_id, len(hsh) AS sz FROM td),
            |tc AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           |  FROM tex a JOIN tex b
+           |  FROM tjx a JOIN tjx b
            |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
            |tr AS (
@@ -2405,10 +2440,12 @@ object TextOps {
         s"""WITH d AS (SELECT doc_id, lang,
            |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
            |ex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM d),
+           |jx AS (SELECT * FROM ex WHERE h NOT IN (
+           |    SELECT h FROM ex GROUP BY h HAVING count(*) > $NgramDfCap)),
            |sz AS (SELECT doc_id, len(hsh) AS sz FROM d),
            |c AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           |  FROM ex a JOIN ex b
+           |  FROM jx a JOIN jx b
            |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT c.id_a, c.id_b,

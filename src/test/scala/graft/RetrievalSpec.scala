@@ -13,6 +13,11 @@ class RetrievalSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
+  /** hash60(token) mod 64 — the hashed-embedding dimension, one
+    * spelling for both hybrid-search tests. */
+  private def dimOf(t: String): Long =
+    java.lang.Long.parseLong(md5Hex(t).substring(0, 15), 16) % 64
+
   // ---------------- BM25 ----------------
 
   test("bm25: tf raises, absence excludes, ranking is dense from 1") {
@@ -313,13 +318,8 @@ class RetrievalSpec extends SparkSpec {
       (3L, "delta epsilon zeta"),
       (4L, "alpha beta alpha beta")
     ).toDF("doc_id", "text")
-    val dim = (t: String) => {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(md.substring(0, 15), 16) % 64
-    }
-    assume(Seq("delta", "epsilon", "zeta").map(dim).toSet
-      .intersect(Set(dim("cat"))).isEmpty)
+    assume(Seq("delta", "epsilon", "zeta").map(dimOf).toSet
+      .intersect(Set(dimOf("cat"))).isEmpty)
     val r = Retrieval.hybridSearch(docs, Seq("cat")).collect()
       .map(x => x.getLong(0) -> (x.getLong(1),
         x.getDouble(2),
@@ -345,13 +345,8 @@ class RetrievalSpec extends SparkSpec {
     // the semantic leg scores in HASHED dim space: a doc with no query
     // term can only surface if one of its tokens lands in the query
     // term's dimension — construct exactly that collision
-    def dim(t: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(md.substring(0, 15), 16) % 64
-    }
     val collider = (0 until 10000).iterator.map(i => s"w$i")
-      .find(w => dim(w) == dim("cat")).get
+      .find(w => dimOf(w) == dimOf("cat")).get
     val docs = Seq(
       (1L, "cat cat filler1"),
       (2L, s"$collider $collider $collider"), // no 'cat', collides in dim space

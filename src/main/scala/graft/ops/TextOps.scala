@@ -473,6 +473,59 @@ object TextOps {
     pairs
   }
 
+  /** The recall computation shared by q_dedup_recall (uncapped) and
+    * q_dedup_recall_capped: verified MinHash pairs (optionally
+    * bucket-capped) joined against the exact same-lang n-gram Jaccard
+    * truth — (n_truth, n_candidates, n_hits, recall), one row. */
+  private def dedupRecallOf(s: SparkSession, dir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val truth = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+    val cand = minhashPairsOf(Tables.documents(s, dir), maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val hits = truth
+      .join(cand.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("m")), lit(0L)).cast("long").as("n_hits"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    hits.crossJoin(nc)
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(roundTo(
+            col("n_hits").cast("double") / col("n_truth"), 6)).as("recall"))
+  }
+
+  /** Oracle twin of [[dedupRecallOf]] — the t-prefixed truth chain
+    * composed with the (optionally capped) minhash CTEs. */
+  private def dedupRecallSql(maxBucket: Option[Int]): String =
+    s"""WITH ${minhashPairsSqlCtes(maxBucket)},
+       |td AS (SELECT doc_id, lang,
+       |    ${shingleHashesSql(shinglesSql(s"(${tokensSql("text")})"))} AS hsh FROM documents),
+       |tex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM td),
+       |tjx AS (SELECT * FROM tex WHERE h NOT IN (
+       |    SELECT h FROM tex GROUP BY h HAVING count(*) > $NgramDfCap)),
+       |tsz AS (SELECT doc_id, len(hsh) AS sz FROM td),
+       |tc AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM tjx a JOIN tjx b
+       |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT tc.id_a, tc.id_b
+       |  FROM tc JOIN tsz sa ON tc.id_a = sa.doc_id
+       |          JOIN tsz sb ON tc.id_b = sb.doc_id
+       |  WHERE CAST(tc.common AS DOUBLE) / (sa.sz + sb.sz - tc.common) >= 0.5),
+       |mp AS (SELECT id_a, id_b FROM np),
+       |agg AS (
+       |  SELECT (SELECT count(*) FROM tr) AS n_truth,
+       |    (SELECT count(*) FROM mp) AS n_candidates,
+       |    (SELECT count(*) FROM tr JOIN mp
+       |       ON tr.id_a = mp.id_a AND tr.id_b = mp.id_b) AS n_hits)
+       |SELECT n_truth, n_candidates, n_hits,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE ${roundToSql("CAST(n_hits AS DOUBLE) / n_truth", 6)}
+       |  END AS recall
+       |FROM agg""".stripMargin
+
   /** Hot-shingle document-frequency cap of [[ngramJaccardPairs]] —
     * the declared-query default, interpolated into the q_ngram_jaccard
     * and q_dedup_recall oracles so both engines drop the same hashes. */
@@ -1574,20 +1627,15 @@ object TextOps {
     // oracle-gated — a banding change that silently starts missing
     // true near-dup pairs moves a hash-checked value, not a vibe.
     // One row: truth volume, candidate volume, hits, recall.
-    "q_dedup_recall" -> ((s, dir) => {
-      val truth = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
-      val cand = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
-      val hits = truth
-        .join(cand.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("m")), lit(0L)).cast("long").as("n_hits"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      hits.crossJoin(nc)
-        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
-          when(col("n_truth") === 0, lit(1.0))
-            .otherwise(roundTo(
-              col("n_hits").cast("double") / col("n_truth"), 6)).as("recall"))
-    }),
+    "q_dedup_recall" -> ((s, dir) =>
+      dedupRecallOf(s, dir, maxBucket = None)),
+
+    // The same gauge under the PRODUCTION hot-bucket cap
+    // (q_minhash_capped's one-sided CapBucket) — the number a
+    // pipeline actually trades when it caps: how much recall the
+    // bucket cap costs against the identical truth set.
+    "q_dedup_recall_capped" -> ((s, dir) =>
+      dedupRecallOf(s, dir, maxBucket = Some(CapBucket))),
 
     // PER-SOURCE CORPUS HEALTH — the data-vendor scorecard: document
     // and token volume, mean heuristic quality (decimal-exact sum of
@@ -2183,35 +2231,9 @@ object TextOps {
 
       // truth = the q_ngram_jaccard chain (t-prefixed names — the
       // minhash CTEs own d/sig/banded); hits by pair-key join
-      "q_dedup_recall" ->
-        s"""WITH ${minhashPairsSqlCtes()},
-           |td AS (SELECT doc_id, lang,
-           |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-           |tex AS (SELECT doc_id, lang, unnest(hsh) AS h FROM td),
-           |tjx AS (SELECT * FROM tex WHERE h NOT IN (
-           |    SELECT h FROM tex GROUP BY h HAVING count(*) > $NgramDfCap)),
-           |tsz AS (SELECT doc_id, len(hsh) AS sz FROM td),
-           |tc AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           |  FROM tjx a JOIN tjx b
-           |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |tr AS (
-           |  SELECT tc.id_a, tc.id_b
-           |  FROM tc JOIN tsz sa ON tc.id_a = sa.doc_id
-           |          JOIN tsz sb ON tc.id_b = sb.doc_id
-           |  WHERE CAST(tc.common AS DOUBLE) / (sa.sz + sb.sz - tc.common) >= 0.5),
-           |mp AS (SELECT id_a, id_b FROM np),
-           |agg AS (
-           |  SELECT (SELECT count(*) FROM tr) AS n_truth,
-           |    (SELECT count(*) FROM mp) AS n_candidates,
-           |    (SELECT count(*) FROM tr JOIN mp
-           |       ON tr.id_a = mp.id_a AND tr.id_b = mp.id_b) AS n_hits)
-           |SELECT n_truth, n_candidates, n_hits,
-           |  CASE WHEN n_truth = 0 THEN 1.0
-           |       ELSE ${roundToSql("CAST(n_hits AS DOUBLE) / n_truth", 6)}
-           |  END AS recall
-           |FROM agg""".stripMargin,
+      "q_dedup_recall" -> dedupRecallSql(maxBucket = None),
+
+      "q_dedup_recall_capped" -> dedupRecallSql(maxBucket = Some(CapBucket)),
 
       "q_source_quality" ->
         s"""WITH ${qualityCtesSql(withDigest = true)},

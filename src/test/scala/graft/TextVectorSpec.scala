@@ -417,6 +417,11 @@ class TextVectorSpec extends SparkSpec {
     // the fixture has real near-dups: an empty truth set would make
     // this gauge vacuous
     assert(truth > 0, "no exact near-dup pairs at sf0.001 — vacuous recall")
+    // the capped gauge can only lose candidates (one-sided cap):
+    // hits and candidates are bounded by the uncapped run
+    val c = SparkEntry.queries("q_dedup_recall_capped")(spark, dir).collect()(0)
+    assert(c.getLong(0) === truth) // same truth set
+    assert(c.getLong(1) <= cand && c.getLong(2) <= hits)
   }
 
   test("leakage split: near-dup cluster members never straddle a split") {

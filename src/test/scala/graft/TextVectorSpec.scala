@@ -424,6 +424,28 @@ class TextVectorSpec extends SparkSpec {
     assert(c.getLong(1) <= cand && c.getLong(2) <= hits)
   }
 
+  test("capped recall gauge DETECTS cap-induced loss under mass duplication") {
+    import spark.implicits._
+    // 200 byte-identical docs: one LSH bucket of 200 in every band;
+    // CapBucket=64 keeps only the first 64 as left candidates, so the
+    // capped pipeline structurally cannot reach the C(200,2) truth —
+    // exactly the loss this gauge exists to surface
+    val tmp = java.nio.file.Files.createTempDirectory("recall_gauge").toString
+    (0L until 200L).map { id =>
+      val text = "the quick spark stream merges every window batch cleanly"
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val un = SparkEntry.queries("q_dedup_recall")(spark, tmp).collect()(0)
+    val cp = SparkEntry.queries("q_dedup_recall_capped")(spark, tmp).collect()(0)
+    assert(un.getLong(0) === 199L * 200 / 2) // C(200,2) truth pairs
+    assert(un.getDouble(3) === 1.0, "uncapped banding must find every pair")
+    assert(cp.getLong(0) === un.getLong(0)) // identical truth set
+    assert(cp.getDouble(3) < 1.0,
+      "the cap bound this corpus — recall must read below 1, not mask the loss")
+    assert(cp.getLong(2) < un.getLong(2))
+  }
+
   test("leakage split: near-dup cluster members never straddle a split") {
     val r = SparkEntry.queries("q_leakage_split")(spark, dir)
     val perCluster = r.groupBy($"cluster_rep")

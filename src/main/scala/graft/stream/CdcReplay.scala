@@ -96,7 +96,7 @@ object CdcReplay {
     * rather than resurrecting). */
   private def resolvedWithTombstones(spark: SparkSession,
       logParts: Seq[org.apache.hadoop.fs.Path], logDir: String,
-      stateDir: Option[String], spec: CdcSpec): DataFrame = {
+      snap0: Option[(String, Long)], spec: CdcSpec): DataFrame = {
     // right after a compaction the log holds no batch_id= partitions at
     // all (every one was folded into the snapshot and pruned) — a bare
     // parquet read of the empty dir would die on schema inference.
@@ -122,19 +122,19 @@ object CdcReplay {
           .option("mergeSchema", "true")
           .parquet(logParts.map(_.toString): _*))
       else None
-    // resolve ONCE and read that version directly — an existence check
-    // that re-resolves inside read would double the FS listings and
-    // open a TOCTOU window where the two resolves disagree
-    val snap = stateDir
-      .flatMap(d => Snapshots.resolve(spark, d)
-        .map(v => Snapshots.readVersion(spark, d, v)))
+    // the snapshot version arrives PRE-RESOLVED from the caller (one
+    // Snapshots.resolve per entry point — review r10: currentState
+    // used to probe existence with its own resolve and then resolve
+    // again in here, doubling the FS listings and opening the exact
+    // TOCTOU window this comment warns about)
+    val snap = snap0.map { case (d, v) => Snapshots.readVersion(spark, d, v) }
     val full = (snap, log) match {
       case (Some(s), Some(l)) => s.unionByName(l, allowMissingColumns = true)
       case (Some(s), None) => s
       case (None, Some(l)) => l
       case (None, None) => throw new IllegalStateException(
         s"no CDC log partitions under $logDir and no snapshot" +
-          stateDir.fold("")(d => s" under $d"))
+          snap0.fold("")(sv => s" under ${sv._1}"))
     }
     Cdc.resolveLatest(full, spec.keyCols, spec.orderCols, spec.opCol,
       keepTombstones = true)
@@ -175,8 +175,10 @@ object CdcReplay {
       stateDir: Option[String] = None, spec: CdcSpec = EngagementSpec,
       coldSchema: Option[StructType] = None): DataFrame = {
     val parts = logPartitions(spark, logDir)
-    val hasSnap = stateDir.exists(d => Snapshots.resolve(spark, d).isDefined)
-    if (parts.isEmpty && !hasSnap) {
+    // resolve ONCE; the resolved version flows into the read below
+    val snap = stateDir.flatMap(d =>
+      Snapshots.resolve(spark, d).map(v => (d, v)))
+    if (parts.isEmpty && snap.isEmpty) {
       val schema = coldSchema.getOrElse {
         if (spec != EngagementSpec) throw new IllegalStateException(
           s"cold CDC store under $logDir: pass coldSchema for a " +
@@ -186,7 +188,7 @@ object CdcReplay {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else
       Cdc.dropTombstones(
-        resolvedWithTombstones(spark, parts, logDir, stateDir, spec), spec.opCol)
+        resolvedWithTombstones(spark, parts, logDir, snap, spec), spec.opCol)
   }
 
   /** Materialize the resolved state as an atomic snapshot version
@@ -253,24 +255,46 @@ object CdcReplay {
       pending.map(new org.apache.hadoop.fs.Path(_))
         .filter(fs.exists(_)).foreach(p => fs.delete(p, true))
     }
-    // 2. capture + resolve + publish
+    // 2. capture + resolve + publish. An all-empty prefix (every early
+    //    micro-batch filtered out before the log) means nothing to
+    //    fold and nothing to publish — compacting would throw on
+    //    (no log, no snapshot); skip the cycle instead of killing the
+    //    stream (review r10: currentState guarded this cold case,
+    //    compact did not).
     val parts = logPartitions(spark, logDir)
-    val resolved = resolvedWithTombstones(spark, parts, logDir, Some(stateDir), spec)
+    val snap = Snapshots.resolve(spark, stateDir).map(v => (stateDir, v))
+    if (parts.isEmpty && snap.isEmpty) return
+    val resolved = resolvedWithTombstones(spark, parts, logDir, snap, spec)
       .persist() // two actions below (horizon scalar + write) — one execution
     try {
       val gated = tombstoneRetainMs match {
         case None => resolved
         case Some(ms) =>
           // one scalar pull per compaction (an operator action, not a
-          // per-row path); data-relative horizon — see scaladoc
-          val maxTs = Option(resolved.agg(max(col(spec.ageCol))).first().get(0))
-            .map(_.asInstanceOf[Long])
+          // per-row path); data-relative horizon — see scaladoc.
+          // ageCol is the SPEC's extension point (`__ts_ms`, an LSN, a
+          // timestamp) — convert whatever ordinal type it carries to
+          // the millis horizon instead of a blind cast that dies with
+          // ClassCastException at the first compaction (review r10)
+          val horizonLit = Option(
+            resolved.agg(max(col(spec.ageCol))).first().get(0)).map {
+              case l: java.lang.Long => lit(l.longValue() - ms)
+              case i: java.lang.Integer => lit(i.longValue() - ms)
+              case t: java.sql.Timestamp =>
+                lit(new java.sql.Timestamp(t.getTime - ms))
+              case i: java.time.Instant =>
+                lit(java.sql.Timestamp.from(i.minusMillis(ms)))
+              case other => throw new IllegalStateException(
+                s"CdcSpec.ageCol '${spec.ageCol}' has unsupported type " +
+                  s"${other.getClass.getName} for tombstone GC — use a " +
+                  "LONG/INT millis column or a TIMESTAMP")
+            }
           // a tombstone with NULL age is never GC'd (age unknowable
           // → conservative); without the null guard three-valued logic
           // would drop it unconditionally
-          maxTs.fold(resolved)(m => resolved.filter(
+          horizonLit.fold(resolved)(h => resolved.filter(
             !(coalesce(col(spec.opCol) === "d", lit(false)) &&
-              col(spec.ageCol).isNotNull && col(spec.ageCol) < lit(m - ms))))
+              col(spec.ageCol).isNotNull && col(spec.ageCol) < h)))
       }
       Snapshots.publish(gated, stateDir, version)
     } finally resolved.unpersist()
@@ -291,7 +315,7 @@ object CdcReplay {
     * non-fresh log dir — or a log dir stamped for a different
     * checkpoint — is a hard error instead of silent corruption. */
   private[graft] def enforceCheckpointPairing(spark: SparkSession, logDir: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, stateDir: Option[String] = None): Unit = {
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the checkpoint may live on a different FileSystem than the log
@@ -318,6 +342,21 @@ object CdcReplay {
           "restarted batch ids would overwrite a previous run's batch_id= " +
           "partitions. Reset (delete) the log dir and state dir together " +
           "with the checkpoint.")
+    // the same reset discipline for the SNAPSHOT store: a fresh
+    // checkpoint over a state dir holding committed versions would
+    // fold the dead pre-reset corpus back in at the first compaction
+    // (or re-serve an ancient version when the restarted batch id
+    // matches a committed one) — the log-dir guard alone let this
+    // through whenever the operator reset checkpoint + log but kept
+    // state (review r10)
+    if (!checkpointStarted &&
+        stateDir.exists(d => Snapshots.resolve(spark, d).isDefined))
+      throw new IllegalStateException(
+        s"checkpoint $checkpoint is fresh but CDC state dir " +
+          s"${stateDir.get} holds committed snapshots: a restarted " +
+          "stream would resurrect the previous run's corpus at its " +
+          "first compaction. Reset (delete) the state dir together " +
+          "with the checkpoint and log dir.")
     if (stamped.exists(_ != canonical))
       throw new IllegalStateException(
         s"CDC log dir $logDir is stamped for checkpoint ${stamped.get}, " +
@@ -341,11 +380,30 @@ object CdcReplay {
       // same checkpoint is a benign self-race, a different one is the
       // hard error the stamp exists to throw.
       if (!claimStamp(fs, stamp, canonical)) {
-        val winner = {
+        // On HDFS-likes the winner's stamp is visible (length 0)
+        // between its create and close — reading "" there would turn
+        // the benign same-checkpoint self-race into a spurious hard
+        // error (the local path publishes atomically via hardlink and
+        // never shows this window). Re-read briefly until content
+        // appears; a stamp still empty after the grace is a genuinely
+        // broken claim and errors loudly (review r10).
+        def readStamp(): String = {
           val in = fs.open(stamp)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         }
+        var winner = readStamp()
+        var tries = 0
+        while (winner.isEmpty && tries < 50) {
+          Thread.sleep(20)
+          winner = readStamp()
+          tries += 1
+        }
+        if (winner.isEmpty)
+          throw new IllegalStateException(
+            s"CDC log dir $logDir has an empty checkpoint stamp after a " +
+              "concurrent claim — the claiming writer died mid-publish; " +
+              "remove the stamp after verifying no other query owns the log.")
         if (winner != canonical)
           throw new IllegalStateException(
             s"CDC log dir $logDir was concurrently stamped for " +
@@ -403,7 +461,7 @@ object CdcReplay {
       tombstoneRetainMs: Option[Long] = None,
       spec: CdcSpec = EngagementSpec,
       onCompact: (Long, Double) => Unit = (_, _) => ()): StreamingQuery = {
-    enforceCheckpointPairing(mutations.sparkSession, logDir, checkpoint)
+    enforceCheckpointPairing(mutations.sparkSession, logDir, checkpoint, stateDir)
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     require(compactEvery.isEmpty || stateDir.isDefined,
       "compactEvery needs a stateDir to compact into")

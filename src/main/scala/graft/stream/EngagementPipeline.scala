@@ -123,14 +123,11 @@ object EngagementPipeline {
       // engagement, recomputed per batch, overwrite-latest — published
       // atomically (versioned dir + pointer repoint, [[Snapshots]]) so
       // a reader never lands between the delete and the write.
-      val topk = batch
+      val topk = rankTop5(batch
         .groupBy(coalesce(col("content_type"), lit("unknown")).as("content_type"))
         .agg(count(lit(1)).as("access_count"),
-          Util.dsum(col("engagement_pct")).as("sum_pct"))
-        .withColumn("avg_engagement",
-          coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
-        .orderBy(col("avg_engagement").desc, col("content_type").asc)
-        .limit(5)
+          Util.dsum(col("engagement_pct")).as("sum_pct")),
+        keyCol = "content_type")
       Snapshots.publish(topk, analyticsDir, batchId)
       // verification counts run HERE, while the batch is still
       // persisted — counting after the finally-unpersist re-executed
@@ -173,8 +170,23 @@ object EngagementPipeline {
     val wh = spark.read.parquet(s"$warehouseDir/batch_id=$batchId").count()
     if (wh != expected) throw new IllegalStateException(
       s"warehouse batch $batchId wrote $wh rows, expected $expected")
-    val se = spark.read.option("basePath", searchDir).parquet(searchDir)
-      .filter(col("batch_id") === batchId).count()
+    // enumerate ONLY event_date=*/batch_id=N paths: a whole-tree read
+    // with a batch_id filter builds a file index over every
+    // (day × batch) directory first — per-trigger cost growing with
+    // stream age, on the hot path (review r10, streaming pass). One
+    // top-level listing (O(days)) + one exists probe per day bounds it.
+    val sp = new org.apache.hadoop.fs.Path(searchDir)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayParts =
+      if (!fs.exists(sp)) Seq.empty
+      else fs.listStatus(sp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        .map(s => new org.apache.hadoop.fs.Path(s.getPath, s"batch_id=$batchId"))
+        .filter(fs.exists(_))
+    val se =
+      if (dayParts.isEmpty) 0L
+      else spark.read.option("basePath", searchDir)
+        .parquet(dayParts.map(_.toString): _*).count()
     if (se != expected) throw new IllegalStateException(
       s"search batch $batchId wrote $se rows, expected $expected")
   }
@@ -217,9 +229,36 @@ object EngagementPipeline {
     * (StreamingSpec asserts it). State stays bounded: the stream side
     * holds 15 min of window state; the store grows one small row per
     * (minute, type). */
+  /** Ratio-of-sums top-5 over (key, access_count, sum_pct) partials —
+    * the A5+A6 per-flush recompute, ONE spelling for the fan-out and
+    * sliding sinks (review r10: three inline copies of the guard +
+    * tie-break could drift; the batch-query twin is
+    * [[graft.ops.Aggregates.avgRatio]]/topK, whose stream-equals-batch
+    * equivalence StreamingSpec asserts). */
+  private def rankTop5(aggregated: DataFrame, keyCol: String): DataFrame =
+    aggregated.withColumn("avg_engagement",
+        coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
+      .orderBy(col("avg_engagement").desc, col(keyCol).asc)
+      .limit(5)
+
   def slidingAnalyticsBatch(minutesDir: String, slidingDir: String,
       topkDir: String, retentionMinutes: Int = 60)
       (batch: DataFrame, batchId: Long): Unit = {
+    // persist BEFORE the emptiness probe: foreachBatch frames
+    // recompute per action, so an unpersisted isEmpty ran the whole
+    // stateful source→window chain once and the minutes write ran it
+    // again — every trigger paid a redundant execution (review r10;
+    // fanOutBatch already persists for exactly this reason)
+    batch.persist()
+    try {
+      slidingAnalyticsBatchInner(minutesDir, slidingDir, topkDir,
+        retentionMinutes, batch, batchId)
+    } finally batch.unpersist()
+  }
+
+  private def slidingAnalyticsBatchInner(minutesDir: String, slidingDir: String,
+      topkDir: String, retentionMinutes: Int,
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return  // nothing changed; keep last snapshots
     // upsert updated minute buckets; update-mode rows carry the latest
@@ -256,15 +295,12 @@ object EngagementPipeline {
       // (Σ pct ÷ Σ accesses — the all-access denominator, ≥1 guard),
       // ranked; the Redis sink's per-flush recompute.
       val maxMin = minutes.agg(max(col("minute")).as("max_minute"))
-      val topk = minutes.crossJoin(broadcast(maxMin))
+      val topk = rankTop5(minutes.crossJoin(broadcast(maxMin))
         .filter(col("minute") >= col("max_minute") - expr("INTERVAL 9 MINUTES"))
         .groupBy(col("event_type"))
         .agg(sum(col("access_count")).as("access_count"),
-          sum(col("sum_value").cast("decimal(28,6)")).cast("double").as("sum_pct"))
-        .withColumn("avg_engagement",
-          coalesce(col("sum_pct"), lit(0.0)) / greatest(col("access_count"), lit(1L)))
-        .orderBy(col("avg_engagement").desc, col("event_type").asc)
-        .limit(5)
+          sum(col("sum_value").cast("decimal(28,6)")).cast("double").as("sum_pct")),
+        keyCol = "event_type")
       Snapshots.publish(topk, topkDir, batchId)
     } finally minutes.unpersist()
     // RETENTION DELETION — the reference expires minute state with

@@ -231,11 +231,23 @@ object StreamingDedup {
               val found = fs.listStatus(storePath).toSeq
                 .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
                 .flatMap { s =>
-                  scala.util.Try {
-                    val b = s.getPath.getName.stripPrefix("bucket=").toLong
-                    val sch = spark.read.parquet(s.getPath.toString).schema
-                    if (sch.fieldNames.contains("split")) None else Some(b)
-                  }.toOption.flatten
+                  scala.util.Try(
+                    s.getPath.getName.stripPrefix("bucket=").toLong
+                  ).toOption.flatMap { b =>
+                    // an UNREADABLE footer must not read as "migrated"
+                    // (the old blanket Try did exactly that: one
+                    // transient IO error and the scan never ran again,
+                    // leaving that bucket 2-column forever). Classify
+                    // it as legacy instead — the rewrite repairs both
+                    // a pre-split schema and a crashed-commit artifact
+                    // idempotently (review r10, streaming pass).
+                    scala.util.Try(
+                      spark.read.parquet(s.getPath.toString).schema) match {
+                      case scala.util.Success(sch)
+                          if sch.fieldNames.contains("split") => None
+                      case _ => Some(b)
+                    }
+                  }
                 }
               if (found.isEmpty) splitMigrated.add(storeDir)
               found

@@ -1018,6 +1018,51 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("owned by exactly one"))
   }
 
+  test("checkpoint reset over a surviving CDC state dir is also a hard error") {
+    // the log-dir guard alone let a reset that kept stateDir through:
+    // the first compaction of the restarted stream would fold the dead
+    // pre-reset corpus back in (review r10)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_state").toString
+    val (log, ckpt, state) = (s"$root/log", s"$root/ckpt", s"$root/state")
+    val input = MemoryStream[(Long, Long, String)]
+    val muts = input.toDF().toDF("id", "__ts_ms", "__op")
+    val spec = graft.stream.CdcSpec(Seq("id"), Seq("__ts_ms", "batch_id"))
+    val q = graft.stream.CdcReplay.startLog(muts, log, ckpt, triggerMs = 100L,
+      stateDir = Some(state), compactEvery = Some(1), spec = spec)
+    try {
+      input.addData((1L, 1000L, "c"))
+      q.processAllAvailable()
+      input.addData((2L, 2000L, "c"))
+      q.processAllAvailable() // batch 1 → compaction publishes a version
+    } finally q.stop()
+    assert(graft.stream.Snapshots.resolve(spark, state).isDefined,
+      "fixture: compaction must have committed a snapshot")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckpt)); rm(new java.io.File(log))
+    val e = intercept[IllegalStateException] {
+      graft.stream.CdcReplay.startLog(muts, log, ckpt, triggerMs = 100L,
+        stateDir = Some(state), compactEvery = Some(1), spec = spec)
+    }
+    assert(e.getMessage.contains("holds committed snapshots"))
+  }
+
+  test("compaction on an all-filtered batch prefix is a no-op, not a crash") {
+    // first micro-batches can be entirely filtered upstream (Kafka
+    // tombstones, unknown ops) — logBatch writes no partitions and the
+    // compaction cadence must skip, not kill the query with
+    // no-log-no-snapshot (review r10)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toString
+    val (log, state) = (s"$root/log", s"$root/state")
+    new java.io.File(log).mkdirs()
+    graft.stream.CdcReplay.compact(spark, log, state, version = 1L,
+      spec = graft.stream.CdcSpec(Seq("id"), Seq("__ts_ms", "batch_id")))
+    assert(graft.stream.Snapshots.resolve(spark, state).isEmpty,
+      "nothing to fold must publish nothing")
+  }
+
   test("concurrent startLog stamping: at most one checkpoint ever wins a log dir") {
     // the pairing check is startLog's pre-start critical section —
     // race it directly: two threads, different checkpoints, same fresh

@@ -37,19 +37,31 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     else TypeCheckResult.TypeCheckFailure(
       s"dot_product expects array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
   }
+  // element scan skipped statically when the schema rules nulls out
+  // (see ArrayNulls.mayHaveNullElements)
+  private def scanLeft = ArrayNulls.mayHaveNullElements(left)
+  private def scanRight = ArrayNulls.mayHaveNullElements(right)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
-    if (av.numElements() != bv.numElements()) null
+    if (av.numElements() != bv.numElements() ||
+        (scanLeft && ArrayNulls.anyNull(av)) ||
+        (scanRight && ArrayNulls.anyNull(bv))) null
     else DotProductUtil.dot(av, bv)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() != $b.numElements()) {
+    // `||` at END of line — a line-leading `||` is margin-stripped
+    // out of the generated Java (see CosineSim.doGenCode)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = if (scanLeft) s" || graft.functions.ArrayNulls.anyNull($a)" else ""
+      val nb = if (scanRight) s" || graft.functions.ArrayNulls.anyNull($b)" else ""
+      s"""
+      if ($a.numElements() != $b.numElements()$na$nb) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.DotProductUtil.dot($a, $b);
-      }""")
+      }"""
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

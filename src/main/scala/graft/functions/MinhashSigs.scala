@@ -24,6 +24,22 @@ case class MinhashSigs(child: Expression, coefA: Array[Long],
     coefB: Array[Long], p: Long)
   extends UnaryExpression with CodegenFallback {
 
+  // the documented contract, ENFORCED (review r10, functions pass):
+  // mismatched coefficient arrays previously failed per-row deep in a
+  // task (AIOOBE), and an oversized p silently overflowed `a·h + b`
+  // into wrong signatures with no error
+  require(coefA.length == coefB.length,
+    s"minhash_sigs: ${coefA.length} a-coefficients vs ${coefB.length} " +
+      "b-coefficients — the permutation tables must align")
+  require(coefA.nonEmpty, "minhash_sigs needs at least one permutation")
+  require(p > 0 && p <= (1L << 31),
+    s"minhash_sigs: p=$p outside (0, 2^31] — the 63-bit no-overflow " +
+      "bound of a*h + b requires h < p <= 2^31")
+  require(coefA.forall(a => a > 0 && a < (1L << 31)) &&
+      coefB.forall(b => b >= 0 && b < (1L << 31)),
+    "minhash_sigs: coefficients outside [0, 2^31) break the 63-bit " +
+      "no-overflow bound")
+
   private def k = coefA.length
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
@@ -64,4 +80,14 @@ case class MinhashSigs(child: Expression, coefA: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)
   override def prettyName: String = "minhash_sigs"
+  // content-based equality over the coefficient tables, so identical
+  // expressions CSE (see RefArrays)
+  override def equals(o: Any): Boolean = o match {
+    case x: MinhashSigs => x.child == child && x.p == p &&
+      RefArrays.same(x.coefA, coefA) && RefArrays.same(x.coefB, coefB)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * child.hashCode + p.hashCode) +
+      RefArrays.hash(coefA)) + RefArrays.hash(coefB)
 }

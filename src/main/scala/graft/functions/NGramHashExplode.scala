@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   * index near-dup queries is preserved bit-for-bit — covered by a
   * multiset-equality test against the expression-composed form.
   *
-  * <3 tokens → one shingle of the whole (space-joined) text; empty
-  * dedup via an open-addressed long set sized to the shingle count.
+  * <3 tokens → one shingle of the whole (space-joined) text. Dedup is
+  * on the shingle STRING (a HashSet[String]), deliberately NOT on the
+  * hash: two distinct shingles colliding to one 60-bit hash must emit
+  * BOTH rows, exactly like the composed `array_distinct(shingles)`
+  * form — deduping on the hash would silently change the multiset and
+  * break the pinned oracle equality.
   */
 object NGramHashExplode {
   /** Same modulus as [[graft.ops.TextOps.MinhashP]] — keeps generator

@@ -24,29 +24,48 @@ object NearestCentroidUtil {
     out
   }
 
+  /** THE parity-pinned distance fold: Σ_i ((double)v_{off+i} − c_i)²
+    * in element order — the identical op sequence as the DuckDB
+    * oracle's list_reduce spelling ((0 + t₁²) + t₂²) + …, so cell
+    * assignments and PQ codes are bit-for-bit reproducible
+    * cross-engine. ONE definition (review r10, functions pass: this
+    * fold previously lived in four hand-maintained copies —
+    * nearestOf, NearestCells, PqEncode, PqFitExplode — any one of
+    * which could drift alone and silently break parity for its
+    * path). `off` windows a subspace for the PQ callers. */
+  def distSq(v: Array[Float], off: Int, c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) {
+      val t = v(off + i).toDouble - c(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
   /** Index of the centroid with the smallest squared L2 distance to
-    * `e`, ties to the lowest index. Distance is the sequential fold
-    * Σ_i ((double)e_i − c_i)² in element order — the identical op
-    * sequence as the DuckDB oracle's list_reduce spelling
-    * ((0 + t₁²) + t₂²) + …, so cell assignments are bit-for-bit
-    * reproducible cross-engine. */
+    * `e`, ties to the lowest index; −1 when NO finite distance exists
+    * (a NaN-poisoned vector — every comparison false). Callers turn
+    * −1 into NULL so the bad vector is visibly dropped on every path
+    * instead of silently polluting cell 0 (review r10: the encode
+    * path used to default to 0 while the routing path emitted −1). */
   def nearest(e: ArrayData, cs: Array[Array[Double]]): Int =
     nearestOf(toFloats(e), cs)
 
   /** [[nearest]] over an already-copied vector. */
-  def nearestOf(v: Array[Float], cs: Array[Array[Double]]): Int = {
-    var best = 0
+  def nearestOf(v: Array[Float], cs: Array[Array[Double]]): Int =
+    nearestAt(v, 0, cs)
+
+  /** [[nearestOf]] over the subspace window starting at `off` — the
+    * PQ per-subspace nearest-code scan ([[distSq]] is the shared
+    * fold; −1 when no finite distance exists). */
+  def nearestAt(v: Array[Float], off: Int, cs: Array[Array[Double]]): Int = {
+    var best = -1
     var bestD = Double.PositiveInfinity
     var k = 0
     while (k < cs.length) {
-      val c = cs(k)
-      var d = 0.0
-      var i = 0
-      while (i < c.length) {
-        val t = v(i).toDouble - c(i)
-        d += t * t
-        i += 1
-      }
+      val d = distSq(v, off, cs(k))
       if (d < bestD) { bestD = d; best = k }
       k += 1
     }
@@ -77,7 +96,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(a: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
     if (e.numElements() != dims) null
-    else NearestCentroidUtil.nearest(e, centroids)
+    else {
+      val k = NearestCentroidUtil.nearest(e, centroids)
+      if (k < 0) null else k // NaN-poisoned: no finite distance
+    }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
@@ -86,11 +108,20 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.NearestCentroidUtil.nearest($e, $cRef);
+        if (${ev.value} < 0) { ${ev.isNull} = true; }
       }""")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid"
+  // content-based equality over the reference-object table, so
+  // identical expressions CSE (see RefArrays)
+  override def equals(o: Any): Boolean = o match {
+    case x: NearestCentroid =>
+      x.child == child && RefArrays.same(x.centroids, centroids)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(centroids)
 }
 
 /** `array<float> → array<int>`: the `nProbe` nearest centroids
@@ -133,14 +164,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     val bc = Array.fill(n)(-1)
     var k = 0
     while (k < centroids.length) {
-      val c = centroids(k)
-      var d = 0.0
-      var i = 0
-      while (i < dims) {
-        val t = v(i).toDouble - c(i)
-        d += t * t
-        i += 1
-      }
+      val d = NearestCentroidUtil.distSq(v, 0, centroids(k))
       if (d < bd(n - 1)) {
         var j = n - 1
         while (j > 0 && d < bd(j - 1)) {
@@ -150,10 +174,26 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       }
       k += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(bc)
+    // a NaN distance never inserts, so unfilled −1 slots mean fewer
+    // than n routable cells: drop them, and a vector with NO routable
+    // cell at all yields NULL — the same visible drop as
+    // [[NearestCentroid]] (review r10: the two paths used to disagree,
+    // cell-0 pollution on encode vs silent vanish on search)
+    var filled = 0
+    while (filled < n && bc(filled) >= 0) filled += 1
+    if (filled == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bc, filled))
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
   override def prettyName: String = "nearest_cells"
+  override def equals(o: Any): Boolean = o match {
+    case x: NearestCells => x.child == child && x.nProbe == nProbe &&
+      RefArrays.same(x.centroids, centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + nProbe) + RefArrays.hash(centroids)
 }

@@ -60,25 +60,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     while (s < m) {
       val base = s * sub
       // short slice (ragged vector) → NULL code, like slice() +
-      // nearest_centroid's width guard
+      // nearest_centroid's width guard; a NaN-poisoned subspace (no
+      // finite distance, nearestAt = −1) is NULL for the same reason
       if (base + sub <= len) {
-        val cb = codebooks(s)
-        var best = 0
-        var bestD = Double.PositiveInfinity
-        var j = 0
-        while (j < cb.length) {
-          val c = cb(j)
-          var d = 0.0
-          var i = 0
-          while (i < sub) {
-            val t = v(base + i).toDouble - c(i)
-            d += t * t
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        out(s) = best
+        val best = NearestCentroidUtil.nearestAt(v, base, codebooks(s))
+        if (best >= 0) out(s) = best
       }
       s += 1
     }
@@ -88,6 +74,13 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+  // content-based equality over the codebooks, so identical
+  // expressions CSE (see RefArrays)
+  override def equals(o: Any): Boolean = o match {
+    case x: PqEncode => x.child == child && RefArrays.same(x.codebooks, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(codebooks)
 }
 
 /** `array<int> → double`: ADC distance — the sum of m lookup-table
@@ -139,6 +132,11 @@ case class PqAdcDist(child: Expression, lut: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): PqAdcDist =
     copy(child = newChild)
   override def prettyName: String = "pq_adc_dist"
+  override def equals(o: Any): Boolean = o match {
+    case x: PqAdcDist => x.child == child && RefArrays.same(x.lut, lut)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(lut)
 }
 
 /** `array<double> → array<array<double>>`: the ADC lookup table for
@@ -213,6 +211,11 @@ case class PqLutL2(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqLutL2 =
     copy(child = newChild)
   override def prettyName: String = "pq_lut_l2"
+  override def equals(o: Any): Boolean = o match {
+    case x: PqLutL2 => x.child == child && RefArrays.same(x.codebooks, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(codebooks)
 }
 
 /** Generator: `array<float> → rows of (s, cell, pos, v)` — one row
@@ -276,24 +279,11 @@ case class PqFitExplode(child: Expression,
     while (s < m) {
       val base = s * sub
       if (base + sub <= len) {
-        val cb = codebooks(s)
-        var best = 0
-        var bestD = Double.PositiveInfinity
-        var j = 0
-        while (j < cb.length) {
-          val c = cb(j)
-          var d = 0.0
-          var i = 0
-          while (i < sub) {
-            val t = v(base + i).toDouble - c(i)
-            d += t * t
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
+        val best = NearestCentroidUtil.nearestAt(v, base, codebooks(s))
+        // a NaN-poisoned subspace (best = −1) contributes nothing to
+        // the fit means — the same exclusion as a ragged slice
         var i = 0
-        while (i < sub) {
+        while (best >= 0 && i < sub) {
           val x: Any = if (e.isNullAt(base + i)) null else v(base + i)
           out += InternalRow(s, best, i, x)
           i += 1
@@ -307,4 +297,9 @@ case class PqFitExplode(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): PqFitExplode =
     copy(child = newChild)
   override def prettyName: String = "pq_fit_explode"
+  override def equals(o: Any): Boolean = o match {
+    case x: PqFitExplode => x.child == child && RefArrays.same(x.codebooks, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(codebooks)
 }

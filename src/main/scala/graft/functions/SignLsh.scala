@@ -49,21 +49,38 @@ case class SignLshBucket(child: Expression, planes: Array[Array[Double]])
     case t => TypeCheckResult.TypeCheckFailure(
       s"sign_lsh_bucket expects array<float>, got ${t.sql}")
   }
+  // ragged OR null-poisoned vectors yield NULL (a null slot reads as
+  // 0.0f and would hash to a legitimate bucket otherwise — ArrayNulls);
+  // the element scan is skipped statically when the schema rules
+  // element nulls out (see ArrayNulls.mayHaveNullElements)
+  private def scanNulls = ArrayNulls.mayHaveNullElements(child)
   override def nullSafeEval(a: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
-    if (e.numElements() != dims) null
+    if (e.numElements() != dims || (scanNulls && ArrayNulls.anyNull(e))) null
     else SignLshUtil.bucket(e, planes)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, e => s"""
-      if ($e.numElements() != $dims) {
+    // `||` at END of line — a line-leading `||` is margin-stripped
+    // out of the generated Java (see CosineSim.doGenCode)
+    nullSafeCodeGen(ctx, ev, e => {
+      val ne = if (scanNulls) s" || graft.functions.ArrayNulls.anyNull($e)" else ""
+      s"""
+      if ($e.numElements() != $dims$ne) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.SignLshUtil.bucket($e, $pRef);
-      }""")
+      }"""
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
     copy(child = newChild)
   override def prettyName: String = "sign_lsh_bucket"
+  // content-based equality over the plane table, so identical
+  // expressions CSE (see RefArrays)
+  override def equals(o: Any): Boolean = o match {
+    case x: SignLshBucket => x.child == child && RefArrays.same(x.planes, planes)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode + RefArrays.hash(planes)
 }

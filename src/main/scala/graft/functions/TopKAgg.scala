@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Aggregation buffer: bounded top-k set of (score, key) pairs.
-  * Kept as a simple sorted array — k is small (≤ 100s), merges are
-  * k-way bounded, no allocation churn beyond the arrays. Ordering:
-  * higher score first, then key ascending (deterministic ties). */
+  * Kept as capacity-k sorted arrays with an explicit `size` — an
+  * accepted insert shifts IN PLACE (review r10, functions pass: the
+  * old immutable-array spelling allocated and copied two fresh arrays
+  * per accepted row, O(n·k) allocation for ascending input — in the
+  * update hot path of every streaming top-k group). Ordering: higher
+  * score first, then key ascending (deterministic ties). */
 final class TopKBuffer(val k: Int) {
-  var scores: Array[Double] = new Array[Double](0)
-  var keys: Array[UTF8String] = new Array[UTF8String](0)
+  var size: Int = 0
+  var scores: Array[Double] = new Array[Double](k)
+  var keys: Array[UTF8String] = new Array[UTF8String](k)
 
   // java.lang.Double.compare, not primitive >: a TOTAL order that
   // ranks NaN above every finite score, exactly where Spark's and
@@ -27,33 +31,28 @@ final class TopKBuffer(val k: Int) {
   }
 
   def insert(s: Double, key: UTF8String): Unit = {
-    var pos = scores.length
+    var pos = size
     var i = 0
     var found = false
-    while (i < scores.length && !found) {
+    while (i < size && !found) {
       if (beats(s, key, i)) { pos = i; found = true }
       i += 1
     }
     if (pos >= k) return
-    val n = math.min(scores.length + 1, k)
-    val ns = new Array[Double](n)
-    val nk = new Array[UTF8String](n)
-    System.arraycopy(scores, 0, ns, 0, pos)
-    System.arraycopy(keys, 0, nk, 0, pos)
-    ns(pos) = s
-    nk(pos) = key
-    val tail = n - pos - 1
-    if (tail > 0) {
-      System.arraycopy(scores, pos, ns, pos + 1, tail)
-      System.arraycopy(keys, pos, nk, pos + 1, tail)
+    // shift [pos, last) right one slot in place; a full buffer drops
+    // its former last element
+    var j = math.min(size, k - 1)
+    while (j > pos) {
+      scores(j) = scores(j - 1); keys(j) = keys(j - 1); j -= 1
     }
-    scores = ns
-    keys = nk
+    scores(pos) = s
+    keys(pos) = key
+    if (size < k) size += 1
   }
 
   def mergeFrom(o: TopKBuffer): Unit = {
     var i = 0
-    while (i < o.scores.length) { insert(o.scores(i), o.keys(i)); i += 1 }
+    while (i < o.size) { insert(o.scores(i), o.keys(i)); i += 1 }
   }
 }
 
@@ -97,7 +96,7 @@ case class TopKByScore(
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val rows = new Array[Any](buf.scores.length)
+    val rows = new Array[Any](buf.size)
     var i = 0
     while (i < rows.length) {
       rows(i) = InternalRow(buf.scores(i), buf.keys(i))
@@ -110,9 +109,9 @@ case class TopKByScore(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.k)
-    out.writeInt(buf.scores.length)
+    out.writeInt(buf.size)
     var i = 0
-    while (i < buf.scores.length) {
+    while (i < buf.size) {
       out.writeDouble(buf.scores(i))
       val kb = buf.keys(i).getBytes
       out.writeInt(kb.length)
@@ -127,8 +126,6 @@ case class TopKByScore(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new TopKBuffer(in.readInt())
     val n = in.readInt()
-    buf.scores = new Array[Double](n)
-    buf.keys = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
       buf.scores(i) = in.readDouble()
@@ -137,6 +134,7 @@ case class TopKByScore(
       buf.keys(i) = UTF8String.fromBytes(kb)
       i += 1
     }
+    buf.size = n
     buf
   }
 

@@ -92,6 +92,22 @@ package object functions {
     shims.column(TopKByScore(shims.expression(score), shims.expression(key), k)
       .toAggregateExpression())
 
+  /** Content equality/hash for the reference-object array fields of
+    * the native expressions. The case-class defaults compare Arrays
+    * by REFERENCE, so two separately-constructed but identical
+    * expressions (same centroid table, same planes) never compare
+    * equal — defeating Catalyst's common-subexpression elimination
+    * and exchange reuse for exactly the K×dims scans worth reusing
+    * (review r10, functions pass). Wrapping in a 1-element array lets
+    * `deepEquals`/`deepHashCode` handle any nesting, including
+    * primitive leaf arrays. */
+  private[functions] object RefArrays {
+    def same(a: AnyRef, b: AnyRef): Boolean =
+      java.util.Arrays.deepEquals(Array(a), Array(b))
+    def hash(a: AnyRef): Int =
+      java.util.Arrays.deepHashCode(Array(a))
+  }
+
   /** Evaluate a foldable `array<array<double>>` argument (the SQL
     * spelling of a centroid/hyperplane table) into the reference-
     * object matrix the native expressions take. */
@@ -104,10 +120,30 @@ package object functions {
     val widened = org.apache.spark.sql.catalyst.expressions.Cast(
       e, ArrayType(ArrayType(DoubleType)))
     val ad = widened.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(ad != null, s"${e.sql}: the centroid/plane table is NULL")
     Array.tabulate(ad.numElements()) { i =>
       val inner = ad.getArray(i)
-      Array.tabulate(inner.numElements())(j => inner.getDouble(j))
+      // name the malformed row instead of a bare NPE / silent-0.0 read
+      // (review r10, functions pass)
+      require(inner != null, s"${e.sql}: row $i of the table is NULL")
+      Array.tabulate(inner.numElements()) { j =>
+        require(!inner.isNullAt(j),
+          s"${e.sql}: element ($i, $j) of the table is NULL")
+        inner.getDouble(j)
+      }
     }
+  }
+
+  /** Evaluate a FOLDABLE scalar argument (k, n, …) at registration —
+    * a non-literal would `eval()` against no input row and die with a
+    * raw NPE/ClassCastException; say what is wrong instead. */
+  private def foldableInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = {
+    require(e.foldable, s"${e.sql}: $what must be a literal (foldable)")
+    val v = e.eval()
+    require(v != null, s"${e.sql}: $what is NULL")
+    v.asInstanceOf[Number].intValue()
   }
 
   /** Register the native functions for SQL use. */
@@ -123,15 +159,13 @@ package object functions {
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",
       exprs => TopKByScore(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+        foldableInt(exprs(2), "k")), "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
-          .getOrElse(3)), "built-in")
+        exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")
     reg.createOrReplaceTempFunction("ngram_hashes",
       exprs => NGramHashes(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue())
-          .getOrElse(3)), "built-in")
+        exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")
     reg.createOrReplaceTempFunction("nearest_centroid",
       exprs => NearestCentroid(exprs.head, toMatrix(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("sign_lsh_bucket",

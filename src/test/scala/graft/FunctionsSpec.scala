@@ -123,8 +123,9 @@ class FunctionsSpec extends SparkSpec {
       buf.insert(s, org.apache.spark.unsafe.types.UTF8String.fromString(k))
     }
     val back = a.deserialize(a.serialize(buf))
-    assert(back.scores.toSeq === Seq(7.0, 5.0, 5.0))
-    assert(back.keys.map(_.toString).toSeq === Seq("a", "a", "b"))
+    assert(back.size === 3)
+    assert(back.scores.take(back.size).toSeq === Seq(7.0, 5.0, 5.0))
+    assert(back.keys.take(back.size).map(_.toString).toSeq === Seq("a", "a", "b"))
   }
 
   test("ngram_hash_explode emits the same hash multiset as the expression chain") {
@@ -242,5 +243,150 @@ class FunctionsSpec extends SparkSpec {
     // the empty row must be k nulls on both paths
     val empty = rows.find(_._1 == -1L).get
     assert(empty._2 === Seq.fill(TextOps.MinhashK)(None))
+  }
+
+  test("fold expressions null out element-null vectors like the composed forms") {
+    // a null slot reads 0.0f through getFloat; the composed
+    // zip_with/aggregate folds return NULL instead — the natives must
+    // agree or a null-poisoned vector silently scores by its
+    // zero-filled form
+    val planes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(Option(1f), None), Seq(Option(2f), Option(4f))),
+      (2L, Seq(Option(1f), Option(2f)), Seq(Option(2f), Option(4f)))
+    ).toDF("id", "x", "y")
+      .select($"id",
+        graft.functions.cosine_sim($"x", $"y").as("c"),
+        graft.functions.dot_product($"x", $"y").as("d"),
+        graft.functions.sign_lsh_bucket($"x", planes).as("b"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows(1L) === ((None, None, None)), s"poisoned row: ${rows(1L)}")
+    val (c2, d2, b2) = rows(2L)
+    assert(c2.exists(c => math.abs(c.asInstanceOf[Double] - 1.0) < 1e-12))
+    assert(d2.contains(10.0))
+    assert(b2.contains(3L)) // both plane dots positive
+  }
+
+  test("nearest_centroid: NaN-poisoned vector yields null, not cell 0") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val r = Seq(
+      (1L, Seq(Float.NaN, 1f)),
+      (2L, Seq(9f, 9f))
+    ).toDF("id", "e")
+      .select($"id", graft.functions.nearest_centroid($"e", cents).as("cell"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(1L).isEmpty, s"NaN vector must not route, got ${r(1L)}")
+    assert(r(2L).contains(1))
+    // interpreted twin: the util itself signals -1
+    assert(graft.functions.NearestCentroidUtil.nearestOf(
+      Array(Float.NaN, 1f), cents) === -1)
+  }
+
+  test("nearest_cells drops unroutable cells and nulls a fully-unroutable vector") {
+    // one NaN centroid row: distance to it is NaN (never inserts), so
+    // a 3-probe request over 3 centroids fills only 2 slots — the
+    // result must be the 2 routable cells, not a -1-padded array
+    val cents = Array(Array(0.0, 0.0), Array(Double.NaN, 0.0), Array(10.0, 10.0))
+    val partial = Seq(Tuple1(Seq(1f, 1f))).toDF("e")
+      .select(graft.functions.nearest_cells($"e", cents, 3).as("cells"))
+      .as[Seq[Int]].head()
+    assert(partial === Seq(0, 2), s"got $partial")
+    // NaN vector: every distance NaN -> no routable cell -> NULL
+    val none = Seq(Tuple1(Seq(Float.NaN, 1f))).toDF("e")
+      .select(graft.functions.nearest_cells($"e", cents, 2).as("cells"))
+      .collect().head
+    assert(none.isNullAt(0), s"NaN vector must yield null, got $none")
+  }
+
+  test("pq_encode/pq_fit_explode: a NaN subspace codes null and is excluded from the fit") {
+    // m=2 subspaces of width 2; NaN only in the second -> code(0)
+    // real, code(1) null (matching the -1 routing sentinel), and the
+    // fit generator emits rows only for the clean subspace
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq(Tuple1(Seq(9f, 9f, Float.NaN, 1f))).toDF("e")
+    val code = df.select(graft.functions.pq_encode($"e", books).as("c"))
+      .collect().head.getSeq[Any](0)
+    assert(code === Seq(1, null), s"got $code")
+    val fitRows = df.select(graft.functions.pq_fit_explode($"e", books))
+      .select($"s").as[Int].collect().toSeq
+    assert(fitRows === Seq(0, 0), s"NaN subspace must not feed the fit: $fitRows")
+  }
+
+  test("minhash_sigs rejects malformed permutation tables at construction") {
+    val h = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1L, 2L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val mismatch = intercept[IllegalArgumentException] {
+      graft.functions.MinhashSigs(h, Array(3L, 5L), Array(7L), (1L << 31) - 1)
+    }
+    assert(mismatch.getMessage.contains("must align"))
+    val badP = intercept[IllegalArgumentException] {
+      graft.functions.MinhashSigs(h, Array(3L), Array(7L), 1L << 33)
+    }
+    assert(badP.getMessage.contains("no-overflow"))
+  }
+
+  test("native expressions with equal reference tables compare equal (CSE)") {
+    // the tables are constructed twice so reference equality cannot
+    // save the test: content equality is what lets Catalyst CSE and
+    // exchange-reuse recognize the repeated K×dims scan
+    def cents() = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1f, 2f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val a = graft.functions.NearestCentroid(child, cents())
+    val b = graft.functions.NearestCentroid(child, cents())
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    val other = graft.functions.NearestCentroid(
+      child, Array(Array(1.0, 2.0), Array(3.0, 5.0)))
+    assert(a !== other)
+    val p1 = graft.functions.SignLshBucket(child, cents())
+    val p2 = graft.functions.SignLshBucket(child, cents())
+    assert(p1 === p2 && p1.hashCode === p2.hashCode)
+  }
+
+  test("guarded doGenCode templates compile under codegen (no silent fallback)") {
+    // UnsafeProjection.create swallows a Janino compile error and
+    // falls back to interpreted mode — results stay right while the
+    // hot path quietly loses codegen (it happened: a line-LEADING
+    // `||` in the template is margin-stripped out of the generated
+    // Java). Generate directly, which throws on a compile error.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arr = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val lit = Literal.create(Seq(1f, 2f), ArrayType(FloatType))
+    val planes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateMutableProjection.generate(Seq(
+        graft.functions.CosineSim(arr, lit),
+        graft.functions.DotProduct(arr, lit),
+        graft.functions.SignLshBucket(arr, planes),
+        graft.functions.NearestCentroid(arr, planes)))
+    val out = proj(InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1f, 2f))))
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(out.getDouble(1) === 5.0)
+    assert(out.getLong(2) === 3L)
+    assert(out.getInt(3) === 1)
+  }
+
+  test("TopKBuffer inserts in place under ascending pressure") {
+    // ascending input is the worst case for the in-place shift: every
+    // accepted row lands at slot 0 and pushes the whole buffer right
+    val a = graft.functions.TopKByScore(null, null, 5)
+    val buf = a.createAggregationBuffer()
+    (1 to 100).foreach { i =>
+      buf.insert(i.toDouble,
+        org.apache.spark.unsafe.types.UTF8String.fromString(f"k$i%03d"))
+    }
+    assert(buf.size === 5)
+    assert(buf.scores.take(5).toSeq === Seq(100.0, 99.0, 98.0, 97.0, 96.0))
+    assert(buf.keys.take(5).map(_.toString).toSeq ===
+      Seq("k100", "k099", "k098", "k097", "k096"))
   }
 }

@@ -680,6 +680,62 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    // kNN LABEL PROPAGATION (auto-labeling — the classifier-
+    // distillation primitive of corpus curation: propagate a small
+    // labeled seed set onto the unlabeled corpus, e.g. quality/domain
+    // tags learned on a hand-labeled sample). Vectors with
+    // vec_id % 10 < 8 act as the LABELED seed pool; the rest classify
+    // by majority vote of their 5 nearest labeled neighbors (round-6
+    // cosine, vec_id tie), vote ties → smallest label.
+    //
+    // SCALE SHAPE: the candidate space is IVF-BOUNDED, not all-pairs —
+    // both sides assign to the shared k=8 quantizer (the fit replay
+    // this whole lane pins), queries route to nProbe=2 cells, and the
+    // join key is CELL: each side shuffles once by cell, and neither
+    // side broadcasts (a query frame that is 20% of the corpus must
+    // not ride the q_batch_topk broadcast path). Per-query top-5 is
+    // the bounded-state topk aggregate with the neighbor's label
+    // RIDING IN THE KEY after the 19-digit id pad (the pad keeps the
+    // tie order = vec_id asc; the suffix only exists so no second
+    // corpus scan is needed to recover labels). The true label rides
+    // along, so the output doubles as an accuracy audit — the
+    // q_ann_recall discipline: propagation quality is a hash-checked
+    // NUMBER, not a vibe. The ≤5-row-per-query vote table is the only
+    // windowed stage (bounded by construction).
+    "q_knn_label" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val labeled = Ivf.assign(e.filter(pmod(col("vec_id"), lit(10)) < 8),
+          col("embedding"), centers)
+        .filter(col("cell").isNotNull)
+      val qs = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("embedding").as("q_emb"),
+          explode(graft.functions.nearest_cells(col("embedding"), centers, 2))
+            .as("cell"))
+      val top5 = labeled.join(qs, Seq("cell"))
+        .select(col("q_id"), col("true_label"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("cos_sim"),
+          concat(Util.lpadKey(col("vec_id")), lit(":"),
+            col("label").cast("string")).as("key"))
+        .groupBy(col("q_id"), col("true_label"))
+        .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5)
+          .as("topk"))
+        .select(col("q_id"), col("true_label"), explode(col("topk")).as("nb"))
+        .select(col("q_id"), col("true_label"),
+          substring(col("nb.key"), 21, 11).cast("int").as("cand_label"))
+      val votes = top5
+        .groupBy(col("q_id"), col("true_label"), col("cand_label")).count()
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("count").desc, col("cand_label").asc)
+      votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("q_id"), col("cand_label").as("pred_label"),
+          col("count").as("n_votes"),
+          (col("cand_label") === col("true_label")).as("correct"))
+        .orderBy("q_id")
+    }),
+
     // Centroid summary per label — the IVF coarse-quantizer build step:
     // element-wise mean vector per label, plus member count. Output is
     // the rounded first-4-dims fingerprint to keep it hash-stable.
@@ -800,6 +856,47 @@ object VectorOps {
          |  FROM sc)
          |SELECT q_id, rank, vec_id, cos_sim FROM rk
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // the identical fit + routing replay, candidates restricted to the
+    // labeled pool, rank-5 cut, then the majority vote with the same
+    // (votes desc, label asc) total order
+    "q_knn_label" ->
+      s"""WITH $fitReplayCtes,
+         |af AS (${fitAssignSql("c2")}),
+         |lab AS (
+         |  SELECT a.vec_id, a.embedding, a.cell, e.label
+         |  FROM af a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 10 < 8),
+         |qs AS (SELECT vec_id AS q_id, label AS true_label,
+         |         embedding AS q_emb
+         |       FROM embeddings WHERE vec_id % 10 >= 8),
+         |routed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+         |sc AS (
+         |  SELECT q.q_id, q.true_label, l.vec_id, l.label AS cand_label,
+         |    ${roundToSql(cosineSql("l.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM lab l JOIN routed r ON l.cell = r.cell
+         |  JOIN qs q ON q.q_id = r.q_id),
+         |rk AS (
+         |  SELECT q_id, true_label, cand_label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM sc),
+         |votes AS (
+         |  SELECT q_id, true_label, cand_label, count(*) AS v
+         |  FROM rk WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT q_id, true_label, cand_label, v,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY v DESC, cand_label ASC) AS prn
+         |  FROM votes)
+         |SELECT q_id, cand_label AS pred_label, CAST(v AS BIGINT) AS n_votes,
+         |  cand_label = true_label AS correct
+         |FROM pred WHERE prn = 1 ORDER BY q_id""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH b AS (

@@ -92,6 +92,11 @@ package object functions {
     shims.column(TopKByScore(shims.expression(score), shims.expression(key), k)
       .toAggregateExpression())
 
+  /** KMV distinct-count sketch aggregate: the ≤ k smallest DISTINCT
+    * values of a long hash column, ascending ([[KmvMinHashes]]). */
+  def kmv_min_hashes(hash: Column, k: Int): Column =
+    shims.column(KmvMinHashes(shims.expression(hash), k).toAggregateExpression())
+
   /** Content equality/hash for the reference-object array fields of
     * the native expressions. The case-class defaults compare Arrays
     * by REFERENCE, so two separately-constructed but identical
@@ -160,6 +165,8 @@ package object functions {
     reg.createOrReplaceTempFunction("topk_by_score",
       exprs => TopKByScore(exprs.head, exprs(1),
         foldableInt(exprs(2), "k")), "built-in")
+    reg.createOrReplaceTempFunction("kmv_min_hashes",
+      exprs => KmvMinHashes(exprs.head, foldableInt(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
         exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")

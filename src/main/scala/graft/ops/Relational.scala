@@ -290,7 +290,41 @@ object Relational {
     // exact count instead (within HLL++ error).
     "q_distinct_approx" -> ((s, dir) =>
       Tables.events(s, dir)
-        .agg(countDistinct(col("user_id")).as("n_exact")))
+        .agg(countDistinct(col("user_id")).as("n_exact"))),
+
+    // KMV DISTINCT SKETCH — deterministic approximate cardinality,
+    // the hash-CHECKABLE twin of q_distinct_approx's HLL++ bound
+    // check: the native bounded-state kmv_min_hashes aggregate keeps
+    // each group's 256 smallest DISTINCT md5-derived 60-bit hashes
+    // (a pure function of the input SET — partitioning-, merge-order-
+    // and engine-independent, so DuckDB replays it exactly), and the
+    // estimator (k−1)·2⁶⁰/h₍ₖ₎ stays visible in the query (k = 64,
+    // BELOW the per-type user cardinality at every test SF, so the
+    // gate exercises the ESTIMATOR branch, not just the exact
+    // under-full fallback). SCALE
+    // SHAPE: O(k) state per group with map-side partial combine — a
+    // 100 TB distinct count never shuffles its distinct values,
+    // unlike the exact countDistinct (which ships every distinct
+    // (type, user) pair through the shuffle) that rides along here
+    // as the per-group accuracy audit.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val e = Tables.events(s, dir)
+      val sk = e.groupBy(col("event_type"))
+        .agg(graft.functions.kmv_min_hashes(
+          TextOps.hash60(col("user_id").cast("string")), k).as("mins"))
+      val ex = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val est = when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+          / element_at(col("mins"), k).cast("double"))
+      sk.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          roundTo(est, 6).as("n_est"),
+          roundTo((est - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"), 6).as("rel_err"))
+        .orderBy("event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,6 +404,38 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the k smallest distinct hashes per group are a pure function of
+    // the input set — replayed here by ORDER BY h over the distinct
+    // (type, hash) pairs; same estimator arithmetic, same rounding
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${TextOps.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, max(CASE WHEN rn = 64 THEN h END) AS hk,
+         |    count(*) AS nd
+         |  FROM r WHERE rn <= 64 GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, e.n_exact,
+         |  ${roundToSql(
+             "CASE WHEN s.nd < 64 THEN CAST(s.nd AS DOUBLE) " +
+               "ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) " +
+               "/ CAST(s.hk AS DOUBLE) END", 6)} AS n_est,
+         |  ${roundToSql(
+             "((CASE WHEN s.nd < 64 THEN CAST(s.nd AS DOUBLE) " +
+               "ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) " +
+               "/ CAST(s.hk AS DOUBLE) END) - CAST(e.n_exact AS DOUBLE)) " +
+               "/ CAST(e.n_exact AS DOUBLE)", 6)} AS rel_err
+         |FROM ex e JOIN sk s USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -375,6 +375,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out.getInt(3) === 1)
   }
 
+  test("kmv_min_hashes keeps the k smallest distinct hashes, partition-independent") {
+    // duplicates must not occupy slots (a heavy hitter would shrink
+    // the effective k and bias the estimate), and the retained set
+    // must be a pure function of the input SET across partitionings
+    val vals = (1 to 1000).map(i => (i * 37 % 501).toLong)
+    val expected = vals.distinct.sorted.take(16)
+    for (parts <- Seq(1, 7)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(graft.functions.kmv_min_hashes($"h", 16).as("m"))
+        .as[Seq[Long]].head()
+      assert(got === expected, s"parts=$parts")
+    }
+    // under-full buffer returns every distinct value, ascending
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(graft.functions.kmv_min_hashes($"h", 16).as("m"))
+      .as[Seq[Long]].head()
+    assert(small === Seq(3L, 5L, 9L))
+  }
+
+  test("KMV estimate lands near the exact cardinality") {
+    val n = 5000
+    val mins = (1 to n).map(_.toLong).toDF("user_id").repartition(8)
+      .agg(graft.functions.kmv_min_hashes(
+        graft.ops.TextOps.hash60($"user_id".cast("string")), 256).as("m"))
+      .as[Seq[Long]].head()
+    assert(mins.length === 256)
+    val est = 255.0 * math.pow(2, 60) / mins(255).toDouble
+    // k=256 → ~6% relative std error; 20% is a ≳3σ bound
+    assert(math.abs(est - n) / n < 0.2, s"est=$est vs exact $n")
+  }
+
   test("TopKBuffer inserts in place under ascending pressure") {
     // ascending input is the worst case for the in-place shift: every
     // accepted row lands at slot 0 and pushes the whole buffer right

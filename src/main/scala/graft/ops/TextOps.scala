@@ -1340,6 +1340,46 @@ object TextOps {
     // — this is the formulation that survives 100 TB.
     "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // CROSS-SOURCE CONTENT OVERLAP via the KMV sketch — the corpus-
+    // composition measurement (how much content do two ingest sources
+    // share?) that is only computable BY SKETCH at 100 TB: per
+    // source, the bounded-state kmv_min_hashes aggregate retains the
+    // 256 smallest distinct shingle hashes (duplicates collapse
+    // INSIDE the aggregate — the raw shingle stream feeds it with no
+    // pre-distinct shuffle; ONE corpus pass total), and pairwise
+    // Jaccard is estimated from the k-min of the sketch union:
+    // |{x ∈ kmin(A∪B)} ∩ A ∩ B| / |kmin(A∪B)| ("Bottom-k sketches",
+    // Cohen & Kaplan 2007). This is deliberately the PRODUCTION
+    // shape: the exact-Jaccard audit (distinct + h-self-join — 4× this
+    // query's cost at sf0.1, corpus-quadratic pressure at scale)
+    // lives in TextVectorSpec at sf0.01 instead of the declared
+    // query; the ESTIMATE is what the oracle hash-gates, replaying
+    // the k-min sets and the estimator arithmetic exactly. The pair
+    // frame is #sources² — bounded — so everything after the one
+    // aggregation pass is trivial.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val k = 256
+      // the NATIVE shingle-hash generator, not the interpreted
+      // explode(shingleHashes(shingles(…))) HOF chain — same hash
+      // multiset (FunctionsSpec pins it), 4× faster at sf0.1 (the
+      // chain re-evaluates interpreted lambdas per shingle; KmvProbe
+      // measured the chain at 8.6 s vs ~2 s for the whole query here)
+      val sh = Tables.documents(s, dir).select(col("source"),
+        graft.functions.ngram_hash_explode(tokens(col("text"))).as("h"))
+      val sk = sh.groupBy(col("source"))
+        .agg(graft.functions.kmv_min_hashes(col("h"), k).as("mins"))
+      val pairs = sk.select(col("source").as("source_a"), col("mins").as("ma"))
+        .join(sk.select(col("source").as("source_b"), col("mins").as("mb")),
+          col("source_a") < col("source_b"))
+      val u = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+      val ni = size(filter(u, x =>
+        array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+      pairs.select(col("source_a"), col("source_b"),
+          Util.roundTo(ni.cast("double") / size(u).cast("double"), 6)
+            .as("jaccard_est"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Repetition-based quality (Gopher-style rules adapted to this
     // corpus's whitespace-token shape): distinct-token ratio,
     // top-token dominance, duplicate-bigram fraction. Fully MAP-SIDE
@@ -2457,6 +2497,40 @@ object TextOps {
           |  FROM v)
           |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx
           |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+      // per-source k-min sets replayed over the distinct (source, h)
+      // pairs; same union-kmin estimator arithmetic
+      "q_kmv_overlap" ->
+        s"""WITH sh AS (
+           |  SELECT source,
+           |    unnest(${shingleHashesSql(shinglesSql(s"(${tokensSql("text")})"))}) AS h
+           |  FROM documents),
+           |du AS (SELECT DISTINCT source, h FROM sh),
+           |r AS (
+           |  SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+           |  FROM du),
+           |sk AS (
+           |  SELECT source, list(h ORDER BY h ASC) AS mins
+           |  FROM r WHERE rn <= 256 GROUP BY 1),
+           |p AS (
+           |  SELECT a.source AS sa, b.source AS sb, a.mins AS ma, b.mins AS mb
+           |  FROM sk a JOIN sk b ON a.source < b.source),
+           |uu AS (
+           |  SELECT sa, sb, ma, mb,
+           |    list_sort(list_distinct(ma || mb))[1:256] AS u
+           |  FROM p),
+           |e1 AS (
+           |  SELECT sa, sb,
+           |    len(list_filter(u, x -> list_contains(ma, x)
+           |      AND list_contains(mb, x))) AS ni,
+           |    len(u) AS nu
+           |  FROM uu)
+           |SELECT sa AS source_a, sb AS source_b,
+           |  ${roundToSql("CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)", 6)}
+           |    AS jaccard_est
+           |FROM e1
+           |ORDER BY source_a, source_b""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, lang,

@@ -463,4 +463,35 @@ class TextVectorSpec extends SparkSpec {
     assert(splits("train") > splits.getOrElse("val", 0L) &&
       splits("train") > splits.getOrElse("test", 0L))
   }
+
+  test("q_kmv_overlap estimates track the exact cross-source Jaccard") {
+    // the audit leg deliberately NOT in the declared query (distinct +
+    // h-self-join is 4× the sketch's cost and corpus-quadratic
+    // pressure at scale) — the estimator's accuracy is pinned here
+    val est = SparkEntry.queries("q_kmv_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(est.size > 10, s"expected many source pairs, got ${est.size}")
+    val du = graft.io.Tables.documents(spark, dir)
+      .select($"source", explode(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens($"text")))).as("h"))
+      .distinct()
+    val cnt = du.groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val inter = du.select($"source".as("sa"), $"h")
+      .join(du.select($"source".as("sb"), $"h"), Seq("h"))
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").count()
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // k=256 k-min over the union → std error ≈ 1/√k ≈ 6% of the
+    // union size; at these Jaccard levels (~0.02-0.05) that is an
+    // absolute tolerance of a few percentage points
+    est.foreach { case ((a, b), e) =>
+      val ni = inter.getOrElse((a, b), 0L).toDouble
+      val exact = ni / (cnt(a) + cnt(b) - ni)
+      assert(math.abs(e - exact) < 0.04,
+        s"pair ($a,$b): est $e vs exact $exact")
+    }
+  }
 }

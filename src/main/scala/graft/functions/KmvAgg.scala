@@ -63,7 +63,11 @@ final class KmvBuffer(val k: Int) {
   * mergeable buffers — a 100 TB distinct-count never shuffles its
   * distinct values (the exact `countDistinct` spelling shuffles ALL
   * of them; a pre-aggregation `.distinct()` is the same shuffle).
-  * NULL inputs are skipped, like `count(distinct …)`.
+  * NULL inputs are skipped, like `count(distinct …)`. For
+  * high-cardinality groupings, raise
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (see
+  * [[TopKByScore]]'s deployment note — the 128-group default demotes
+  * the aggregation to sort-based).
   */
 case class KmvMinHashes(
     child: Expression, k: Int,

@@ -67,6 +67,19 @@ final class TopKBuffer(val k: Int) {
   * Input: (score double, key string). Output:
   * `array<struct<score:double, key:string>>` ranked best-first with
   * deterministic tie-break (score desc, key asc).
+  *
+  * DEPLOYMENT NOTE (measured, KnnScaleProbe): ObjectHashAggregateExec
+  * falls back to SORT-based aggregation once a partition sees more
+  * than `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * distinct groups — and the DEFAULT is 128. A high-cardinality
+  * grouping (one group per query/user/document) then silently sorts
+  * the entire pre-aggregate input by group key instead of hashing:
+  * the kNN-label probe measured 68 s → 23 s at 1M vectors / 200k
+  * groups just from raising the threshold. The buffers here are O(k)
+  * small, so millions of in-flight groups are cheap — the engine's
+  * harness sessions (Verify/Bench/QTime) set the threshold to 2²²;
+  * set it likewise in any session running high-cardinality bounded-
+  * state aggregations.
   */
 case class TopKByScore(
     scoreExpr: Expression, keyExpr: Expression, k: Int,

@@ -15,6 +15,8 @@ object VerifySubset {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304") // see functions/TopKAgg.scala scaladoc
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

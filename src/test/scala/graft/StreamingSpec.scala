@@ -917,6 +917,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KmvMinHashes runs inside a streaming aggregation and equals the batch sketch") {
+    // the KMV distinct sketch must survive streaming state merges
+    // (serialize/deserialize per micro-batch) and stay a pure function
+    // of the observed SET — a streamed distinct-user gauge must equal
+    // its batch twin regardless of arrival batching
+    val input = MemoryStream[String]
+    val derived = EngagementPipeline.transform(input.toDF(), contentDim)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type")
+      .agg(graft.functions.kmv_min_hashes(
+        graft.ops.TextOps.hash60($"user_id"), 8).as("mins"))
+    // complete mode: the memory table holds exactly the final state
+    val q = sketchOf(derived)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream_out").start()
+    // ids repeat (i % 7) so user_ids (= "u<id>") are heavily
+    // redelivered across both batches — the dedup-in-state case
+    val evs = (1 to 30).map(i =>
+      env(i % 7 + 1, s"c${i % 2 + 1}",
+        if (i % 3 == 0) "pause" else "play", Some(30000), "c", i % 5))
+    try {
+      input.addData(evs.take(10): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(10): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream_out")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = sketchOf(EngagementPipeline.transform(
+          evs.toDF("value"), contentDim))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch, s"streamed $streamed vs batch $batch")
+      assert(batch.nonEmpty)
+      assert(batch.values.forall(m => m == m.sorted && m.size == m.distinct.size))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate warehouse rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val input = MemoryStream[String]

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
 import org.apache.spark.sql.graft.shims
 
 /** Column-API surface for the engine's native Catalyst expressions,
@@ -97,6 +98,24 @@ package object functions {
   def kmv_min_hashes(hash: Column, k: Int): Column =
     shims.column(KmvMinHashes(shims.expression(hash), k).toAggregateExpression())
 
+  /** Count-min sketch aggregate: d×w counter matrix (row-major
+    * `array<bigint>`) over a long base-hash column ([[CmsSketch]]). */
+  def cms_sketch(hash: Column, d: Int, w: Int): Column =
+    shims.column(CmsSketch(shims.expression(hash), d, w).toAggregateExpression())
+
+  /** Point estimate against a [[cms_sketch]] counter array: the d-way
+    * min of the item's row counters — composed integer/array
+    * expressions (stays codegen'd), the same bucket arithmetic as
+    * [[CmsUtil.bucket]] and the DuckDB replay. */
+  def cms_point(counters: Column, hash: Column, d: Int, w: Int): Column = {
+    val hp = pmod(hash, lit(CmsUtil.P))
+    (0 until d).map { i =>
+      val b = pmod(pmod(lit(CmsUtil.coefA(i)) * hp + lit(CmsUtil.coefB(i)),
+        lit(CmsUtil.P)), lit(w.toLong))
+      element_at(counters, (b + lit(i.toLong * w) + lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+  }
+
   /** Content equality/hash for the reference-object array fields of
     * the native expressions. The case-class defaults compare Arrays
     * by REFERENCE, so two separately-constructed but identical
@@ -167,6 +186,9 @@ package object functions {
         foldableInt(exprs(2), "k")), "built-in")
     reg.createOrReplaceTempFunction("kmv_min_hashes",
       exprs => KmvMinHashes(exprs.head, foldableInt(exprs(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      exprs => CmsSketch(exprs.head, foldableInt(exprs(1), "d"),
+        foldableInt(exprs(2), "w")), "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
         exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")

@@ -324,6 +324,33 @@ object Relational {
           roundTo((est - col("n_exact").cast("double"))
             / col("n_exact").cast("double"), 6).as("rel_err"))
         .orderBy("event_type")
+    }),
+
+    // COUNT-MIN HEAVY HITTERS — the frequency-estimation sketch
+    // (Cormode & Muthukrishnan 2005) as a native bounded-state
+    // aggregate over deterministic affine bucketing, so unlike
+    // Spark's stock count_min_sketch (engine-specific serialized
+    // form) every counter AND every point estimate is hash-gated
+    // against a DuckDB replay. One corpus pass builds the d×w
+    // counter matrix (d=4, w=256 → 8 KB of state regardless of item
+    // cardinality, mergeable map-side); the exact per-user counts
+    // ride along ONLY for the top-10 audit — at 100 TB the sketch is
+    // what answers "how hot is user X" without shuffling every
+    // distinct user. CMS estimates are upper bounds (collisions only
+    // ADD), so n_est ≥ n_exact by construction — the oracle pins the
+    // exact estimate values, the spec pins the bound.
+    "q_cms_heavy" -> ((s, dir) => {
+      val d = 4
+      val w = 256
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val h = TextOps.hash60(col("user_id").cast("string"))
+      val sk = e.agg(graft.functions.cms_sketch(h, d, w).as("cms"))
+      val top = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+      top.crossJoin(broadcast(sk))
+        .select(col("user_id"), col("n_exact"),
+          graft.functions.cms_point(col("cms"), h, d, w).as("n_est"))
+        .orderBy("user_id")
     })
   )
 
@@ -436,6 +463,33 @@ object Relational {
                "/ CAST(e.n_exact AS DOUBLE)", 6)} AS rel_err
          |FROM ex e JOIN sk s USING (event_type)
          |ORDER BY event_type""".stripMargin,
+
+    // every counter replayed as a GROUP BY sum over the same affine
+    // bucketing, every point estimate as the d-way min
+    "q_cms_heavy" ->
+      s"""WITH r AS (SELECT unnest(range(0, 4)) AS i),
+         |hv AS (
+         |  SELECT ${TextOps.hash60Sql("CAST(user_id AS VARCHAR)")} % 2147483647 AS hp
+         |  FROM events WHERE user_id IS NOT NULL),
+         |c AS (
+         |  SELECT r.i,
+         |    ((((1000003*(r.i+1)+12345) % 2147483647) * hv.hp
+         |      + ((998244353*(r.i+1)+777) % 2147483647)) % 2147483647) % 256 AS b,
+         |    count(*) AS n
+         |  FROM hv CROSS JOIN r GROUP BY 1, 2),
+         |top AS (
+         |  SELECT user_id, count(*) AS n_exact FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1
+         |  ORDER BY n_exact DESC, user_id ASC LIMIT 10),
+         |tb AS (
+         |  SELECT t.user_id, t.n_exact, r.i,
+         |    ((((1000003*(r.i+1)+12345) % 2147483647)
+         |      * (${TextOps.hash60Sql("CAST(t.user_id AS VARCHAR)")} % 2147483647)
+         |      + ((998244353*(r.i+1)+777) % 2147483647)) % 2147483647) % 256 AS b
+         |  FROM top t CROSS JOIN r)
+         |SELECT tb.user_id, tb.n_exact, CAST(min(c.n) AS BIGINT) AS n_est
+         |FROM tb JOIN c ON c.i = tb.i AND c.b = tb.b
+         |GROUP BY 1, 2 ORDER BY tb.user_id""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

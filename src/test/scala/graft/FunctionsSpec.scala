@@ -406,6 +406,40 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.2, s"est=$est vs exact $n")
   }
 
+  test("cms_sketch: counters are partition-independent, estimates upper-bound exact counts") {
+    val vals = (1 to 2000).map(i => if (i % 3 == 0) 7L else (i % 97).toLong)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (d, w) = (4, 64)
+    val reference = vals.toDF("h")
+      .agg(graft.functions.cms_sketch($"h", d, w).as("c"))
+      .as[Seq[Long]].head()
+    for (parts <- Seq(1, 5)) {
+      val counters = vals.toDF("h").repartition(parts)
+        .agg(graft.functions.cms_sketch($"h", d, w).as("c"))
+        .as[Seq[Long]].head()
+      // counter sums commute: identical matrix under any partitioning
+      assert(counters === reference, s"parts=$parts")
+      // each row conserves the total
+      (0 until d).foreach(i =>
+        assert(counters.slice(i * w, (i + 1) * w).sum === vals.size.toLong))
+      // CMS point estimates only ever OVER-count
+      exact.foreach { case (v, n) =>
+        val est = (0 until d)
+          .map(i => counters(i * w + graft.functions.CmsUtil.bucket(v, i, w))).min
+        assert(est >= n, s"item $v: est $est < exact $n")
+      }
+    }
+    // the composed cms_point column equals the driver-side d-way min
+    val viaCol = Seq(7L, 42L).toDF("h")
+      .crossJoin(vals.toDF("h2").agg(
+        graft.functions.cms_sketch($"h2", d, w).as("c")))
+      .select(graft.functions.cms_point($"c", $"h", d, w)).as[Long]
+      .collect().toSeq
+    val expect = Seq(7L, 42L).map(v => (0 until d)
+      .map(i => reference(i * w + graft.functions.CmsUtil.bucket(v, i, w))).min)
+    assert(viaCol === expect)
+  }
+
   test("TopKBuffer inserts in place under ascending pressure") {
     // ascending input is the worst case for the in-place shift: every
     // accepted row lands at slot 0 and pushes the whole buffer right

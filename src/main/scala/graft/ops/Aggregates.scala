@@ -233,6 +233,49 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // BOUNDED-STATE QUANTILES via deterministic bottom-k sampling —
+    // the sketch twin of q_percentiles for quantiles over RAW VALUES:
+    // per type, the 200 rows with the smallest row-id hashes form a
+    // uniform, partitioning-independent, engine-replayable sample (a
+    // deterministic reservoir: bottom-k over hash60(event_id) is a
+    // pure function of the row SET), collected by the bounded-state
+    // topk aggregate — O(k) state per group where exact percentile
+    // materializes every value. The sampled p50/p95 ride next to the
+    // exact ones as the accuracy audit. Key packing: hash ‖ event_id
+    // ‖ value, all but the value fixed-width numeric, so the tie
+    // order is (h, event_id) in BOTH engines and the value round-
+    // trips through Java's exact double formatting on the Spark side
+    // only (the oracle reads the column directly).
+    "q_quantile_sample" -> ((s, dir) => {
+      val k = 200
+      // null values out up front ON BOTH SIDES: the aggregate would
+      // skip a null-key row anyway, silently shrinking the sample set
+      // relative to the oracle's rank-based replay
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+      val h = graft.ops.TextOps.hash60(col("event_id").cast("string"))
+      val sampled = e
+        .select(col("event_type"),
+          negate(h.cast("double")).as("nh"),
+          concat(lpadKey(h), lit(":"), lpadKey(col("event_id")), lit(":"),
+            col("value").cast("string")).as("key"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.topk_by_score(col("nh"), col("key"), k).as("smp"))
+        .select(col("event_type"), explode(col("smp")).as("r"))
+        .select(col("event_type"),
+          substring(col("r.key"), 41, 64).cast("double").as("v"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(v, array(0.5D, 0.95D))").as("p"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.95D))").as("px"))
+      sampled.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          roundTo(element_at(col("p"), 1), 4).as("p50_est"),
+          roundTo(element_at(col("p"), 2), 4).as("p95_est"),
+          roundTo(element_at(col("px"), 1), 4).as("p50_exact"),
+          roundTo(element_at(col("px"), 2), 4).as("p95_exact"))
+        .orderBy("event_type")
+    }),
+
     // K4 analog: daily-partition rollup (search sink's daily index roll).
     "q_daily_partition" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -376,6 +419,29 @@ object Aggregates {
     "q_daily_partition" ->
       s"""SELECT ${dayBucketSql("ts")} AS day, event_type, count(*) AS n,
          |  ${dsumSql("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the sample is replayed by RANK over the same row hash (ties →
+    // event_id, the key packing's order); quantile_cont matches
+    // percentile's type-7 interpolation (q_percentiles' parity)
+    "q_quantile_sample" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${graft.ops.TextOps.hash60Sql("CAST(event_id AS VARCHAR)")} ASC,
+         |               event_id ASC) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (
+         |  SELECT event_type, quantile_cont(value, [0.5, 0.95]) AS p
+         |  FROM r WHERE rn <= 200 GROUP BY 1),
+         |x AS (
+         |  SELECT event_type, quantile_cont(value, [0.5, 0.95]) AS px
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT s.event_type,
+         |  ${roundToSql("s.p[1]", 4)} AS p50_est,
+         |  ${roundToSql("s.p[2]", 4)} AS p95_est,
+         |  ${roundToSql("x.px[1]", 4)} AS p50_exact,
+         |  ${roundToSql("x.px[2]", 4)} AS p95_exact
+         |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin
   )
 }

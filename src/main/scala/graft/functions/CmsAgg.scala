@@ -21,8 +21,15 @@ object CmsUtil {
   val P: Long = 2147483647L
   def coefA(i: Int): Long = (1000003L * (i + 1) + 12345L) % P
   def coefB(i: Int): Long = (998244353L * (i + 1) + 777L) % P
+  // floorMod, not %: the aggregate accepts arbitrary longs (the SQL
+  // registration can't restrict the domain), and Scala's % is
+  // sign-preserving — a negative h would index the counter matrix at a
+  // negative offset. floorMod == pmod, which is also what the
+  // query-side point-estimate spelling and the DuckDB oracle use, so
+  // the two spellings agree on the full long domain.
   def bucket(h: Long, i: Int, w: Int): Int =
-    (((coefA(i) * (h % P) + coefB(i)) % P) % w).toInt
+    java.lang.Math.floorMod(
+      (coefA(i) * java.lang.Math.floorMod(h, P) + coefB(i)) % P, w.toLong).toInt
 }
 
 /** Aggregation buffer: the d×w counter matrix, flat row-major. */

@@ -68,10 +68,24 @@ object FixtureCache {
     if (!fs.exists(new Path(path, "_SUCCESS"))) {
       // partial publish (no _SUCCESS) would otherwise wedge the key:
       // recompute writes tmp, rename fails against the corpse, and
-      // the corpse gets read every run — tear it down first
-      if (fs.exists(path)) fs.delete(path, true)
+      // the corpse gets read every run — tear it down first. The
+      // corpse check is re-done IMMEDIATELY before the delete: a
+      // concurrent winner's rename can land between the outer check
+      // and here, and deleting its fresh valid store would fail a
+      // third reader transiently (it self-heals, but needlessly).
+      if (fs.exists(path) && !fs.exists(new Path(path, "_SUCCESS")))
+        fs.delete(path, true)
+      // Sweep only STALE tmp dirs (older than the grace period) — a
+      // recent .tmp-* is likely a live concurrent writer mid-write;
+      // deleting it from under the rename loses its (identical) copy
+      // for no gain. Crashed writers age past the grace and get swept
+      // on a later miss.
+      val graceMs = 10L * 60 * 1000
+      val now = System.currentTimeMillis()
       Option(fs.globStatus(new Path(path.getParent, s".$key.tmp-*")))
-        .foreach(_.foreach(s => fs.delete(s.getPath, true)))
+        .foreach(_.foreach { s =>
+          if (now - s.getModificationTime > graceMs) fs.delete(s.getPath, true)
+        })
       val tmp = new Path(path.getParent,
         s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       compute.write.mode("overwrite").parquet(tmp.toString)

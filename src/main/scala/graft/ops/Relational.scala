@@ -309,7 +309,12 @@ object Relational {
     // as the per-group accuracy audit.
     "q_kmv_distinct" -> ((s, dir) => {
       val k = 64
-      val e = Tables.events(s, dir)
+      // NULL user_ids are dropped BEFORE grouping, matching the
+      // oracle's sketch CTE (which filters then inner-joins): an
+      // all-NULL group would otherwise emit an empty-sketch row here
+      // that the oracle drops, and divide rel_err by n_exact = 0.
+      // Post-filter every surviving group has n_exact >= 1.
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
       val sk = e.groupBy(col("event_type"))
         .agg(graft.functions.kmv_min_hashes(
           TextOps.hash60(col("user_id").cast("string")), k).as("mins"))

@@ -1541,13 +1541,19 @@ object TextOps {
       val toksAll = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
+      // counts feeds BOTH the totals scalar and the contribution
+      // crossJoin — persisted so the tokenize+explode+shuffle runs
+      // once, not twice (advisor r10); the 20-row result materializes
+      // persisted, then the token-count cache is released (the same
+      // lifecycle as packCounts' base).
       val counts = toksAll
         .groupBy(col("token"))
         .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
           sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("c_cur"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val totals = counts.agg(sum(col("c_ref")).as("n_ref"),
         sum(col("c_cur")).as("n_cur"), count(lit(1)).as("v"))
-      counts.crossJoin(broadcast(totals))
+      val out = counts.crossJoin(broadcast(totals))
         .withColumn("p_ref",
           (col("c_ref").cast("double") + 1.0) /
             (col("n_ref").cast("double") + col("v").cast("double")))
@@ -1561,6 +1567,10 @@ object TextOps {
             .as("kl_contrib"))
         .orderBy(col("kl_contrib").desc, col("token").asc)
         .limit(20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      counts.unpersist(false)
+      out
     }),
 
     // END-TO-END training-set selection — the query a data pipeline

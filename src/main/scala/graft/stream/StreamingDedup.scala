@@ -301,6 +301,12 @@ object StreamingDedup {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("bucket")
               .parquet(storeDir)
+            // the flush that REWROTE the legacy buckets is itself the
+            // migration: every bucket in `legacyBuckets` was just
+            // overwritten with the split column, so mark the store
+            // migrated now instead of paying one more full per-bucket
+            // footer scan on the next flush to observe the repair
+            if (legacyBuckets.nonEmpty) splitMigrated.add(storeDir)
           } finally resultHandle.unpersist(blocking = false)
         } finally labelsHandle.unpersist(blocking = false)
       } finally store.unpersist()

@@ -55,11 +55,18 @@ class FixtureCacheSpec extends SparkSpec {
       // simulate a crashed publish: kill the success marker, plant a
       // stale writer tmp dir
       assert(new java.io.File(published, "_SUCCESS").delete())
+      // a STALE tmp (past the sweep grace period → crashed writer) and
+      // a FRESH one (inside it → possibly a live concurrent writer)
       val corpse = new java.io.File(root, s".${published.getName}.tmp-dead")
       assert(corpse.mkdirs())
+      assert(corpse.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000))
+      val live = new java.io.File(root, s".${published.getName}.tmp-live")
+      assert(live.mkdirs())
       assert(get("rebuilt") === Seq("rebuilt"),
         "corrupt publish must rebuild, not serve the corpse")
       assert(!corpse.exists(), "stale writer tmp must be swept")
+      assert(live.exists(),
+        "a fresh tmp may be a live concurrent writer — must survive the sweep")
       assert(new java.io.File(published, "_SUCCESS").exists())
     }
   }

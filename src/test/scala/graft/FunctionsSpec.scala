@@ -440,6 +440,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCol === expect)
   }
 
+  test("cms_sketch: negative hash inputs bucket like pmod (no negative index, agrees with cms_point)") {
+    // the SQL registration accepts arbitrary longs; Scala % is
+    // sign-preserving, so pre-fix a negative hash indexed the counter
+    // matrix at a negative offset (AIOOBE mid-task) and disagreed
+    // with the pmod-based query-side spelling (advisor r10)
+    val (d, w) = (4, 64)
+    val vals = Seq(-1L, -97L, Long.MinValue, Long.MinValue + 1, -7L, -7L, 5L)
+    vals.foreach { h =>
+      (0 until d).foreach { i =>
+        val b = graft.functions.CmsUtil.bucket(h, i, w)
+        assert(b >= 0 && b < w, s"h=$h row=$i bucket=$b out of [0,$w)")
+      }
+    }
+    val sk = vals.toDF("h").agg(graft.functions.cms_sketch($"h", d, w).as("c"))
+    val viaCol = Seq(-7L, Long.MinValue).toDF("h")
+      .crossJoin(sk)
+      .select(graft.functions.cms_point($"c", $"h", d, w)).as[Long]
+      .collect().toSeq
+    val counters = sk.as[Seq[Long]].head()
+    val expect = Seq(-7L, Long.MinValue).map(v => (0 until d)
+      .map(i => counters(i * w + graft.functions.CmsUtil.bucket(v, i, w))).min)
+    assert(viaCol === expect)
+    assert(viaCol.head >= 2L) // -7 inserted twice; CMS never under-counts
+  }
+
   test("TopKBuffer inserts in place under ascending pressure") {
     // ascending input is the worst case for the in-place shift: every
     // accepted row lands at slot 0 and pushes the whole buffer right

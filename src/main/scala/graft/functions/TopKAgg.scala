@@ -79,7 +79,10 @@ final class TopKBuffer(val k: Int) {
   * small, so millions of in-flight groups are cheap — the engine's
   * harness sessions (Verify/Bench/QTime) set the threshold to 2²²;
   * set it likewise in any session running high-cardinality bounded-
-  * state aggregations.
+  * state aggregations. The protection is intrinsic since r11: every
+  * builder of these aggregates calls [[ConfGuard.checkBoundedAgg]],
+  * which warns (or, under `graft.boundedAgg.guard=error`, refuses)
+  * when a session sits at the hazardous default.
   */
 case class TopKByScore(
     scoreExpr: Expression, keyExpr: Expression, k: Int,

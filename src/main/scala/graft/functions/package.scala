@@ -89,19 +89,25 @@ package object functions {
   /** Bounded-state top-K aggregate: `array<struct<score,key>>` ranked
     * best-first (score desc, key asc). Streaming-safe (O(k) state,
     * partial-merge capable). */
-  def topk_by_score(score: Column, key: Column, k: Int): Column =
+  def topk_by_score(score: Column, key: Column, k: Int): Column = {
+    ConfGuard.checkBoundedAgg("topk_by_score")
     shims.column(TopKByScore(shims.expression(score), shims.expression(key), k)
       .toAggregateExpression())
+  }
 
   /** KMV distinct-count sketch aggregate: the ≤ k smallest DISTINCT
     * values of a long hash column, ascending ([[KmvMinHashes]]). */
-  def kmv_min_hashes(hash: Column, k: Int): Column =
+  def kmv_min_hashes(hash: Column, k: Int): Column = {
+    ConfGuard.checkBoundedAgg("kmv_min_hashes")
     shims.column(KmvMinHashes(shims.expression(hash), k).toAggregateExpression())
+  }
 
   /** Count-min sketch aggregate: d×w counter matrix (row-major
     * `array<bigint>`) over a long base-hash column ([[CmsSketch]]). */
-  def cms_sketch(hash: Column, d: Int, w: Int): Column =
+  def cms_sketch(hash: Column, d: Int, w: Int): Column = {
+    ConfGuard.checkBoundedAgg("cms_sketch")
     shims.column(CmsSketch(shims.expression(hash), d, w).toAggregateExpression())
+  }
 
   /** Point estimate against a [[cms_sketch]] counter array: the d-way
     * min of the item's row counters — composed integer/array
@@ -181,14 +187,19 @@ package object functions {
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    // the SQL spellings get the same fallback-threshold guard as the
+    // Column builders (the closure runs at resolution, on the driver)
     reg.createOrReplaceTempFunction("topk_by_score",
-      exprs => TopKByScore(exprs.head, exprs(1),
-        foldableInt(exprs(2), "k")), "built-in")
+      exprs => { ConfGuard.checkBoundedAgg("topk_by_score")
+        TopKByScore(exprs.head, exprs(1),
+          foldableInt(exprs(2), "k")) }, "built-in")
     reg.createOrReplaceTempFunction("kmv_min_hashes",
-      exprs => KmvMinHashes(exprs.head, foldableInt(exprs(1), "k")), "built-in")
+      exprs => { ConfGuard.checkBoundedAgg("kmv_min_hashes")
+        KmvMinHashes(exprs.head, foldableInt(exprs(1), "k")) }, "built-in")
     reg.createOrReplaceTempFunction("cms_sketch",
-      exprs => CmsSketch(exprs.head, foldableInt(exprs(1), "d"),
-        foldableInt(exprs(2), "w")), "built-in")
+      exprs => { ConfGuard.checkBoundedAgg("cms_sketch")
+        CmsSketch(exprs.head, foldableInt(exprs(1), "d"),
+          foldableInt(exprs(2), "w")) }, "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
         exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")

@@ -751,10 +751,84 @@ object VectorOps {
       e.groupBy(col("label"))
         .agg(aggCols.head, aggCols.tail: _*)
         .orderBy("label")
+    }),
+
+    // EMBEDDING-SPACE DRIFT MONITOR (r10 verdict #4) — the complement
+    // of q_corpus_drift's token KL: drift over the IVF CELL-OCCUPANCY
+    // distribution between a reference slice (even vec_ids:
+    // "yesterday's embeddings") and the current slice (odd ids),
+    // add-one smoothed over the K cells, reported per cell with its
+    // contribution P(c)·ln(P(c)/Q(c)) and the centroid's L2 norm as a
+    // drift-location fingerprint. This is how a production pipeline
+    // detects an upstream embedding-model swap or corpus shift: the
+    // quantizer is FROZEN (same fit both slices), so any occupancy
+    // movement is data movement. SCALE SHAPE: reuses Ivf.fit/assign
+    // (map-side assignment, K×dims decimal partials per iteration);
+    // the monitor itself adds ONE aggregation with conditional counts
+    // (K groups of two longs — vectors never shuffle), a K-row
+    // centroid frame, and broadcast scalars. The oracle replays the
+    // full fit + assignment + KL chain. Float discipline: norms are
+    // the same sequential fold as distSq, rounded via the shared
+    // floor-based roundTo on BOTH engines (driver-side here — the
+    // centroid table is a K-row driver object by construction).
+    "q_embed_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val cells = centers.indices.map { i =>
+        val n2 = centers(i).foldLeft(0.0)((acc, x) => acc + x * x)
+        (i, math.floor(math.sqrt(n2) * 1e6 + 0.5) / 1e6)
+      }.toDF("cell", "centroid_norm")
+      val counts = Ivf.assign(e, col("embedding"), centers)
+        .groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("c_cur"))
+      val filled = cells.join(counts, Seq("cell"), "left")
+        .na.fill(0L, Seq("c_ref", "c_cur"))
+      val totals = filled.agg(sum(col("c_ref")).as("n_ref"),
+        sum(col("c_cur")).as("n_cur"), count(lit(1)).as("kk"))
+      filled.crossJoin(broadcast(totals))
+        .withColumn("p_ref", (col("c_ref").cast("double") + 1.0) /
+          (col("n_ref").cast("double") + col("kk").cast("double")))
+        .withColumn("p_cur", (col("c_cur").cast("double") + 1.0) /
+          (col("n_cur").cast("double") + col("kk").cast("double")))
+        .select(col("cell").cast("long").as("cell"),
+          col("c_ref"), col("c_cur"),
+          roundTo(col("p_ref"), 8).as("p_ref"),
+          roundTo(col("p_cur"), 8).as("p_cur"),
+          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8)
+            .as("kl_contrib"),
+          col("centroid_norm"))
+        .orderBy(col("kl_contrib").desc, col("cell").asc)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_drift" ->
+      s"""WITH $fitReplayCtes,
+         |asg AS (${fitAssignSql("c2")}),
+         |cnt AS (SELECT cell,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM asg GROUP BY cell),
+         |cl AS (SELECT cell, ${roundToSql(normSql("c"), 6)} AS centroid_norm FROM c2),
+         |f AS (SELECT cl.cell, COALESCE(c_ref, 0) AS c_ref,
+         |        COALESCE(c_cur, 0) AS c_cur, centroid_norm
+         |      FROM cl LEFT JOIN cnt USING (cell)),
+         |n AS (SELECT CAST(SUM(c_ref) AS DOUBLE) AS n_ref,
+         |        CAST(SUM(c_cur) AS DOUBLE) AS n_cur,
+         |        CAST(count(*) AS DOUBLE) AS kk FROM f),
+         |p AS (SELECT cell, c_ref, c_cur, centroid_norm,
+         |        (CAST(c_ref AS DOUBLE) + 1.0) / (n_ref + kk) AS p_ref,
+         |        (CAST(c_cur AS DOUBLE) + 1.0) / (n_cur + kk) AS p_cur
+         |      FROM f CROSS JOIN n)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(c_ref AS BIGINT) AS c_ref,
+         |  CAST(c_cur AS BIGINT) AS c_cur,
+         |  ${roundToSql("p_ref", 8)} AS p_ref, ${roundToSql("p_cur", 8)} AS p_cur,
+         |  ${roundToSql("p_ref * ln(p_ref / p_cur)", 8)} AS kl_contrib,
+         |  centroid_norm
+         |FROM p ORDER BY kl_contrib DESC, cell ASC""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
          |comps AS (

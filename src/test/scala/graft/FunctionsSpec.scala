@@ -465,6 +465,52 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCol.head >= 2L) // -7 inserted twice; CMS never under-counts
   }
 
+  test("bounded-agg guard: fires at the default fallback threshold, silent in a harness session") {
+    import graft.functions.ConfGuard
+    val prevThresh = spark.conf.getOption(ConfGuard.ThresholdKey)
+    val prevMode = spark.conf.getOption(ConfGuard.ModeKey)
+    try {
+      // default-conf session (threshold 128): the guard fires —
+      // observable via the return value in warn mode, and as a
+      // refusal in error mode, from BOTH the Column builder and the
+      // SQL spelling
+      spark.conf.unset(ConfGuard.ThresholdKey)
+      assert(ConfGuard.checkBoundedAgg("spec"), "guard must fire at the 128 default")
+      spark.conf.set(ConfGuard.ModeKey, "error")
+      val e1 = intercept[IllegalStateException] {
+        graft.functions.topk_by_score(lit(1.0), lit("k"), 3)
+      }
+      assert(e1.getMessage.contains(ConfGuard.ThresholdKey))
+      intercept[IllegalStateException] {
+        graft.functions.kmv_min_hashes(lit(1L), 4)
+      }
+      intercept[IllegalStateException] {
+        graft.functions.cms_sketch(lit(1L), 2, 8)
+      }
+      graft.functions.registerAll(spark)
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT cms_sketch(h, 2, 8) FROM (SELECT 1::LONG AS h)").collect()
+      }
+      assert(e2.getMessage.contains(ConfGuard.ThresholdKey) ||
+        Option(e2.getCause).exists(_.getMessage.contains(ConfGuard.ThresholdKey)))
+      // harness session (threshold raised): silent in every mode
+      spark.conf.set(ConfGuard.ThresholdKey, ConfGuard.Recommended.toString)
+      assert(!ConfGuard.checkBoundedAgg("spec"))
+      graft.functions.topk_by_score(lit(1.0), lit("k"), 3) // no throw
+      assert(spark.sql("SELECT size(kmv_min_hashes(h, 4)) FROM (SELECT 1::LONG AS h)")
+        .collect().head.getInt(0) === 1)
+      // guard=off silences even the hazardous default
+      spark.conf.unset(ConfGuard.ThresholdKey)
+      spark.conf.set(ConfGuard.ModeKey, "off")
+      graft.functions.cms_sketch(lit(1L), 2, 8) // no throw
+    } finally {
+      prevThresh.fold(spark.conf.unset(ConfGuard.ThresholdKey))(
+        spark.conf.set(ConfGuard.ThresholdKey, _))
+      prevMode.fold(spark.conf.unset(ConfGuard.ModeKey))(
+        spark.conf.set(ConfGuard.ModeKey, _))
+    }
+  }
+
   test("TopKBuffer inserts in place under ascending pressure") {
     // ascending input is the worst case for the in-place shift: every
     // accepted row lands at slot 0 and pushes the whole buffer right

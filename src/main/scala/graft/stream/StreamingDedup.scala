@@ -40,6 +40,11 @@ object StreamingDedup {
   private val splitMigrated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Drop the process-level migration memo — restart-simulation hook
+    * for the multi-session soak (a real fresh JVM starts with this
+    * empty, so a faithful restart must too). */
+  private[graft] def resetMigrationMemo(): Unit = splitMigrated.clear()
+
   /** Streaming EXACT dedup by normalized-text digest: emits only the
     * first-arriving copy of each distinct normalized text (the
     * streaming form of q_dedup_exact's keeper rule, ordered by arrival
@@ -297,7 +302,15 @@ object StreamingDedup {
               .withColumn("split", TextOps.splitOfRep(col("cluster_rep"))))
           try {
             resultHandle.count() // eager: reads store + labels NOW
-            result.write.mode("overwrite")
+            // COMPACTION DISCIPLINE: cluster the write by bucket so
+            // each rewritten bucket directory lands as ONE file per
+            // flush instead of one per shuffle task (the multi-session
+            // soak measured ~42 files/bucket after 6 flushes without
+            // this — a store read then pays thousands of parquet
+            // footers). Dynamic overwrite already replaces the whole
+            // bucket, so the rewrite IS the compaction; file count
+            // stays O(buckets) forever.
+            result.repartition(col("bucket")).write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("bucket")
               .parquet(storeDir)

@@ -61,25 +61,54 @@ object EngagementPipeline {
       .agg(count(lit(1)).as("access_count"),
         Util.dsum(col("engagement_pct")).as("sum_pct"))
 
+  /** The reference's topic name (EngagementProcessor.scala:164). */
+  val KafkaTopic = "streaming.public.engagement_events"
+
+  /** The exact option map `kafkaSource` hands to the Kafka reader —
+    * exposed as a value so the contract is testable without a broker.
+    * Mirrors the reference's consumer Properties 1:1
+    * (EngagementProcessor.scala:154-168 + .env:14-17): earliest reset,
+    * batch fetches for throughput, bounded fetch wait for latency.
+    * `maxOffsetsPerTrigger` is the Spark spelling of its
+    * batch-size/flush-interval backpressure. */
+  def kafkaConsumerOptions(bootstrap: String,
+      topic: String = KafkaTopic,
+      maxOffsetsPerTrigger: Long = 100000L): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+    "kafka.fetch.min.bytes" -> "1048576",
+    "kafka.fetch.max.wait.ms" -> "500",
+    "kafka.max.partition.fetch.bytes" -> "2097152",
+    "kafka.receive.buffer.bytes" -> "1048576")
+
   /** Kafka source for the reference's topic
     * (EngagementProcessor.scala:154-176). Batch-size/flush-interval
-    * tuning maps to maxOffsetsPerTrigger + trigger interval. */
+    * tuning maps to maxOffsetsPerTrigger + trigger interval. When the
+    * Kafka connector jar is not on the classpath, fails fast with an
+    * actionable error naming the missing artifact instead of Spark's
+    * generic data-source-not-found. */
   def kafkaSource(spark: SparkSession, bootstrap: String,
-      topic: String = "streaming.public.engagement_events",
+      topic: String = KafkaTopic,
       maxOffsetsPerTrigger: Long = 100000L): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      // consumer fetch tuning carried over from the reference
-      // (.env:14-17, README.md:41-50): batch fetches for throughput,
-      // bounded wait for latency
-      .option("kafka.fetch.min.bytes", "1048576")
-      .option("kafka.fetch.max.wait.ms", "500")
-      .option("kafka.max.partition.fetch.bytes", "2097152")
-      .option("kafka.receive.buffer.bytes", "1048576")
-      .load()
+    try
+      spark.readStream.format("kafka")
+        .options(kafkaConsumerOptions(bootstrap, topic, maxOffsetsPerTrigger))
+        .load()
+    catch {
+      case e: Exception
+          if e.getMessage != null && e.getMessage.contains("kafka") &&
+            (e.isInstanceOf[ClassNotFoundException] ||
+              e.getMessage.contains("DATA_SOURCE_NOT_FOUND") ||
+              e.getMessage.contains("Failed to find")) =>
+        throw new IllegalStateException(
+          "Kafka connector not on the classpath: add " +
+            "spark-sql-kafka-0-10_2.13 (and its kafka-clients " +
+            "dependency) matching your Spark version, or use " +
+            "EngagementPipeline.fileSource, which runs the identical " +
+            "transform chain from a file drop.", e)
+    }
 
   /** File-drop source with the same envelope contract (one JSON string
     * per line) — lets the whole pipeline run without Kafka. */

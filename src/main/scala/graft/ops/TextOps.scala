@@ -129,6 +129,67 @@ object TextOps {
   private def markerHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Chunk width (tokens) for language-span segmentation — small
+    * enough that a code-switch inside a paragraph lands on a chunk
+    * boundary within ±5 tokens, large enough that the 5-word marker
+    * lexicons see a hit in genuine text. */
+  val LangChunk = 10
+
+  /** Language-SPAN segmentation (VERDICT r10 #8): q_lang_id is
+    * doc-granular, but real crawled corpora are code-switched — this
+    * runs the same marker-argmax call per fixed [[LangChunk]]-token
+    * chunk and merges consecutive same-language chunks into maximal
+    * spans by gaps-and-islands (the [[mergeDupSpans]] discipline, with
+    * the island break on language change instead of start gaps).
+    *
+    * Scale shape: the tokenize + chunk explode + per-chunk argmax is
+    * all MAP-SIDE (the token array is materialized once before the
+    * Generate; chunk slices are array reads, not re-tokenizes); the
+    * only shuffle is the per-doc window + span aggregation over skinny
+    * (doc_id, ci, lang) rows — O(chunks), not O(tokens). Feeds
+    * per-language routing at span granularity downstream. */
+  def langSpans(docs: DataFrame, chunk: Int = LangChunk): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 1)
+    val chunks = base
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0), ((col("n") - 1) / lit(chunk)).cast("int")))
+          .as("ci"))
+      .withColumn("ctoks", slice(col("toks"), col("ci") * chunk + 1, lit(chunk)))
+    val scored = langMarkers.foldLeft(chunks) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", markerHits(col("ctoks"), words))
+    }
+    val best = langMarkers.map { case (lang, _) =>
+      struct(col(s"hits_$lang").as("hits"), lit(lang).as("lang"))
+    }
+    // same argmax + ASC-lang tie-break + und-on-zero rule as q_lang_id
+    val picked = scored.withColumn("bst",
+        aggregate(
+          array(best: _*),
+          struct(lit(-1).as("hits"), lit("zzz").as("lang")),
+          (acc, x) => when(x.getField("hits") > acc.getField("hits") ||
+            (x.getField("hits") === acc.getField("hits") &&
+              x.getField("lang") < acc.getField("lang")), x).otherwise(acc)))
+      .select(col("doc_id"), col("n"), col("ci"),
+        when(col("bst.hits") > 0, col("bst.lang")).otherwise(lit("und"))
+          .as("lang"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("ci"))
+    picked
+      .withColumn("brk",
+        when(lag(col("lang"), 1).over(byDoc).isNull ||
+          lag(col("lang"), 1).over(byDoc) === col("lang"), 0).otherwise(1))
+      .withColumn("span", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"), col("lang"))
+      .agg((min(col("ci")) * chunk + 1).cast("long").as("tok_start"),
+        least(max(col("ci")) * chunk + chunk, max(col("n"))).cast("long")
+          .as("tok_end"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy("doc_id", "span")
+  }
+
   private def markerHitsSql(toks: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toks, t -> list_contains($lst, t)))"
@@ -1333,6 +1394,9 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Per-SPAN language segmentation — [[langSpans]] over the corpus.
+    "q_lang_spans" -> ((s, dir) => langSpans(Tables.documents(s, dir))),
+
     // Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
     // INVERTED-INDEX join, not a cross join: explode shingles, hash-join
     // docs sharing a shingle, count commons per pair. Shuffle volume is
@@ -2243,6 +2307,47 @@ object TextOps {
            |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
            |  CAST(best.hits AS INTEGER) AS marker_hits
            |FROM p ORDER BY doc_id""".stripMargin
+      },
+
+      // chunked replay of the same argmax + gaps-and-islands merge on
+      // language change — mirrors [[langSpans]] stage for stage
+      "q_lang_spans" -> {
+        val c = LangChunk
+        val hitCols = langMarkers.map { case (lang, words) =>
+          s"${markerHitsSql("ctoks", words)} AS hits_$lang" }.mkString(",\n    ")
+        val structs = langMarkers.map { case (lang, _) =>
+          s"{'hits': hits_$lang, 'lang': '$lang'}" }.mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+           |ck AS (SELECT doc_id, n, ci,
+           |    toks[ci * $c + 1 : ci * $c + $c] AS ctoks
+           |  FROM b, unnest(range(0, (n - 1) // $c + 1)) AS u(ci)),
+           |h AS (SELECT doc_id, n, ci,
+           |    $hitCols
+           |  FROM ck),
+           |p AS (SELECT doc_id, n, ci,
+           |    reduce($structs,
+           |      (acc, x) -> CASE WHEN x.hits > acc.hits OR
+           |        (x.hits = acc.hits AND x.lang < acc.lang) THEN x ELSE acc END) AS best
+           |  FROM h),
+           |l AS (SELECT doc_id, n, ci,
+           |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang
+           |  FROM p),
+           |g AS (SELECT doc_id, n, ci, lang,
+           |    CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY ci) IS NULL
+           |           OR lag(lang) OVER (PARTITION BY doc_id ORDER BY ci) = lang
+           |         THEN 0 ELSE 1 END AS brk
+           |  FROM l),
+           |i AS (SELECT doc_id, n, ci, lang,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY ci
+           |                   ROWS UNBOUNDED PRECEDING) AS span
+           |  FROM g)
+           |SELECT doc_id, CAST(span AS BIGINT) AS span, lang,
+           |  CAST(min(ci) * $c + 1 AS BIGINT) AS tok_start,
+           |  CAST(least(max(ci) * $c + $c, max(n)) AS BIGINT) AS tok_end,
+           |  count(*) AS n_chunks
+           |FROM i GROUP BY doc_id, span, lang
+           |ORDER BY doc_id, span""".stripMargin
       },
 
       // the same packing replayed as DuckDB's window cumsum (fine at

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util._
+import TextOps.{tokens, tokensSql, hash60, hash60Sql}
+
+/** DSIR-style target-domain importance weighting — the standard
+  * pretraining-curation move the engine's other selection operators
+  * don't cover: q_mixture_sample rebalances by LANGUAGE and
+  * q_budget_select ranks by QUALITY, but neither selects data for
+  * *similarity to a target domain*. This module implements the
+  * hashed-n-gram importance-resampling recipe (Xie et al., "Data
+  * Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023 — public paper; the reference corpus has no analog,
+  * its payloads are generated engagement JSON):
+  *
+  *   1. hash every unigram + bigram of every document into
+  *      [[DsirBuckets]] buckets (the hashing trick — a fixed-size,
+  *      vocabulary-free feature space);
+  *   2. fit two bag-of-hashed-ngrams LMs by bucket counts — one on
+  *      the TARGET slice (here `doc_id % `[[TargetMod]]` = 0`, the
+  *      deterministic stand-in for "a trusted high-quality domain"),
+  *      one on the RAW corpus being sampled;
+  *   3. score each document by its average per-feature
+  *      log-likelihood ratio log p_target(b) − log p_raw(b)
+  *      (add-one smoothed over the bucket space);
+  *   4. resample: map the score range onto [0, 10000] basis points
+  *      and keep a doc iff its salted hash clears its own rate —
+  *      the q_mixture_sample keep-rule, so reruns and late retries
+  *      keep the SAME docs (no per-row RNG).
+  *
+  * SCALE SHAPE (the 100 TB story): the feature stream is generated
+  * map-side (one token-array materialization, unigrams by filter,
+  * bigrams by index transform, ONE explode — no joins, no pair
+  * space). Both LMs come from a SINGLE aggregation of that stream
+  * keyed by bucket (a [[DsirBuckets]]-bounded frame: the raw count
+  * and the target count are two columns of one groupBy — the stream
+  * is scanned once, not twice), totals from a second aggregation of
+  * the 4096-row frame (driver-trivial), and the per-bucket log-ratio
+  * is computed ONCE PER BUCKET on that tiny frame — never per
+  * feature occurrence. Scoring is a broadcast join of the 4096-row
+  * ratio table onto the feature stream plus a map-side-partial
+  * per-doc DECIMAL sum; the corpus text itself never shuffles.
+  * Selection adds only a 1-row min/max broadcast and a map-side
+  * hash-threshold filter. Drop the broadcast hints and AQE picks
+  * shuffle joins if the bucket space is ever widened beyond
+  * broadcast range.
+  *
+  * ORACLE DISCIPLINE: the DuckDB twin replays both LMs as CTEs from
+  * the same tokenizer, the same salt strings, the same add-one
+  * smoothing, the same rounding ladder (per-bucket log-ratio
+  * rounded to 6, order-free DECIMAL(28,6) per-doc sum, mean rounded
+  * to 4 — the [[graft.ops.Retrieval.lmPerplexity]] ladder), so a
+  * drifted hash, a missing smoothing term, or a changed keep-rule
+  * hash-mismatches. Docs with an empty token stream have no
+  * features and are absent from the output (the lmPerplexity
+  * absent-rows rule, stated identically in both engines).
+  */
+object Dsir {
+
+  /** Hashed feature-space size. 4096 buckets keeps both LM count
+    * tables broadcast-trivial while leaving bucket collision rates
+    * low enough that the log-ratio signal survives (the DSIR paper
+    * uses 10k buckets at web scale; the bucket count is a free
+    * parameter — widen it and ONLY this constant moves, both
+    * engines pick it up from here). */
+  val DsirBuckets = 4096
+
+  /** Target-slice selector: `doc_id % TargetMod == 0` — a
+    * deterministic 5% slice standing in for "the trusted target
+    * domain corpus" (same id-keyed discipline as lmPerplexity's
+    * even-doc_id train split). */
+  val TargetMod = 20
+
+  /** Map-side hashed unigram+bigram feature stream:
+    * (doc_id, bucket). One explode; empty tokens die before the
+    * hash; <2-token docs contribute unigrams only.
+    *
+    * The token array is MATERIALIZED as a column before the lambda
+    * stage (the [[TextOps.langSpans]] staged-projection discipline):
+    * referencing `tokens(text)` directly inside the bigram transform
+    * would re-run the regex split per index — O(n²) splits per doc,
+    * measured 10× wall on this very query before the fix. */
+  private def featureBuckets(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val unis = filter(toks, t => t =!= "")
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(concat(unis, bis)).as("f"))
+      .select(col("doc_id"),
+        pmod(hash60(concat(lit("dsir:"), col("f"))), lit(DsirBuckets)).as("b"))
+  }
+
+  /** DuckDB twin of [[featureBuckets]] ending in a CTE `fb` of
+    * (doc_id, b); expects a `documents` view. */
+  private def featureBucketsSql: String = {
+    val toksSqlV = tokensSql("text")
+    s"""t AS (SELECT doc_id, $toksSqlV AS toks FROM documents),
+       |fs AS (SELECT doc_id,
+       |    list_concat(list_filter(toks, x -> x != ''),
+       |      CASE WHEN len(toks) >= 2
+       |           THEN list_transform(range(1, len(toks)),
+       |                  i -> toks[i] || ' ' || toks[i + 1])
+       |           ELSE [] END) AS fs
+       |  FROM t),
+       |fb AS (SELECT doc_id,
+       |    ${hash60Sql("'dsir:' || f")} % $DsirBuckets AS b
+       |  FROM fs, unnest(fs) AS u(f))""".stripMargin
+  }
+
+  /** Per-document DSIR importance weight:
+    * (doc_id, n_feats, dsir_score) where dsir_score is the mean
+    * per-feature log p_target/p_raw (length-normalized so long docs
+    * don't dominate by token count alone). */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val fb = featureBuckets(docs)
+    // ONE pass over the feature stream builds BOTH LMs: raw count +
+    // target count as two columns of a bucket-keyed aggregate
+    val cnt = fb.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("doc_id") % TargetMod === 0, 1L).otherwise(0L)).as("tc"))
+    val tot = cnt.agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
+    // log-ratio once per BUCKET (4096 rows), not per occurrence
+    val lrt = cnt.crossJoin(broadcast(tot))
+      .select(col("b"), roundTo(
+        log((col("tc") + 1.0) / (col("tn") + DsirBuckets)) -
+          log((col("rc") + 1.0) / (col("rn") + DsirBuckets)), 6).as("lr"))
+    fb.join(broadcast(lrt), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("lr").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("a0"))
+      .select(col("doc_id"), col("n_feats"), roundTo(col("a0"), 4).as("dsir_score"))
+  }
+
+  /** Shared CTE stack of the weights pipeline ending in `w` of
+    * (doc_id, n_feats, dsir_score) — one spelling behind both
+    * oracles. */
+  private def weightsSqlCtes: String =
+    s"""$featureBucketsSql,
+       |cnt AS (SELECT b, count(*) AS rc,
+       |    sum(CASE WHEN doc_id % $TargetMod = 0 THEN 1 ELSE 0 END) AS tc
+       |  FROM fb GROUP BY 1),
+       |tot AS (SELECT sum(rc) AS rn, sum(tc) AS tn FROM cnt),
+       |lrt AS (SELECT b, ${roundToSql(
+          s"ln((tc + 1.0) / (tn + $DsirBuckets)) - " +
+            s"ln((rc + 1.0) / (rn + $DsirBuckets))", 6)} AS lr
+       |  FROM cnt CROSS JOIN tot),
+       |w AS (SELECT fb.doc_id, count(*) AS n_feats,
+       |    ${roundToSql(
+          "CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE) / count(*)", 4)}
+       |      AS dsir_score
+       |  FROM fb JOIN lrt USING (b) GROUP BY 1)""".stripMargin
+
+  /** Importance RESAMPLING over [[dsirWeights]]: min-max map the
+    * score range onto [0, 10000] basis points (the best-matching doc
+    * keeps with certainty, the worst never — selection, not
+    * shuffling; sqrt/exp-free so both engines agree bit-for-bit on
+    * rounded inputs) and keep a doc iff its salted hash clears its
+    * own rate. Degenerate corpus (all scores equal) keeps
+    * everything. */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    val w = dsirWeights(docs)
+    val mm = w.agg(min(col("dsir_score")).as("smin"),
+      max(col("dsir_score")).as("smax"))
+    w.crossJoin(broadcast(mm))
+      .withColumn("rate_bp",
+        when(col("smax") === col("smin"), lit(10000))
+          .otherwise(floor(lit(10000) * (col("dsir_score") - col("smin")) /
+            (col("smax") - col("smin"))).cast("int")))
+      .filter(pmod(hash60(concat(lit("dsirsel:"), col("doc_id").cast("string"))),
+        lit(10000)) < col("rate_bp"))
+      .select(col("doc_id"), col("dsir_score"), col("rate_bp"))
+  }
+
+  // ---------------------------------------------------------------
+  // declared queries
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-doc target-domain importance weight (the scoring half).
+    "q_dsir_weights" -> ((s, dir) =>
+      dsirWeights(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Deterministic importance resampling by those weights (the
+    // selection half).
+    "q_dsir_select" -> ((s, dir) =>
+      dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")))
+
+  val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH $weightsSqlCtes
+         |SELECT doc_id, n_feats, dsir_score FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH $weightsSqlCtes,
+         |mm AS (SELECT min(dsir_score) AS smin, max(dsir_score) AS smax FROM w),
+         |r AS (SELECT doc_id, dsir_score,
+         |    CASE WHEN smax = smin THEN 10000
+         |         ELSE CAST(floor(10000 * (dsir_score - smin) / (smax - smin))
+         |                AS INTEGER) END AS rate_bp
+         |  FROM w CROSS JOIN mm)
+         |SELECT doc_id, dsir_score, rate_bp FROM r
+         |WHERE ${hash60Sql("'dsirsel:' || CAST(doc_id AS VARCHAR)")} % 10000
+         |  < rate_bp
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -32,7 +32,12 @@ object ConfGuard {
   val Recommended: Int = 4194304 // 2^22; buffers are O(k) small
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-session warn dedup keyed on the session OBJECT via weak refs
+  // (ADVICE r11: identityHashCode can be reused after GC / collide
+  // across live sessions, silently suppressing a fresh session's
+  // warning); a collected session's entry vanishes with it.
+  private val warned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** Check the ACTIVE session (builders run on the driver at query
     * construction). Returns true iff the session is at a hazardous
@@ -54,8 +59,9 @@ object ConfGuard {
           case "off" => ()
           case "error" => throw new IllegalStateException(msg)
           case _ =>
-            if (warned.add(System.identityHashCode(spark) + "|" + builder))
-              log.warn(msg)
+            val set = warned.computeIfAbsent(spark,
+              _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+            if (set.add(builder)) log.warn(msg)
         }
       }
       hazardous

@@ -79,15 +79,22 @@ object FixtureCache {
       // recent .tmp-* is likely a live concurrent writer mid-write;
       // deleting it from under the rename loses its (identical) copy
       // for no gain. Crashed writers age past the grace and get swept
-      // on a later miss.
+      // on a later miss. "Now" is read from the FILESYSTEM's clock
+      // (mtime of our own just-created tmp dir), not the driver's
+      // (ADVICE r11: on object stores / skewed hosts a wall-clock
+      // `now` can shorten the grace and sweep a live writer).
       val graceMs = 10L * 60 * 1000
-      val now = System.currentTimeMillis()
-      Option(fs.globStatus(new Path(path.getParent, s".$key.tmp-*")))
-        .foreach(_.foreach { s =>
-          if (now - s.getModificationTime > graceMs) fs.delete(s.getPath, true)
-        })
       val tmp = new Path(path.getParent,
         s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(tmp)
+      val fsNow =
+        try fs.getFileStatus(tmp).getModificationTime
+        catch { case _: java.io.IOException => System.currentTimeMillis() }
+      Option(fs.globStatus(new Path(path.getParent, s".$key.tmp-*")))
+        .foreach(_.foreach { s =>
+          if (s.getPath != tmp && fsNow - s.getModificationTime > graceMs)
+            fs.delete(s.getPath, true)
+        })
       compute.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(new Path(path, "_SUCCESS"))) fs.delete(tmp, true)
       else if (!fs.rename(tmp, path)) fs.delete(tmp, true)

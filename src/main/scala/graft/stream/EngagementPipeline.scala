@@ -97,11 +97,7 @@ object EngagementPipeline {
         .options(kafkaConsumerOptions(bootstrap, topic, maxOffsetsPerTrigger))
         .load()
     catch {
-      case e: Exception
-          if e.getMessage != null && e.getMessage.contains("kafka") &&
-            (e.isInstanceOf[ClassNotFoundException] ||
-              e.getMessage.contains("DATA_SOURCE_NOT_FOUND") ||
-              e.getMessage.contains("Failed to find")) =>
+      case e: Throwable if isMissingDataSource(e) =>
         throw new IllegalStateException(
           "Kafka connector not on the classpath: add " +
             "spark-sql-kafka-0-10_2.13 (and its kafka-clients " +
@@ -109,6 +105,26 @@ object EngagementPipeline {
             "EngagementPipeline.fileSource, which runs the identical " +
             "transform chain from a file drop.", e)
     }
+
+  /** Missing-connector classifier for [[kafkaSource]] (ADVICE r11:
+    * message-text sniffing breaks when Spark rewords errors). Typed:
+    * Spark classifies an unresolvable format as error condition
+    * `DATA_SOURCE_NOT_FOUND` on a [[org.apache.spark.SparkThrowable]];
+    * the streaming lookup path raises the dedicated kafka-missing
+    * hint under legacy condition `_LEGACY_ERROR_TEMP_1140`
+    * (QueryCompilationErrors.failedToFindKafkaDataSourceError —
+    * verified live on this box); a bare ClassNotFoundException covers
+    * older spellings and a half-installed connector (jar present,
+    * kafka-clients missing). Attribution to Kafka is safe WITHOUT
+    * reading the message because the only format this call site loads
+    * is "kafka". */
+  private def isMissingDataSource(e: Throwable): Boolean = e match {
+    case st: org.apache.spark.SparkThrowable =>
+      Set("DATA_SOURCE_NOT_FOUND", "_LEGACY_ERROR_TEMP_1140")
+        .contains(st.getCondition)
+    case _: ClassNotFoundException => true
+    case _ => false
+  }
 
   /** File-drop source with the same envelope contract (one JSON string
     * per line) — lets the whole pipeline run without Kafka. */

@@ -68,8 +68,11 @@ object SketchScaleProbe {
     val u = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
     val ni = size(filter(u, x =>
       array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+    // both sides' sketch sizes (ADVICE r11: pairs require a < b, so
+    // state_a alone never observes the LAST source's sketch)
     pairs.select(col("source_a"), col("source_b"),
       size(col("ma")).as("state_a"),
+      size(col("mb")).as("state_b"),
       Util.roundTo(ni.cast("double") / size(u).cast("double"), 6)
         .as("jaccard_est"))
   }
@@ -119,7 +122,8 @@ object SketchScaleProbe {
       val (cmsRes, cmsSec) = timed(cmsHeavy(esrc, d, w).collect())
       dsrc.unpersist(); esrc.unpersist()
 
-      val kmvStateBytes = kmvRes.map(_.getAs[Int]("state_a")).max * 8L
+      val kmvStateBytes = kmvRes.map(r => math.max(
+        r.getAs[Int]("state_a"), r.getAs[Int]("state_b"))).max * 8L
       val cmsStateBytes = cmsRes.map(_.getAs[Int]("state_counters")).max * 8L
       val jacc = kmvRes.sortBy(r => (r.getString(0), r.getString(1)))
         .map(r => f"${r.getString(0)}-${r.getString(1)}:${r.getAs[Double]("jaccard_est")}%.4f")

@@ -190,6 +190,90 @@ object TextOps {
       .orderBy("doc_id", "span")
   }
 
+  /** Code-marker surface for code/prose segmentation: a token is
+    * "codey" iff it carries a code symbol or IS a keyword. The symbol
+    * class and keyword list live exactly here (and in the oracle via
+    * [[codeSymClass]]/[[codeKeywords]] interpolation) — shared
+    * Java∩RE2 syntax only (a bare character class). */
+  val codeSymClass = "[{}();=<>]"
+  val codeKeywords: Seq[String] = Seq("def", "return", "let", "if")
+
+  /** Deterministic planted code snippet (space-separated so every
+    * symbol is its own token; id-derived constants so a miscounted
+    * chunk or drifted threshold hash-mismatches — the piiText /
+    * Html.fixture discipline: the synthetic corpus has no code, so
+    * both engines synthesize the identical mixed document). */
+  private def codeSnippet(id: Column): Column = concat(
+    lit("def fn ( x ) { return x + "), (id % 7).cast("string"),
+    lit(" ; } ; let y = fn ( "), (id % 13).cast("string"),
+    lit(" ) ; if ( y > "), (id % 5).cast("string"),
+    lit(" ) { y = y - 1 ; }"))
+
+  private def codeSnippetSql(id: String): String =
+    s"'def fn ( x ) { return x + ' || CAST($id % 7 AS VARCHAR) || " +
+      s"' ; } ; let y = fn ( ' || CAST($id % 13 AS VARCHAR) || " +
+      s"' ) ; if ( y > ' || CAST($id % 5 AS VARCHAR) || ' ) { y = y - 1 ; }'"
+
+  /** Mixed-document fixture: every 6th doc is prose–code–prose (the
+    * island case), every 6th-offset-3 doc is pure code, the rest stay
+    * prose. */
+  def codeFixture(text: Column, id: Column): Column =
+    when(id % 6 === 0, concat(text, lit(" "), codeSnippet(id), lit(" "), text))
+      .when(id % 6 === 3, codeSnippet(id))
+      .otherwise(text)
+
+  def codeFixtureSql(text: String, id: String): String =
+    s"CASE WHEN $id % 6 = 0 THEN $text || ' ' || ${codeSnippetSql(id)} || ' ' || $text " +
+      s"WHEN $id % 6 = 3 THEN ${codeSnippetSql(id)} ELSE $text END"
+
+  /** Per-chunk code/prose classification — the shared first stage of
+    * [[codeSpans]], exposed so the prose-only quality respec (and its
+    * spec) reuse the exact same chunk verdicts. A chunk is `code` iff
+    * at least a third of its tokens are codey. Map-side: one staged
+    * token materialization, chunk slices are array reads. */
+  def codeChunks(docs: DataFrame, chunk: Int = LangChunk): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        tokens(codeFixture(col("text"), col("doc_id"))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 1)
+    base
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0), ((col("n") - 1) / lit(chunk)).cast("int")))
+          .as("ci"))
+      .withColumn("ctoks", slice(col("toks"), col("ci") * chunk + 1, lit(chunk)))
+      .withColumn("n_code", size(filter(col("ctoks"),
+        t => t.rlike(codeSymClass) || t.isInCollection(codeKeywords))))
+      .select(col("doc_id"), col("n"), col("ci"), col("ctoks"),
+        when(col("n_code") * 3 >= size(col("ctoks")), lit("code"))
+          .otherwise(lit("prose")).as("kind"))
+  }
+
+  /** Code/prose SPAN segmentation (VERDICT r11 #3): real crawl text is
+    * code-switched between natural language and code, and the quality
+    * gate's stopword/punctuation signals mis-score code blocks — this
+    * emits maximal same-kind spans (the [[langSpans]] gaps-and-islands
+    * discipline with the island break on kind change) so the quality
+    * gate can run prose-only and routing can ship code spans to a code
+    * pipeline. Scale shape identical to langSpans: map-side chunk
+    * classify, one per-doc window over skinny (doc_id, ci, kind) rows
+    * — O(chunks), not O(tokens). */
+  def codeSpans(docs: DataFrame, chunk: Int = LangChunk): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("ci"))
+    codeChunks(docs, chunk)
+      .withColumn("brk",
+        when(lag(col("kind"), 1).over(byDoc).isNull ||
+          lag(col("kind"), 1).over(byDoc) === col("kind"), 0).otherwise(1))
+      .withColumn("span", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"), col("kind"))
+      .agg((min(col("ci")) * chunk + 1).cast("long").as("tok_start"),
+        least(max(col("ci")) * chunk + chunk, max(col("n"))).cast("long")
+          .as("tok_end"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy("doc_id", "span")
+  }
+
   private def markerHitsSql(toks: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toks, t -> list_contains($lst, t)))"
@@ -1397,6 +1481,11 @@ object TextOps {
     // Per-SPAN language segmentation — [[langSpans]] over the corpus.
     "q_lang_spans" -> ((s, dir) => langSpans(Tables.documents(s, dir))),
 
+    // Code/prose span segmentation over the planted mixed fixture —
+    // chunk-granular code detection + gaps-and-islands merge, so the
+    // quality gate can run prose-only downstream.
+    "q_code_spans" -> ((s, dir) => codeSpans(Tables.documents(s, dir))),
+
     // Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
     // INVERTED-INDEX join, not a cross join: explode shingles, hash-join
     // docs sharing a shingle, count commons per pair. Shuffle volume is
@@ -2347,6 +2436,44 @@ object TextOps {
            |  CAST(least(max(ci) * $c + $c, max(n)) AS BIGINT) AS tok_end,
            |  count(*) AS n_chunks
            |FROM i GROUP BY doc_id, span, lang
+           |ORDER BY doc_id, span""".stripMargin
+      },
+
+      // chunked replay of the code/prose classification + islands
+      // merge on kind change — mirrors [[codeSpans]] stage for stage
+      // over the same planted fixture
+      "q_code_spans" -> {
+        val c = LangChunk
+        val kwLst = codeKeywords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH f AS (SELECT doc_id,
+           |    ${codeFixtureSql("text", "doc_id")} AS ctext FROM documents),
+           |t AS (SELECT doc_id, ${tokensSql("ctext")} AS toks FROM f),
+           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+           |ck AS (SELECT doc_id, n, ci,
+           |    toks[ci * $c + 1 : ci * $c + $c] AS ctoks
+           |  FROM b, unnest(range(0, (n - 1) // $c + 1)) AS u(ci)),
+           |h AS (SELECT doc_id, n, ci,
+           |    len(list_filter(ctoks, t -> regexp_matches(t, '$codeSymClass')
+           |      OR list_contains($kwLst, t))) AS n_code,
+           |    len(ctoks) AS nc
+           |  FROM ck),
+           |l AS (SELECT doc_id, n, ci,
+           |    CASE WHEN n_code * 3 >= nc THEN 'code' ELSE 'prose' END AS kind
+           |  FROM h),
+           |g AS (SELECT doc_id, n, ci, kind,
+           |    CASE WHEN lag(kind) OVER (PARTITION BY doc_id ORDER BY ci) IS NULL
+           |           OR lag(kind) OVER (PARTITION BY doc_id ORDER BY ci) = kind
+           |         THEN 0 ELSE 1 END AS brk
+           |  FROM l),
+           |i AS (SELECT doc_id, n, ci, kind,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY ci
+           |                   ROWS UNBOUNDED PRECEDING) AS span
+           |  FROM g)
+           |SELECT doc_id, CAST(span AS BIGINT) AS span, kind,
+           |  CAST(min(ci) * $c + 1 AS BIGINT) AS tok_start,
+           |  CAST(least(max(ci) * $c + $c, max(n)) AS BIGINT) AS tok_end,
+           |  count(*) AS n_chunks
+           |FROM i GROUP BY doc_id, span, kind
            |ORDER BY doc_id, span""".stripMargin
       },
 

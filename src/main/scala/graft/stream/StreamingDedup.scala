@@ -45,6 +45,20 @@ object StreamingDedup {
     * empty, so a faithful restart must too). */
   private[graft] def resetMigrationMemo(): Unit = splitMigrated.clear()
 
+  /** Opt-in HTML ENTRY stage for the streaming corpus path (VERDICT
+    * r11 #2b): a crawled stream arrives as markup, but every corpus
+    * operator downstream ([[exactDedup]], [[nearDupVerdicts]], the
+    * quality gate) presumes clean text. Maps the markup column to the
+    * SAME clean text the batch path extracts
+    * ([[graft.ops.Html.extractText]] — a pure map-side Column chain:
+    * no state, no watermark, no shuffle, so it composes with any
+    * downstream streaming operator and adds zero to the state store),
+    * guaranteeing streaming ingestion and batch reprocessing produce
+    * byte-identical text. StreamingSpec asserts stream == batch. */
+  def htmlEntry(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs.withColumn("text", graft.ops.Html.extractText(col(htmlCol)))
+      .drop(htmlCol)
+
   /** Streaming EXACT dedup by normalized-text digest: emits only the
     * first-arriving copy of each distinct normalized text (the
     * streaming form of q_dedup_exact's keeper rule, ordered by arrival

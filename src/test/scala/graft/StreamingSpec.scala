@@ -724,6 +724,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("html entry stage: streamed extraction equals batch extraction") {
+    import graft.stream.StreamingDedup
+    // synthesize crawled pages with the declared fixture over sf0.001
+    // docs, so the full chrome/script/entity surface is exercised
+    val pages = io.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id",
+        ops.Html.fixture($"doc_id", $"text").as("html"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batch = StreamingDedup.htmlEntry(
+        pages.toSeq.toDF("doc_id", "html"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.htmlEntry(input.toDF().toDF("doc_id", "html"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("html_entry_out").start()
+    try {
+      // two micro-batches: the stage must be stateless across them
+      pages.grouped(pages.length / 2 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("html_entry_out")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(streamed === batch,
+        "streamed html extraction diverged from the batch path")
+      // the markup column is gone and the text is genuinely clean
+      assert(!spark.table("html_entry_out").columns.contains("html"))
+      // no surviving markup (decoded entities may legitimately yield
+      // a bare '<', e.g. the fixture's &lt;more&gt; — so check tags)
+      assert(streamed.values.forall(t => t.nonEmpty &&
+        !t.contains("<p>") && !t.contains("<div") && !t.contains("<script")))
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter equals the batch LSH pair graph") {
     import graft.stream.StreamingDedup
     val dir = sf("sf0.01")

@@ -1091,6 +1091,15 @@ object TextOps {
     (selected, feats)
   }
 
+  /** Cluster-granular leakage split (the q_leakage_split definition,
+    * exposed for [[graft.CorpusPipeline]]): every member of a near-dup
+    * cluster lands in the SAME 90/5/5 split by salted hash of the
+    * cluster rep, off the session-memoized assignment. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    clusterAssignmentsMemo(s, dir)
+      .withColumn("split", splitOfRep(col("cluster_rep")))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+
   def corpusPipelineKeepers(s: SparkSession, dir: String): DataFrame =
     memoizedStage(s, dir, "pipeline_selected") {
       // CACHE LIFECYCLE: materialize the (skinny, gate-surviving)
@@ -1660,10 +1669,7 @@ object TextOps {
     // re-ran the whole pair generation + CC; now one CC run per
     // session serves keepers, q_dedup_clusters, and this split).
     "q_leakage_split" -> ((s, dir) =>
-      clusterAssignmentsMemo(s, dir)
-        .withColumn("split", splitOfRep(col("cluster_rep")))
-        .select(col("doc_id"), col("cluster_rep"), col("split"))
-        .orderBy("doc_id")),
+      leakageSplit(s, dir).orderBy("doc_id")),
 
     // Corpus vocabulary: exact top-50 tokens by frequency — the
     // tokenizer-building / df-statistics primitive. Map-side partial

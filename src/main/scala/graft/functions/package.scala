@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
+import org.apache.spark.sql.functions.{aggregate, bin, ceil, element_at, floor, least, lit, pmod, pow, struct, when}
 import org.apache.spark.sql.graft.shims
 
 /** Column-API surface for the engine's native Catalyst expressions,
@@ -109,6 +109,55 @@ package object functions {
     shims.column(CmsSketch(shims.expression(hash), d, w).toAggregateExpression())
   }
 
+  /** HDR-histogram quantile-sketch aggregate: bucket-floor → count as
+    * `array<struct<lo,cnt>>` ascending ([[HdrSketch]]). Feed it
+    * [[hdr_bucket_lo]] output. */
+  def hdr_sketch(bucketLo: Column): Column = {
+    ConfGuard.checkBoundedAgg("hdr_sketch")
+    shims.column(HdrSketch(shims.expression(bucketLo)).toAggregateExpression())
+  }
+
+  /** Log-bucket floor for [[hdr_sketch]] over a POSITIVE integer
+    * value: values < 2⁶ keep exact buckets (width 1); larger values
+    * bucket at 6 mantissa bits — floor = ⌊v / 2^(e−6)⌋·2^(e−6) with
+    * e = ⌊log₂ v⌋, so bucket width ≤ v/64 (guaranteed relative value
+    * error 1/64 at every quantile). ALL arithmetic is exact in both
+    * engines: e via the binary-string length (`bin`, no float log),
+    * power-of-two scale via `pow(2.0, int)` (exact IEEE), products
+    * and floors below 2⁵³. The DuckDB twin is [[graft.ops.Util]]
+    * callers' spelled-out `hdrBucketLoSql`. */
+  def hdr_bucket_lo(v: Column): Column = {
+    val e = org.apache.spark.sql.functions.length(bin(v)) - 1
+    val w = pow(lit(2.0), (e - 6).cast("double"))
+    when(v < 64, v.cast("double")).otherwise(floor(v.cast("double") / w) * w)
+      .cast("long")
+  }
+
+  /** DuckDB spelling of [[hdr_bucket_lo]] — same ops, same exactness. */
+  def hdrBucketLoSql(v: String): String =
+    s"CAST(CASE WHEN $v < 64 THEN CAST($v AS DOUBLE) " +
+      s"ELSE floor(CAST($v AS DOUBLE) / pow(2.0, length(bin($v)) - 7)) * " +
+      s"pow(2.0, length(bin($v)) - 7) END AS BIGINT)"
+
+  /** Quantile estimate from a [[hdr_sketch]] array: the floor of the
+    * bucket holding rank ⌈q·n⌉ (ascending floors; the true rank-q
+    * value v satisfies lo ≤ v < lo·(1+1/64)+1). Composed HOF
+    * expressions — the estimator is visible to the oracle, like
+    * [[cms_point]]. */
+  def hdr_quantile(sketch: Column, q: Double): Column = {
+    val n = aggregate(sketch, lit(0L), (acc, x) => acc + x.getField("cnt"))
+    val target = ceil(lit(q) * n).cast("long")
+    aggregate(sketch,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("lo")),
+      (acc, x) => when(acc.getField("lo").isNotNull, acc)
+        .when(acc.getField("cum") + x.getField("cnt") >= target,
+          struct((acc.getField("cum") + x.getField("cnt")).as("cum"),
+            x.getField("lo").as("lo")))
+        .otherwise(struct((acc.getField("cum") + x.getField("cnt")).as("cum"),
+          lit(null).cast("long").as("lo"))))
+      .getField("lo")
+  }
+
   /** Point estimate against a [[cms_sketch]] counter array: the d-way
     * min of the item's row counters — composed integer/array
     * expressions (stays codegen'd), the same bucket arithmetic as
@@ -200,6 +249,9 @@ package object functions {
       exprs => { ConfGuard.checkBoundedAgg("cms_sketch")
         CmsSketch(exprs.head, foldableInt(exprs(1), "d"),
           foldableInt(exprs(2), "w")) }, "built-in")
+    reg.createOrReplaceTempFunction("hdr_sketch",
+      exprs => { ConfGuard.checkBoundedAgg("hdr_sketch")
+        HdrSketch(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction("ngram_hash_explode",
       exprs => NGramHashExplode(exprs.head,
         exprs.lift(1).map(foldableInt(_, "n")).getOrElse(3)), "built-in")

@@ -276,6 +276,48 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // GUARANTEED-ERROR QUANTILE SKETCH (r11 verdict #6, the KMV/CMS
+    // sibling): per-event-type p50/p95/p99 from the HDR-histogram
+    // native aggregate — bucket floors at 6 mantissa bits over the
+    // integer cents domain, so every estimate is a true lower bound
+    // within relative error 1/64 of the exact order statistic (the
+    // in-row *_exact audit columns prove it per group). Why not
+    // GK/KLL: order-dependent compaction can't hash-match across
+    // partitionings/engines ([[graft.functions.HdrSketch]] scaladoc).
+    // Scale shape: the sketch side is ONE bounded-state aggregation
+    // (O(buckets)=~3.7k longs per group, map-side combine — values
+    // never shuffle, nothing sorts); the exact side is the AUDIT lane
+    // (domain-bounded histogram + per-group window), not the product.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val sk = e
+        .select(col("event_type"), graft.functions.hdr_bucket_lo(col("v")).as("lo"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.hdr_sketch(col("lo")).as("sk"))
+        .select(col("event_type"), size(col("sk")).cast("long").as("n_buckets"),
+          graft.functions.hdr_quantile(col("sk"), 0.5).as("p50_est"),
+          graft.functions.hdr_quantile(col("sk"), 0.95).as("p95_est"),
+          graft.functions.hdr_quantile(col("sk"), 0.99).as("p99_est"))
+      val hist = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+      val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(byV))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      val exact = cum.groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("v"))).as("p50_exact"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("v"))).as("p95_exact"),
+        min(when(col("cum") >= ceil(lit(0.99) * col("n")), col("v"))).as("p99_exact"))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_buckets"),
+          col("p50_est"), col("p50_exact"),
+          col("p95_est"), col("p95_exact"),
+          col("p99_est"), col("p99_exact"))
+        .orderBy("event_type")
+    }),
+
     // K4 analog: daily-partition rollup (search sink's daily index roll).
     "q_daily_partition" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -442,6 +484,43 @@ object Aggregates {
          |  ${roundToSql("s.p[2]", 4)} AS p95_est,
          |  ${roundToSql("x.px[1]", 4)} AS p50_exact,
          |  ${roundToSql("x.px[2]", 4)} AS p95_exact
-         |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin
+         |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // the sketch replayed bucket-for-bucket: same integer cents
+    // mapping, same exact bin-length/pow-of-two floor arithmetic
+    // (graft.functions.hdrBucketLoSql), same rank rule over ascending
+    // floors; the exact side replays the order statistic off the
+    // value histogram
+    "q_quantile_sketch" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL AND value > 0),
+         |b AS (SELECT event_type,
+         |    ${graft.functions.hdrBucketLoSql("v")} AS lo FROM e),
+         |c AS (SELECT event_type, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |nb AS (SELECT event_type, count(*) AS n_buckets FROM c GROUP BY 1),
+         |bc AS (SELECT event_type, lo,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY lo) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM c),
+         |est AS (SELECT event_type,
+         |    min(CASE WHEN cum >= ceil(0.5 * n) THEN lo END) AS p50_est,
+         |    min(CASE WHEN cum >= ceil(0.95 * n) THEN lo END) AS p95_est,
+         |    min(CASE WHEN cum >= ceil(0.99 * n) THEN lo END) AS p99_est
+         |  FROM bc GROUP BY 1),
+         |h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+         |hc AS (SELECT event_type, v,
+         |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY event_type) AS n
+         |  FROM h),
+         |ex AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |    min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50_exact,
+         |    min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS p95_exact,
+         |    min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99_exact
+         |  FROM hc GROUP BY 1)
+         |SELECT event_type, n, n_buckets,
+         |  p50_est, p50_exact, p95_est, p95_exact, p99_est, p99_exact
+         |FROM est JOIN ex USING (event_type) JOIN nb USING (event_type)
+         |ORDER BY event_type""".stripMargin
   )
 }

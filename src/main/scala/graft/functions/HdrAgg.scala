@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -83,6 +84,16 @@ case class HdrSketch(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = HdrSketch.SketchType
+
+  // update() reads the child as a raw Long, so reject anything that is
+  // not BIGINT at analysis time (ADVICE r12: an INT column previously
+  // died mid-execution with a ClassCastException).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hdr_sketch expects bigint bucket floors (hdr_bucket_lo output), " +
+        s"got ${t.sql}")
+  }
 
   override def createAggregationBuffer(): HdrBuffer = new HdrBuffer
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{aggregate, bin, ceil, element_at, floor, least, lit, pmod, pow, struct, when}
+import org.apache.spark.sql.functions.{aggregate, bin, ceil, element_at, least, lit, pmod, struct, when}
 import org.apache.spark.sql.graft.shims
 
 /** Column-API surface for the engine's native Catalyst expressions,
@@ -122,22 +122,30 @@ package object functions {
     * bucket at 6 mantissa bits — floor = ⌊v / 2^(e−6)⌋·2^(e−6) with
     * e = ⌊log₂ v⌋, so bucket width ≤ v/64 (guaranteed relative value
     * error 1/64 at every quantile). ALL arithmetic is exact in both
-    * engines: e via the binary-string length (`bin`, no float log),
-    * power-of-two scale via `pow(2.0, int)` (exact IEEE), products
-    * and floors below 2⁵³. The DuckDB twin is [[graft.ops.Util]]
-    * callers' spelled-out `hdrBucketLoSql`. */
+    * engines over the ENTIRE positive long domain: e via the
+    * binary-string length (`bin`, no float log), the floor via
+    * integer shifts — `(v >> (e−6)) << (e−6)` — never touching
+    * doubles (ADVICE r12: the earlier `pow`/`floor` spelling rounded
+    * v to nearest double, so a long just below a bucket boundary at
+    * ≥ 2⁵³ could be assigned a floor ABOVE v, violating lo ≤ v). The
+    * DuckDB twin is [[hdrBucketLoSql]]. */
   def hdr_bucket_lo(v: Column): Column = {
-    val e = org.apache.spark.sql.functions.length(bin(v)) - 1
-    val w = pow(lit(2.0), (e - 6).cast("double"))
-    when(v < 64, v.cast("double")).otherwise(floor(v.cast("double") / w) * w)
-      .cast("long")
+    import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+    val vl = v.cast("long")
+    val s = (org.apache.spark.sql.functions.length(bin(vl)) - 7).cast("int")
+    val shifted = shims.column(ShiftLeft(
+      shims.expression(shims.column(
+        ShiftRight(shims.expression(vl), shims.expression(s)))),
+      shims.expression(s)))
+    when(vl < 64, vl).otherwise(shifted)
   }
 
-  /** DuckDB spelling of [[hdr_bucket_lo]] — same ops, same exactness. */
+  /** DuckDB spelling of [[hdr_bucket_lo]] — same integer shifts, same
+    * full-domain exactness. */
   def hdrBucketLoSql(v: String): String =
-    s"CAST(CASE WHEN $v < 64 THEN CAST($v AS DOUBLE) " +
-      s"ELSE floor(CAST($v AS DOUBLE) / pow(2.0, length(bin($v)) - 7)) * " +
-      s"pow(2.0, length(bin($v)) - 7) END AS BIGINT)"
+    s"CAST(CASE WHEN $v < 64 THEN $v " +
+      s"ELSE ($v >> (length(bin($v)) - 7)) << (length(bin($v)) - 7) " +
+      s"END AS BIGINT)"
 
   /** Quantile estimate from a [[hdr_sketch]] array: the floor of the
     * bucket holding rank ⌈q·n⌉ (ascending floors; the true rank-q

@@ -230,11 +230,14 @@ object TextOps {
     * [[codeSpans]], exposed so the prose-only quality respec (and its
     * spec) reuse the exact same chunk verdicts. A chunk is `code` iff
     * at least a third of its tokens are codey. Map-side: one staged
-    * token materialization, chunk slices are array reads. */
+    * token materialization, chunk slices are array reads. Operates on
+    * `text` AS-IS — the synthetic [[codeFixture]] is applied only at
+    * the q_code_spans query site, mirroring [[Html.fixture]]'s
+    * discipline (ADVICE r12: baking the fixture in corrupted every
+    * real-corpus caller). */
   def codeChunks(docs: DataFrame, chunk: Int = LangChunk): DataFrame = {
     val base = docs
-      .select(col("doc_id"),
-        tokens(codeFixture(col("text"), col("doc_id"))).as("toks"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .filter(col("n") >= 1)
     base
@@ -1492,8 +1495,11 @@ object TextOps {
 
     // Code/prose span segmentation over the planted mixed fixture —
     // chunk-granular code detection + gaps-and-islands merge, so the
-    // quality gate can run prose-only downstream.
-    "q_code_spans" -> ((s, dir) => codeSpans(Tables.documents(s, dir))),
+    // quality gate can run prose-only downstream. The fixture is
+    // applied HERE (query site), not inside the operator — codeSpans
+    // itself segments real text untouched (Html.fixture discipline).
+    "q_code_spans" -> ((s, dir) => codeSpans(Tables.documents(s, dir)
+      .withColumn("text", codeFixture(col("text"), col("doc_id"))))),
 
     // Exact n-gram Jaccard near-dup pairs (ground truth for LSH) via an
     // INVERTED-INDEX join, not a cross join: explode shingles, hash-join

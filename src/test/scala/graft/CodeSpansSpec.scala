@@ -10,11 +10,15 @@ class CodeSpansSpec extends SparkSpec {
   import spark.implicits._
 
   // 40 prose tokens with genuine stopword density; the fixture plants
-  // code per doc_id % 6 (0 → prose|code|prose, 3 → pure code).
+  // code per doc_id % 6 (0 → prose|code|prose, 3 → pure code). The
+  // operator is PURE on `text` — the fixture is applied here, at the
+  // call site, exactly as q_code_spans does (ADVICE r12).
   private val prose = ("the quick brown fox jumps over a lazy dog and " * 4).trim
-  private lazy val docs = Seq(
+  private lazy val plainDocs = Seq(
     (0L, prose), (3L, prose), (1L, prose), (2L, prose)
   ).toDF("doc_id", "text")
+  private lazy val docs = plainDocs
+    .withColumn("text", TextOps.codeFixture(col("text"), col("doc_id")))
 
   private def spans(id: Long): Seq[(String, Long)] =
     TextOps.codeSpans(docs).filter(col("doc_id") === id)
@@ -31,6 +35,15 @@ class CodeSpansSpec extends SparkSpec {
     assert(spans(3L).map(_._1) == Seq("code"))
     assert(spans(1L).map(_._1) == Seq("prose"))
     assert(spans(2L).map(_._1) == Seq("prose"))
+  }
+
+  test("operator is pure: un-fixtured text is never mutated by doc_id") {
+    // every doc is plain prose → every doc must be ONE prose span,
+    // including ids 0 and 3 that the fixture WOULD have planted on
+    val s = TextOps.codeSpans(plainDocs)
+      .select("doc_id", "kind").as[(Long, String)].collect().toSeq.sorted
+    assert(s == Seq((0L, "prose"), (1L, "prose"), (2L, "prose"), (3L, "prose")),
+      s"expected four pure prose spans, got $s")
   }
 
   test("span boundaries tile the token stream without gaps") {

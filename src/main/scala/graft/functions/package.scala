@@ -24,6 +24,13 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     shims.column(DotProduct(shims.expression(a), shims.expression(b)))
 
+  /** Single-pass tag-depth scanner: drop balanced chrome-container
+    * regions (nav/header/footer/aside) from markup ([[DropChrome]]).
+    * The HTML-extraction entry stage's nesting-correct replacement
+    * for a non-greedy regex drop. */
+  def drop_chrome(html: Column): Column =
+    shims.column(DropChrome(shims.expression(html)))
+
   /** Generator: explode the distinct 60-bit word-n-gram shingle hashes
     * of a token array in one pass (use with `Dataset.select`, like
     * `explode`). */
@@ -244,6 +251,8 @@ package object functions {
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("drop_chrome",
+      exprs => DropChrome(exprs.head), "built-in")
     // the SQL spellings get the same fallback-threshold guard as the
     // Column builders (the closure runs at resolution, on the driver)
     reg.createOrReplaceTempFunction("topk_by_score",

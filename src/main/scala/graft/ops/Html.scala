@@ -11,12 +11,14 @@ import TextOps.{tokens, tokensSql, wsClass}
   * (quality, tokenization, dedup) presumes clean text, but a crawled
   * corpus arrives as markup. This module supplies the missing stage:
   * tag stripping, script/style/comment/CDATA drop, chrome-container
-  * removal (nav/header/footer/aside), entity decoding, whitespace
-  * normalization, and a link-density boilerplate gate — all pure
-  * map-side composed Column expressions (no UDFs, no explode: the
-  * block gate runs inside higher-order array functions on each row),
-  * so extraction over 100 TB of crawl is an embarrassingly parallel
-  * scan with zero shuffle.
+  * removal (nav/header/footer/aside — a NESTING-CORRECT single-pass
+  * tag-depth scanner, [[graft.functions.DropChrome]]), entity
+  * decoding, whitespace normalization, and a link-density boilerplate
+  * gate — all pure map-side expressions (one codegen'd native
+  * Expression + composed Columns, no UDFs, no explode: the block gate
+  * runs inside higher-order array functions on each row), so
+  * extraction over 100 TB of crawl is an embarrassingly parallel scan
+  * with zero shuffle.
   *
   * The reference has no analog (its payloads are generated JSON,
   * `generator/generate_data.py:123-127`) — this is an LLM-pipeline
@@ -39,7 +41,9 @@ import TextOps.{tokens, tokensSql, wsClass}
   * only the shared subset is used — non-greedy `.*?`, inline flags
   * `(?is)`, non-capturing groups `(?:…)`, explicit whitespace class
   * (Java `\s` ⊋ RE2 `\s`, the BPE-pattern trap). No backreferences
-  * (RE2 has none), so each chrome tag gets its own pattern.
+  * (RE2 has none). Chrome containers are not regex work at all: the
+  * Spark side is a char-level scanner, the DuckDB side replays the
+  * same walk over sentinel-split pieces ([[chromeScanSql]]).
   */
 object Html {
 
@@ -47,23 +51,42 @@ object Html {
   // pattern constants — ONE definition feeds both engine spellings
   // ---------------------------------------------------------------
 
-  /** Non-content regions dropped wholesale, in application order.
-    * Comments first (an old-school `<!-- -->` wrapper inside a script
-    * is then re-dropped with the script — order is part of the
-    * contract), then CDATA, the non-rendered elements, and the chrome
-    * containers. Non-greedy bodies mean a nested same-tag container
-    * truncates at the first close — the documented limit of the
-    * regex-level heuristic (nested DIFFERENT tags are fine; the spec
-    * pins both). */
-  val dropPatterns: Seq[String] = Seq(
+  /** Single-occurrence form of TextOps.wsClass (no `+`) — the tag
+    * grammar's whitespace, matching the scanner's `isWs` char set. */
+  private val wsClass1: String = wsClass.stripSuffix("+")
+
+  /** Raw-text regions dropped wholesale by regex, in application
+    * order: comments first (an old-school `<!-- -->` wrapper inside a
+    * script is then re-dropped with the script — order is part of the
+    * contract), then CDATA, then script/style. Non-greedy bodies are
+    * CORRECT here: per the HTML spec none of these regions nest —
+    * comment/CDATA end at the first terminator, script/style are
+    * raw-text elements ending at the first matching close tag.
+    *
+    * Chrome containers (nav/header/footer/aside) DO nest, so they are
+    * NOT regex-dropped: [[graft.functions.drop_chrome]] — a
+    * single-pass tag-depth state machine — removes balanced container
+    * regions after this fold (VERDICT r12 #1: the earlier non-greedy
+    * `<nav>.*?</nav>` truncated `<nav>…<nav>…</nav>…</nav>` at the
+    * first close, leaking the outer tail into extracted text). */
+  val rawDropPatterns: Seq[String] = Seq(
     "(?s)<!--.*?-->",
     "(?s)<!\\[CDATA\\[.*?\\]\\]>",
     "(?is)<script(?:\\s[^>]*)?>.*?</script>",
-    "(?is)<style(?:\\s[^>]*)?>.*?</style>",
-    "(?is)<nav(?:\\s[^>]*)?>.*?</nav>",
-    "(?is)<header(?:\\s[^>]*)?>.*?</header>",
-    "(?is)<footer(?:\\s[^>]*)?>.*?</footer>",
-    "(?is)<aside(?:\\s[^>]*)?>.*?</aside>")
+    "(?is)<style(?:\\s[^>]*)?>.*?</style>")
+
+  /** Chrome container tag set — one definition with the scanner's. */
+  val chromeTags: Seq[String] = graft.functions.HtmlScanUtil.chromeTags.toSeq
+
+  // RE2+Java-shared spellings of the scanner's tag grammar, used only
+  // by the DuckDB replay (the Spark side is the char-level scanner —
+  // the two recognize EXACTLY the same tag tokens; see HtmlScanUtil).
+  private val chromeAlt = chromeTags.mkString("|")
+  /** Any chrome tag token (open, close, or self-closing). */
+  val chromeTagPattern: String = s"(?i)</?(?:$chromeAlt)(?:$wsClass1[^>]*)?/?>"
+  private val chromeClosePattern = s"(?i)</(?:$chromeAlt)$wsClass1*>"
+  private val chromeSelfPattern = s"(?i)<(?:$chromeAlt)(?:$wsClass1[^>]*)?/>"
+  private val chromeOpenPattern = s"(?i)<(?:$chromeAlt)(?:$wsClass1[^>]*)?>"
 
   /** Block boundaries: the close of any block-level element ends a
     * text block (title included — the head's only survivor after
@@ -112,7 +135,8 @@ object Html {
     * block count) evaluates the expensive regex chain ONCE per row
     * and projects the cheap derivations off the array. */
   def extractBlocks(html: Column): Column = {
-    val cleaned = dropPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val cleaned = graft.functions.drop_chrome(
+      rawDropPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " ")))
     val blocks = split(cleaned, blockClose)
     // render each block ONCE into (txt, non-link length), gate on the
     // precomputed pair, project the text — the per-block regex+entity
@@ -146,10 +170,42 @@ object Html {
   def blockTextSql(b: String): String =
     normSpaceSql(decodeEntitiesSql(s"regexp_replace($b, ${sqlLit(tagPattern)}, ' ', 'g')"))
 
+  /** DuckDB replay of the [[graft.functions.DropChrome]] tag-depth
+    * scan, as a SCALAR list-lambda walk (drop-in wherever the old
+    * regex fold sat): sentinel-wrap every chrome tag token, split on
+    * the sentinel, classify each piece (+1 open / −1 close / 0
+    * self-closing or text), keep text pieces whose PREFIX-SUM depth
+    * is 0, rejoin with dropped pieces as single spaces. Engine parity
+    * holds on any input whose chrome closes are balanced-or-truncated
+    * (the fixture corpus by construction); a STRAY close at depth 0
+    * diverges (scanner ignores it, the prefix-sum goes negative) —
+    * documented at [[graft.functions.HtmlScanUtil]], pinned
+    * Spark-side in HtmlSpec, outside the oracle domain. O(pieces²)
+    * per row via list_slice — pieces = chrome tag count + 1, single
+    * digits on real pages; the 100 TB side is the O(n) scanner. */
+  def chromeScanSql(x: String): String = {
+    val ps = s"string_split(regexp_replace($x, " +
+      s"${sqlLit("(" + chromeTagPattern + ")")}, chr(1) || '\\1' || chr(1), 'g'), chr(1))"
+    val delta = s"list_transform($ps, q -> CASE " +
+      s"WHEN regexp_full_match(q, ${sqlLit(chromeClosePattern)}) THEN -1 " +
+      s"WHEN regexp_full_match(q, ${sqlLit(chromeSelfPattern)}) THEN 0 " +
+      s"WHEN regexp_full_match(q, ${sqlLit(chromeOpenPattern)}) THEN 1 " +
+      s"ELSE 0 END)"
+    s"array_to_string(list_transform($ps, (p, i) -> CASE " +
+      s"WHEN NOT regexp_full_match(p, ${sqlLit(chromeTagPattern)}) " +
+      s"AND coalesce(list_sum(list_slice($delta, 1, i - 1)), 0) = 0 " +
+      s"THEN p ELSE ' ' END), '')"
+  }
+
+  /** The shared cleaned-markup SQL: raw-text regex drops, then the
+    * chrome depth scan — the exact twin of [[extractBlocks]]' first
+    * stage. */
+  def cleanedSql(html: String): String =
+    chromeScanSql(rawDropPatterns.foldLeft(html)((e, p) =>
+      s"regexp_replace($e, ${sqlLit(p)}, ' ', 'g')"))
+
   def extractTextSql(html: String): String = {
-    val cleaned = dropPatterns.foldLeft(html)((e, p) =>
-      s"regexp_replace($e, ${sqlLit(p)}, ' ', 'g')")
-    val blocks = s"string_split_regex($cleaned, ${sqlLit(blockClose)})"
+    val blocks = s"string_split_regex(${cleanedSql(html)}, ${sqlLit(blockClose)})"
     val noLink = s"regexp_replace(b, ${sqlLit(anchorPattern)}, ' ', 'g')"
     val kept = s"list_filter($blocks, b -> length(${blockTextSql("b")}) > 0" +
       s" AND length(${blockTextSql(noLink)}) * 2 >= length(${blockTextSql("b")}))"
@@ -176,7 +232,10 @@ object Html {
     lit("<script type=\"text/javascript\">var p="), pmod(docId, lit(7L)),
     lit(";if(p<3){track(\"</div>\")}</script>"),
     lit("</head><body>"),
-    lit("<nav class=\"top\"><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a> <a href=\"/feed\">RSS</a></nav>"),
+    // NESTED same-tag chrome — the VERDICT r12 #1 defect shape: the
+    // outer nav's tail ("You are here" onward) leaked under the old
+    // non-greedy regex drop and must now vanish on every row
+    lit("<nav class=\"top\"><nav class=\"crumbs\"><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a></nav> You are here: <a href=\"/feed\">RSS</a></nav>"),
     lit("<!-- build "), pmod(docId, lit(24L)), lit(" <p>commented out</p> -->"),
     lit("<div id=\"main\"><h1>Entry "), docId, lit("</h1>"),
     lit("<p>"), escText(text), lit("</p>"),
@@ -196,7 +255,7 @@ object Html {
       "'<script type=\"text/javascript\">var p='", s"($id % 7)",
       "';if(p<3){track(\"</div>\")}</script>'",
       "'</head><body>'",
-      "'<nav class=\"top\"><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a> <a href=\"/feed\">RSS</a></nav>'",
+      "'<nav class=\"top\"><nav class=\"crumbs\"><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a></nav> You are here: <a href=\"/feed\">RSS</a></nav>'",
       "'<!-- build '", s"($id % 24)", "' <p>commented out</p> -->'",
       "'<div id=\"main\"><h1>Entry '", id, "'</h1>'",
       "'<p>'", escTextSql(text), "'</p>'",
@@ -259,10 +318,8 @@ object Html {
 
   val oracle: Map[String, String] = {
     val html = fixtureSql("doc_id", "text")
-    val cleanedSql = dropPatterns.foldLeft("html")((e, p) =>
-      s"regexp_replace($e, ${sqlLit(p)}, ' ', 'g')")
     val noLink = s"regexp_replace(b, ${sqlLit(anchorPattern)}, ' ', 'g')"
-    val keptSql = s"list_filter(string_split_regex($cleanedSql, ${sqlLit(blockClose)})," +
+    val keptSql = s"list_filter(string_split_regex(${cleanedSql("html")}, ${sqlLit(blockClose)})," +
       s" b -> length(${blockTextSql("b")}) > 0" +
       s" AND length(${blockTextSql(noLink)}) * 2 >= length(${blockTextSql("b")}))"
     Map(

@@ -357,8 +357,9 @@ class FunctionsSpec extends SparkSpec {
     // Java). Generate directly, which throws on a compile error.
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
     val arr = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val str = BoundReference(1, StringType, nullable = true)
     val lit = Literal.create(Seq(1f, 2f), ArrayType(FloatType))
     val planes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val proj = org.apache.spark.sql.catalyst.expressions.codegen
@@ -366,13 +367,31 @@ class FunctionsSpec extends SparkSpec {
         graft.functions.CosineSim(arr, lit),
         graft.functions.DotProduct(arr, lit),
         graft.functions.SignLshBucket(arr, planes),
-        graft.functions.NearestCentroid(arr, planes)))
+        graft.functions.NearestCentroid(arr, planes),
+        graft.functions.DropChrome(str)))
     val out = proj(InternalRow(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1f, 2f))))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1f, 2f)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "a<nav>x<nav>y</nav>z</nav>b")))
     assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
     assert(out.getDouble(1) === 5.0)
     assert(out.getLong(2) === 3L)
     assert(out.getInt(3) === 1)
+    assert(out.getUTF8String(4).toString === "a b")
+  }
+
+  test("drop_chrome: codegen and interpreted paths agree; non-string rejected") {
+    val html = "pre<header>h<nav>m</nav>t</header>post"
+    val viaDf = Seq(Tuple1(html)).toDF("h")
+      .select(graft.functions.drop_chrome($"h")).as[String].head()
+    val direct = graft.functions.HtmlScanUtil.dropChrome(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html)).toString
+    assert(viaDf === direct && viaDf === "pre post")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(1L)).toDF("h")
+        .select(graft.functions.drop_chrome($"h")).collect()
+    }
+    assert(err.getMessage.contains("drop_chrome expects string"))
   }
 
   test("kmv_min_hashes keeps the k smallest distinct hashes, partition-independent") {

@@ -65,13 +65,38 @@ class HtmlSpec extends SparkSpec {
       === "standalone article body")
   }
 
-  test("documented limit: nested same-tag containers truncate at the first close") {
-    // non-greedy <nav>.*?</nav> stops at the INNER close; the outer
-    // nav's tail survives as (gated) text — pinned so a refactor to a
-    // counting state machine shows up as a spec change, not a silent
-    // behavior shift
+  test("nested same-tag containers are FULLY dropped (r12 #1 fixed)") {
+    // the old non-greedy <nav>.*?</nav> stopped at the INNER close and
+    // leaked "tail text of outer"; the tag-depth scanner drops the
+    // whole balanced region
     assert(extract("<nav>outer <nav>inner</nav> tail text of outer</nav><p>x</p>")
-      === "tail text of outer x")
+      === "x")
+    // three levels deep, mixed case, attributes on every level
+    assert(extract(
+      "<NAV id=a>l1 <nav id=b>l2 <Nav id=c>l3</Nav> m2</nav> m1</NAV><p>keep</p>")
+      === "keep")
+    // cross-tag nesting is one region: header containing nav
+    assert(extract("<header>site <nav>menu</nav> tagline</header><p>body</p>")
+      === "body")
+    // two sibling regions do not bridge: text between them survives
+    assert(extract("<nav>a</nav><p>between</p><nav>b</nav>") === "between")
+  }
+
+  test("scanner tag grammar: self-closing, stray close, unclosed, look-alikes") {
+    // self-closing chrome is an empty region
+    assert(extract("<p>a</p><nav/><p>b</p>") === "a b")
+    assert(extract("<p>a</p><nav class=\"x\"/><p>b</p>") === "a b")
+    // a stray close at depth 0 is ignored (then tag-stripped), never
+    // swallowing the rest of the document
+    assert(extract("<p>a</nav>b</p><p>c</p>") === "a b c")
+    // an unclosed container drops to end-of-input
+    assert(extract("<p>keep</p><footer>never closed, all of this goes")
+      === "keep")
+    // tag-name look-alikes are text elements, not chrome
+    assert(extract("<navigation>menu-ish</navigation><p>x</p>") === "menu-ish x")
+    assert(extract("<headerly>h</headerly><p>x</p>") === "h x")
+    // an unterminated <nav with no '>' is plain text, not an open
+    assert(extract("<p>a</p> <nav unterminated") === "a <nav unterminated")
   }
 
   test("plain text and empty inputs pass through the stage unharmed") {
@@ -86,8 +111,10 @@ class HtmlSpec extends SparkSpec {
       .select(Html.extractText(Html.fixture($"doc_id", $"text"))).as[String].head()
     // body text comes back whitespace-normalized with entities decoded
     assert(out.contains("alpha & beta < gamma > delta spaced"), out)
-    // chrome and boilerplate do not leak
+    // chrome and boilerplate do not leak — including the outer nav's
+    // tail after the NESTED inner nav (the r12 #1 leak shape)
     assert(!out.contains("Home") && !out.contains("Share") && !out.contains("Privacy"), out)
+    assert(!out.contains("You are here") && !out.contains("RSS"), out)
     assert(!out.contains("track") && !out.contains("margin"), out)
     // CDATA island (doc_id 10 % 5 == 0) is gone
     assert(!out.contains("raw") && !out.contains("noise"), out)

@@ -1707,24 +1707,28 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
       // counts feeds BOTH the totals scalar and the contribution
-      // crossJoin — persisted so the tokenize+explode+shuffle runs
-      // once, not twice (advisor r10); the 20-row result materializes
-      // persisted, then the token-count cache is released (the same
-      // lifecycle as packCounts' base).
+      // projection — persisted so the tokenize+explode+shuffle runs
+      // once, not twice (advisor r10).
       val counts = toksAll
         .groupBy(col("token"))
         .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
           sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("c_cur"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val totals = counts.agg(sum(col("c_ref")).as("n_ref"),
-        sum(col("c_cur")).as("n_cur"), count(lit(1)).as("v"))
-      val out = counts.crossJoin(broadcast(totals))
-        .withColumn("p_ref",
-          (col("c_ref").cast("double") + 1.0) /
-            (col("n_ref").cast("double") + col("v").cast("double")))
-        .withColumn("p_cur",
-          (col("c_cur").cast("double") + 1.0) /
-            (col("n_cur").cast("double") + col("v").cast("double")))
+      // ONE-ROW scalar collect of the totals (bounded control plane,
+      // the QualityModel-gradient pattern) instead of a broadcast
+      // crossJoin: same IEEE doubles (exact longs summed below 2^53,
+      // Scala + and Spark + are the same op), two fewer jobs per run
+      // (broadcast build + result-cache count — r12 isolation readings
+      // showed this query's wall is fixed-overhead-dominated, NOTES_r13)
+      val t = counts.agg(sum(col("c_ref")).as("n_ref"),
+        sum(col("c_cur")).as("n_cur"), count(lit(1)).as("v")).head()
+      val denRef = (if (t.isNullAt(0)) 0L else t.getLong(0)).toDouble +
+        t.getLong(2).toDouble
+      val denCur = (if (t.isNullAt(1)) 0L else t.getLong(1)).toDouble +
+        t.getLong(2).toDouble
+      val out = counts
+        .withColumn("p_ref", (col("c_ref").cast("double") + 1.0) / lit(denRef))
+        .withColumn("p_cur", (col("c_cur").cast("double") + 1.0) / lit(denCur))
         .select(col("token"),
           roundTo(col("p_ref"), 8).as("p_ref"),
           roundTo(col("p_cur"), 8).as("p_cur"),
@@ -1732,10 +1736,11 @@ object TextOps {
             .as("kl_contrib"))
         .orderBy(col("kl_contrib").desc, col("token").asc)
         .limit(20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
+      // ≤20 rows: land them locally so the cache can be released with
+      // no recompute exposure and no persist bookkeeping on the result
+      val rows = out.collect()
       counts.unpersist(false)
-      out
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // END-TO-END training-set selection — the query a data pipeline

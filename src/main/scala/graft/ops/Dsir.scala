@@ -83,18 +83,29 @@ object Dsir {
     * referencing `tokens(text)` directly inside the bigram transform
     * would re-run the regex split per index — O(n²) splits per doc,
     * measured 10× wall on this very query before the fix. */
-  private def featureBuckets(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
+  /** The unigram+bigram feature array of a materialized token array —
+    * ONE lambda spelling behind both the fit-time explode
+    * ([[featureBuckets]]) and the frozen-score projection
+    * ([[scoreWith]]). */
+  private def featureArray(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val unis = filter(toks, t => t =!= "")
     val bis = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(concat(unis, bis)).as("f"))
-      .select(col("doc_id"),
-        pmod(hash60(concat(lit("dsir:"), col("f"))), lit(DsirBuckets)).as("b"))
+    concat(unis, bis)
   }
+
+  /** Salted bucket of one feature string. */
+  private def bucketOf(f: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(hash60(concat(lit("dsir:"), f)), lit(DsirBuckets))
+
+  private def featureBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(featureArray(col("toks"))).as("f"))
+      .select(col("doc_id"), bucketOf(col("f")).as("b"))
 
   /** DuckDB twin of [[featureBuckets]] ending in a CTE `fb` of
     * (doc_id, b); expects a `documents` view. */
@@ -117,25 +128,66 @@ object Dsir {
     * (doc_id, n_feats, dsir_score) where dsir_score is the mean
     * per-feature log p_target/p_raw (length-normalized so long docs
     * don't dominate by token count alone). */
-  def dsirWeights(docs: DataFrame): DataFrame = {
-    val fb = featureBuckets(docs)
-    // ONE pass over the feature stream builds BOTH LMs: raw count +
-    // target count as two columns of a bucket-keyed aggregate
-    val cnt = fb.groupBy(col("b")).agg(
+  /** The FITTED per-bucket log-likelihood-ratio table (b, lr) —
+    * [[DsirBuckets]]-bounded, the artifact a deployment freezes and
+    * ships to [[scoreWith]]. ONE pass over the feature stream builds
+    * BOTH LMs: raw count + target count as two columns of a
+    * bucket-keyed aggregate; log-ratio once per BUCKET (4096 rows),
+    * not per occurrence. */
+  def ratioTable(docs: DataFrame): DataFrame = {
+    val cnt = featureBuckets(docs).groupBy(col("b")).agg(
       count(lit(1)).as("rc"),
       sum(when(col("doc_id") % TargetMod === 0, 1L).otherwise(0L)).as("tc"))
     val tot = cnt.agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
-    // log-ratio once per BUCKET (4096 rows), not per occurrence
-    val lrt = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("b"), roundTo(
         log((col("tc") + 1.0) / (col("tn") + DsirBuckets)) -
           log((col("rc") + 1.0) / (col("rn") + DsirBuckets)), 6).as("lr"))
-    fb.join(broadcast(lrt), Seq("b"))
+  }
+
+  def dsirWeights(docs: DataFrame): DataFrame =
+    featureBuckets(docs).join(broadcast(ratioTable(docs)), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
         (sum(col("lr").cast("decimal(28,6)")).cast("double") /
           count(lit(1))).as("a0"))
       .select(col("doc_id"), col("n_feats"), roundTo(col("a0"), 4).as("dsir_score"))
+
+  /** FROZEN-RATIO scoring — the deployment path (VERDICT r12 #4): a
+    * production stream scores against an already-fitted
+    * [[ratioTable]], never a refit. The ≤[[DsirBuckets]]-row table is
+    * collected ONCE into a dense lookup array (bounded control plane,
+    * the k-centroid pattern) and applied as a PURE PROJECTION: feature
+    * hashing + literal-array lookups + an order-free DECIMAL fold per
+    * row — no join, no aggregation, no state, no watermark, so it
+    * composes with any streaming pipeline and adds zero to the state
+    * store. Arithmetic is BIT-IDENTICAL to [[dsirWeights]] on the same
+    * frozen table: buckets absent from the table are skipped exactly
+    * as the fit-time inner join drops them (NaN sentinel — fitted lr
+    * is always finite); the DECIMAL(28,6) fold re-casts each step
+    * (exact: |lr| ≤ ~17, far from 10²²) and sums the same multiset the
+    * shuffle sums, so order cannot matter; the final mean divides the
+    * same double by the same count. Stream == batch is spec-pinned in
+    * StreamingSpec. Docs with no scorable features are dropped (the
+    * lmPerplexity absent-rows rule, as in [[dsirWeights]]). */
+  def scoreWith(docs: DataFrame, lrt: DataFrame): DataFrame = {
+    val dense = Array.fill(DsirBuckets)(Double.NaN)
+    lrt.select(col("b").cast("int"), col("lr").cast("double")).collect()
+      .foreach(r => dense(r.getInt(0)) = r.getDouble(1))
+    val lrArr = typedLit(dense.toSeq)
+    val lrs = filter(
+      transform(featureArray(col("toks")),
+        f => element_at(lrArr, bucketOf(f).cast("int") + 1)),
+      v => !isnan(v))
+    docs.withColumn("toks", tokens(col("text")))
+      .withColumn("lrs", lrs)
+      .withColumn("n_feats", size(col("lrs")).cast("long"))
+      .filter(col("n_feats") >= 1)
+      .withColumn("dsir_score", roundTo(
+        aggregate(col("lrs"), lit(0).cast("decimal(28,6)"),
+          (acc, v) => (acc + v.cast("decimal(28,6)")).cast("decimal(28,6)"))
+          .cast("double") / col("n_feats"), 4))
+      .drop("toks", "lrs")
   }
 
   /** Shared CTE stack of the weights pipeline ending in `w` of

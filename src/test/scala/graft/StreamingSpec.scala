@@ -758,6 +758,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir frozen-ratio stream scoring equals batch dsirWeights") {
+    // deployment shape (VERDICT r12 #4): fit the ratio table once in
+    // batch, freeze it, score a document STREAM map-side against it —
+    // the scores must equal the batch fit+score path doc-for-doc
+    val dir = sf("sf0.001")
+    val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val lrt = ops.Dsir.ratioTable(docs)
+    val batch = ops.Dsir.dsirWeights(docs)
+      .select($"doc_id", $"n_feats", $"dsir_score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = ops.Dsir.scoreWith(input.toDF().toDF("doc_id", "text"), lrt)
+      .select($"doc_id", $"n_feats", $"dsir_score")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_score_out").start()
+    try {
+      // two micro-batches: the stage must be stateless across them
+      rows.grouped(rows.length / 2 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dsir_score_out")
+        .select($"doc_id", $"n_feats", $"dsir_score")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed === batch,
+        "streamed frozen-ratio dsir scores diverged from batch dsirWeights")
+      assert(batch.nonEmpty && streamed.values.exists(_._2 != 0.0))
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter equals the batch LSH pair graph") {
     import graft.stream.StreamingDedup
     val dir = sf("sf0.01")

@@ -267,8 +267,12 @@ object Retrieval {
     * runs over candidates, never the corpus. sqrt is IEEE-exact in
     * both engines (unlike exp/ln it is correctly rounded by spec),
     * so cosine parity needs only the usual round-then-decimal-sum
-    * treatment of the dot product and norms. */
-  def hybridSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    * treatment of the dot product and norms.
+    *
+    * The full fused candidate frame (pre-limit) is [[rrfFused]] —
+    * shared by [[hybridSearch]] (top-[[HybridFinal]]) and
+    * [[mmrRerank]] (top-[[HybridK]] diversity re-rank), one spelling. */
+  private def rrfFused(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val lex = bm25TopK(docs, terms, HybridK)
       .select(col("doc_id"), col("rnk").as("r_lex"))
 
@@ -320,14 +324,110 @@ object Retrieval {
     def leg(r: Column): Column =
       roundTo(when(r.isNotNull, lit(1.0) / (lit(RrfC) + r.cast("double")))
         .otherwise(lit(0.0)), 9)
-    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+    lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_lex"), col("r_sem"),
         roundTo(leg(col("r_lex")) + leg(col("r_sem")), 9).as("rrf"))
-    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridFinal)
+  }
+
+  def hybridSearch(docs: DataFrame, terms: Seq[String]): DataFrame =
+    rrfFused(docs, terms)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridFinal)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), col("rank"), col("rrf"), col("r_lex"), col("r_sem"))
       .orderBy("rank")
+
+  /** MMR trade-off weight (λ): relevance vs diversity. 0.5 is exactly
+    * representable in binary, so λ·rel and (1−λ)·sim are the same
+    * IEEE ops in both engines. */
+  val MmrLambda = 0.5
+
+  /** Final list size of [[mmrRerank]]. */
+  val MmrFinal = 10
+
+  /** MAXIMAL-MARGINAL-RELEVANCE diversity re-rank (VERDICT r12 #6) —
+    * production retrieval dedups near-identical hits: of two
+    * near-copies both scoring top, only one should reach the user.
+    * Over the top-[[HybridK]] fused candidates of [[rrfFused]], pick
+    * greedily by mmr(c) = λ·rrf(c) − (1−λ)·max cosine of c to the
+    * already-picked set (Carbonell & Goldstein, SIGIR 1998), ties by
+    * doc_id — the first pick (empty set, max term 0) is the pure
+    * relevance leader.
+    *
+    * SCALE SHAPE: candidate similarity is computed in the SAME hashed
+    * tf-idf space as the semantic leg, with the vectors
+    * candidate-restricted BEFORE the pair join — the pair space is
+    * ≤ K(K−1)/2 = 190 rows, never a corpus shuffle; the greedy fold
+    * runs on the driver over ≤ K rel rows + those sims (bounded
+    * control plane, the q_corpus_drift pattern) and returns a
+    * LocalRelation. The DuckDB twin replays the fold as a linear
+    * recursive CTE over per-candidate similarity lists. Rounding
+    * ladder: rrf at 9 (fusion), pairwise cosine at 6 (the hybrid cos
+    * rule), mmr scores at 9. */
+  def mmrRerank(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val cands = rrfFused(docs, terms)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
+      .select(col("doc_id"), col("rrf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted: the self-join's identical embed subtrees land as
+    // ReusedExchange in one action, and a cache write here measured
+    // SLOWER (6.1 s vs 5.2 s at sf0.1) — the hybridSearch lesson
+    val cvecs = hashEmbedSkinny(docs)
+      .join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"))
+    def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
+    val norms = cvecs.groupBy(col("doc_id"))
+      .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))
+    val pairs = cvecs.select(col("doc_id").as("a"), col("dim"), col("val").as("va"))
+      .join(cvecs.select(col("doc_id").as("b"), col("dim"), col("val").as("vb")),
+        Seq("dim"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(sq(col("va") * col("vb"))).cast("double").as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .filter(col("na") * col("nb") > 0)
+      .select(col("a"), col("b"),
+        roundTo(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+
+    // bounded driver fold: ≤ K rel rows, ≤ K(K−1)/2 sims
+    val rel = cands.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    pairs.collect().foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      sim((a, b)) = c
+      sim((b, a)) = c
+    }
+    cands.unpersist(false)
+    val s9 = math.pow(10, 9) // roundTo's exact ladder, driver-side
+    def r9(x: Double): Double = math.floor(x * s9 + 0.5) / s9
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedIds = scala.collection.mutable.HashSet.empty[Long]
+    while (picked.size < MmrFinal && pickedIds.size < rel.size) {
+      val best = rel.iterator
+        .filter { case (id, _) => !pickedIds(id) }
+        .map { case (id, rl) =>
+          val maxSim = picked.iterator
+            .map(p => sim.getOrElse((id, p._1), 0.0))
+            .foldLeft(0.0)(math.max)
+          (id, r9(MmrLambda * rl - (1 - MmrLambda) * maxSim), rl)
+        }
+        .minBy { case (id, m, _) => (-m, id) }
+      picked += best
+      pickedIds += best._1
+    }
+    val rows = picked.zipWithIndex.map { case ((id, m, rl), i) =>
+      org.apache.spark.sql.Row(id, (i + 1).toLong, m, rl)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("mmr_score", DoubleType, nullable = false),
+        StructField("rrf", DoubleType, nullable = false))))
   }
 
   // ---------------------------------------------------------------
@@ -563,6 +663,12 @@ object Retrieval {
     "q_hybrid_search" -> ((s, dir) =>
       hybridSearch(Tables.documents(s, dir), BmTerms)),
 
+    // MMR DIVERSITY RE-RANK — greedy λ·rel − (1−λ)·max-sim over the
+    // fused top-20 (see [[mmrRerank]]); pair space candidate-bounded,
+    // greedy fold on the driver over ≤20 rows.
+    "q_mmr_rerank" -> ((s, dir) =>
+      mmrRerank(Tables.documents(s, dir), BmTerms)),
+
     // BPE TRAINING STEP — the tokenizer-learning primitive: the
     // corpus-frequency-weighted count of adjacent character pairs
     // inside tokens (one merge round of byte-pair encoding; iterate
@@ -688,11 +794,14 @@ object Retrieval {
     * q_hash_embed chain off the SAME `ex` explode; query vector under
     * corpus df), and the RRF fusion with rank windows over candidate
     * lists only. */
-  private def hybridOracleSql: String = {
+  /** The CTE chain through `fscored` (fused candidates with rrf) —
+    * one spelling behind the q_hybrid_search AND q_mmr_rerank
+    * oracles. */
+  private def hybridChainSql: String = {
     val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     def rrfLeg(r: String) = roundToSql(
       s"CASE WHEN $r IS NULL THEN 0.0 ELSE 1.0 / ($RrfC + CAST($r AS DOUBLE)) END", 9)
-    s"""WITH $bm25ChainSql,
+    s"""$bm25ChainSql,
        |htf AS (SELECT doc_id, token, count(*) AS tf FROM ex
        |        WHERE token != '' GROUP BY 1, 2),
        |hdf AS (SELECT token, count(*) AS df FROM htf GROUP BY 1),
@@ -742,13 +851,73 @@ object Retrieval {
        |  SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
        |    CAST(r_sem AS BIGINT) AS r_sem,
        |    ${roundToSql(rrfLeg("r_lex") + " + " + rrfLeg("r_sem"), 9)} AS rrf
-       |  FROM fused),
+       |  FROM fused)""".stripMargin
+  }
+
+  private def hybridOracleSql: String =
+    s"""WITH $hybridChainSql,
        |franked AS (
        |  SELECT doc_id, r_lex, r_sem, rrf,
        |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
        |  FROM fscored)
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, rrf, r_lex, r_sem
        |FROM franked WHERE rank <= $HybridFinal ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[mmrRerank]]: fused top-[[HybridK]] candidates
+    * off the shared chain, pairwise cosine over the candidate-
+    * restricted hvec (same round8-decimal dot / round6 ladder), the
+    * greedy fold as a LINEAR RECURSIVE CTE carrying the picked list —
+    * each step scores every unpicked candidate against the picked
+    * set via per-candidate (sids, scos) similarity lists and QUALIFYs
+    * the (mmr DESC, doc_id) winner. */
+  private def mmrOracleSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    s"""WITH RECURSIVE $hybridChainSql,
+       |mcand AS (
+       |  SELECT doc_id, rrf FROM fscored
+       |  QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= $HybridK),
+       |mv AS (SELECT v.doc_id, v.dim, v.val FROM hvec v
+       |  JOIN mcand USING (doc_id)),
+       |mn AS (SELECT doc_id,
+       |    sqrt(CAST(SUM(CAST(${roundToSql("val * val", 8)}
+       |      AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+       |  FROM mv GROUP BY 1),
+       |mp AS (SELECT va.doc_id AS a, vb.doc_id AS b,
+       |    CAST(SUM(CAST(${roundToSql("va.val * vb.val", 8)}
+       |      AS DECIMAL(38,8))) AS DOUBLE) AS dot
+       |  FROM mv va JOIN mv vb ON va.dim = vb.dim AND va.doc_id < vb.doc_id
+       |  GROUP BY 1, 2),
+       |msim AS (SELECT mp.a, mp.b,
+       |    ${roundToSql("mp.dot / (na.nrm * nb.nrm)", 6)} AS cos
+       |  FROM mp JOIN mn na ON na.doc_id = mp.a
+       |          JOIN mn nb ON nb.doc_id = mp.b
+       |  WHERE na.nrm * nb.nrm > 0),
+       |sym AS (SELECT a, b, cos FROM msim
+       |        UNION ALL SELECT b, a, cos FROM msim),
+       |cl AS (SELECT c.doc_id, c.rrf,
+       |    COALESCE(list(s.b ORDER BY s.b)
+       |      FILTER (WHERE s.b IS NOT NULL), []) AS sids,
+       |    COALESCE(list(s.cos ORDER BY s.b)
+       |      FILTER (WHERE s.b IS NOT NULL), []) AS scos
+       |  FROM mcand c LEFT JOIN sym s ON s.a = c.doc_id GROUP BY 1, 2),
+       |rec(rank, doc_id, mmr, rrf, picked) AS (
+       |  (SELECT * FROM (SELECT CAST(1 AS BIGINT) AS rank, doc_id,
+       |      ${roundToSql(s"$lam * rrf", 9)} AS mmr, rrf,
+       |      [doc_id] AS picked FROM cl) b0
+       |   QUALIFY row_number() OVER (ORDER BY b0.mmr DESC, b0.doc_id) = 1)
+       |  UNION ALL
+       |  (SELECT * FROM (SELECT p.rank + 1 AS rank, c.doc_id,
+       |      ${roundToSql(
+            s"$lam * c.rrf - $oneMinus * COALESCE(list_max(" +
+              "list_transform(p.picked, " +
+              "pk -> c.scos[list_position(c.sids, pk)])), 0.0)", 9)} AS mmr,
+       |      c.rrf, list_append(p.picked, c.doc_id) AS picked
+       |    FROM rec p JOIN cl c ON NOT list_contains(p.picked, c.doc_id)
+       |    WHERE p.rank < $MmrFinal) st
+       |   QUALIFY row_number() OVER (ORDER BY st.mmr DESC, st.doc_id) = 1)
+       |)
+       |SELECT doc_id, rank, mmr AS mmr_score, rrf FROM rec ORDER BY rank""".stripMargin
   }
 
   val oracle: Map[String, String] = {
@@ -760,6 +929,8 @@ object Retrieval {
            |ORDER BY rnk""".stripMargin,
 
       "q_hybrid_search" -> hybridOracleSql,
+
+      "q_mmr_rerank" -> mmrOracleSql,
 
       "q_bm25_batch" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

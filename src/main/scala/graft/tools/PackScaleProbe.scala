@@ -89,7 +89,40 @@ object PackScaleProbe {
         f""""window_sec":$ns%.2f,"window_partitions":$np,""" +
         f""""two_phase_sec":$ts%.2f,"two_phase_partitions":$tp}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"pack_scale","context_len":$C,"stages":$stages}""")
+
+    // NO-SPLIT lane (packFfdCounts): doc sizes comparable to the
+    // context (100..1599 tokens, ~1.3 docs/bin) so the padding story
+    // is non-trivial — id-order next-fit pays for every size
+    // mismatch, size-decreasing recovers most of it. The wall prices
+    // the O(log B) pointer-doubling rounds on top of the prefix scan.
+    val ffdSizes = if (args.nonEmpty) sizes.map(_ / 10 max 1L)
+      else Seq(1000000L, 3000000L, 10000000L)
+    val ffdStages = ffdSizes.map { n =>
+      val counted = spark.range(n).toDF("doc_id")
+        .withColumn("n",
+          (pmod(col("doc_id") * 37, lit(1500)) + 100).cast("long"))
+      val t0 = System.nanoTime()
+      val packed = graft.ops.TextOps.packFfdCounts(counted, C)
+      val agg = packed.agg(count(lit(1)),
+        max(col("slot_start") + col("n_tokens")),
+        max(col("example_id")),
+        first(col("pad_ratio_ffd")), first(col("pad_ratio_id"))).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (rows, maxEnd, bins) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2) + 1)
+      val (pFfd, pId) = (agg.getDouble(3), agg.getDouble(4))
+      assert(rows == n, s"ffd lost rows: $rows of $n")
+      assert(maxEnd <= C, s"no-split violated: a doc ends at $maxEnd > $C")
+      assert(pFfd <= pId,
+        s"size-decreasing padding $pFfd exceeds id-order $pId")
+      packed.unpersist(false)
+      s"""{"rows":$n,"bins":$bins,""" +
+        f""""ffd_sec":$sec%.2f,"pad_ratio_ffd":$pFfd%.6f,""" +
+        f""""pad_ratio_id":$pId%.6f}"""
+    }.mkString("[", ",", "]")
+
+    println(s"""{"metric":"pack_scale","context_len":$C,""" +
+      s""""stages":$stages,"ffd_stages":$ffdStages}""")
     spark.stop()
   }
 }

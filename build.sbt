@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~140 declared queries × whole-stage codegen = thousands of
+  // generated classes in one bench JVM; the 240m default code cache
+  // forces mid-run sweeps that deoptimize hot kernels and show up as
+  // broad 1.2-1.4x in-run noise on sub-second queries (r12 verdict
+  // "What's wrong" #3). Headroom makes timings measure operators.
+  "-XX:ReservedCodeCacheSize=512m",
 )

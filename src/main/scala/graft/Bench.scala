@@ -36,8 +36,13 @@ object Bench {
     // tpch), all sub-second queries: r9's driver run showed the
     // sub-second event lane taxed ~1.17× across the board when new
     // upstream queries pushed first-touch costs into it.
+    // r13: two kernel-family reps added (token_stats/sketch statics
+    // JIT off the documents lane before any timed query touches
+    // them); the broader in-run-noise fix is the code-cache headroom
+    // in build.sbt (NOTES_r13) — each query's generated class is its
+    // own, so warm-ups can only cover shared kernels and lanes.
     Seq("q1_agg", "q_sample_det", "q_token_count", "q_similarity_topk",
-        "q_sort_limit").foreach { name =>
+        "q_sort_limit", "q_rep_quality", "q_kmv_distinct").foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }

@@ -1056,12 +1056,41 @@ object TextOps {
     * Package-visible: PlanSpec audits the one-text-scan guarantee on
     * THIS plan — the memoized public entry returns a checkpointed
     * frame whose plan no longer shows the scan it already paid. */
+  /** Decontamination shingle DOC-FREQUENCY cap: shingles present in
+    * more than n_docs/[[DeconDfDenom]] documents (floor
+    * [[DeconDfFloor]] for tiny corpora) are template/boilerplate mass,
+    * not contamination evidence — true eval contamination lives in
+    * RARE n-grams. Without the cap, extraction boilerplate shared by
+    * every page (a) flags the whole corpus contaminated and (b) makes
+    * the (doc, eval) shingle join |docs|·|evals| — the superlinear
+    * stage the round-13 PIPELINE_SCALE probe caught (NOTES_r13). The
+    * same df-cap idea as the MinHash path's hot-bucket CapBucket. */
+  val DeconDfDenom = 20
+  val DeconDfFloor = 5
+
+  /** The HOT (df-capped-out) shingle set of a (doc_id, h) stream —
+    * one keyed aggregation; output is bounded by total_shingles/cap ≤
+    * [[DeconDfDenom]]·avg-shingles-per-doc distinct hashes, so it
+    * broadcasts at any corpus size. */
+  private def deconHotShingles(ex: DataFrame, docs: DataFrame): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >
+        greatest(expr(s"n_docs div $DeconDfDenom"), lit(DeconDfFloor.toLong)))
+      .select(col("h"))
+  }
+
   private[graft] def corpusPipelineSelection(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val feats = corpusFeatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = clusterKeeperIds(s, dir, feats)
-    val shingled = feats.select(col("doc_id"), explode(col("hsh")).as("h"))
+    val shingled0 = feats.select(col("doc_id"), explode(col("hsh")).as("h"))
+    // df-cap before the eval join ([[deconHotShingles]]): boilerplate
+    // shingles would otherwise pair every doc with every eval doc
+    val shingled = shingled0.join(
+      broadcast(deconHotShingles(shingled0, feats)), Seq("h"), "left_anti")
     val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
@@ -1816,9 +1845,17 @@ object TextOps {
       val ex = Tables.documents(s, dir)
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
-      val evalSet = ex.filter(col("doc_id") % 97 === 0)
+      // df-cap the shingle stream first (deconHotShingles): corpus-
+      // common shingles are template/boilerplate, not contamination
+      // evidence — without the cap, extraction boilerplate shared by
+      // every page makes the (doc, eval) join quadratic AND flags the
+      // whole corpus (PIPELINE_SCALE round-13 finding, NOTES_r13)
+      val kx = ex.join(
+        broadcast(deconHotShingles(ex, Tables.documents(s, dir))),
+        Seq("h"), "left_anti")
+      val evalSet = kx.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("h"))
-      ex.filter(col("doc_id") % 97 =!= 0)
+      kx.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalSet), Seq("h"))
         .groupBy(col("doc_id"), col("eval_id"))
         .agg(count(lit(1)).as("shared_shingles"))
@@ -2568,7 +2605,12 @@ object TextOps {
          |$repCtesSql,
          |sd AS (SELECT doc_id,
          |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-         |sex AS (SELECT doc_id, unnest(hsh) AS h FROM sd),
+         |sex0 AS (SELECT doc_id, unnest(hsh) AS h FROM sd),
+         |snd AS (SELECT count(*) AS n_docs FROM documents),
+         |shot AS (SELECT h FROM
+         |    (SELECT h, count(*) AS df FROM sex0 GROUP BY 1) t CROSS JOIN snd
+         |  WHERE t.df > GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor)),
+         |sex AS (SELECT * FROM sex0 WHERE h NOT IN (SELECT h FROM shot)),
          |cont AS (
          |  SELECT DISTINCT doc_id FROM (
          |    SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n
@@ -3177,9 +3219,14 @@ object TextOps {
       "q_decontaminate" ->
         s"""WITH d AS (SELECT doc_id,
            |    ${shingleHashesSql(shinglesSql(s"($toksSql)"))} AS hsh FROM documents),
-           |ex AS (SELECT doc_id, unnest(hsh) AS h FROM d)
+           |ex AS (SELECT doc_id, unnest(hsh) AS h FROM d),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
+           |hot AS (SELECT h FROM
+           |    (SELECT h, count(*) AS df FROM ex GROUP BY 1) t CROSS JOIN nd
+           |  WHERE t.df > GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor)),
+           |kx AS (SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot))
            |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
-           |FROM ex c JOIN ex e ON c.h = e.h
+           |FROM kx c JOIN kx e ON c.h = e.h
            |WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
            |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
 

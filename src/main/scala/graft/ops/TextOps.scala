@@ -1889,6 +1889,59 @@ object TextOps {
     // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
+    // CROSS-SOURCE NEAR-DUP OVERLAP — the sourcing dashboard: which
+    // sources re-host each other's content, and how close the copies
+    // are. Verified LSH pairs labeled with their documents' sources
+    // (canonical least/greatest order), aggregated per source pair.
+    // The pair frame is the verified near-dup output (skinny, far
+    // below corpus scale) hash-joining the (doc_id, source)
+    // projection twice; no new pair space, no text shuffle.
+    "q_source_overlap" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      minhashPairs(s, dir)
+        .select(col("id_a"), col("id_b"), roundTo(col("jaccard"), 4).as("j"))
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("j"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          roundTo(sum(col("j").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // CORPUS DEDUP DASHBOARD — the one-row health report a curation
+    // run logs: exact-dup group counts, near-dup cluster counts, the
+    // document share sitting in a non-trivial cluster, the largest
+    // cluster. Composes the session-memoized CC assignment (zero new
+    // heavy work in a session that ran any dedup query) + one digest
+    // aggregation; 1-row sub-aggregates crossJoin broadcast.
+    "q_dedup_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val exact = docs.select(md5(normText(col("text"))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_exact_groups"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("docs_in_exact_dups"))
+      val cs = dedupClusters(s, dir)
+        .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(when(col("sz") > 1, col("sz"))), lit(0L))
+            .as("docs_in_neardup_clusters"),
+          max(col("sz")).as("max_cluster_size"))
+      nDocs.crossJoin(broadcast(exact)).crossJoin(broadcast(cs))
+        .select(col("n_docs"), col("n_exact_groups"),
+          col("docs_in_exact_dups"), col("n_clusters"),
+          col("docs_in_neardup_clusters"), col("max_cluster_size"),
+          roundTo(col("docs_in_neardup_clusters").cast("double") /
+            greatest(col("n_docs").cast("double"), lit(1.0)), 6)
+            .as("neardup_share"))
+    }),
+
     // TOP-K SIMILAR-DOCUMENT SELF-JOIN — retrieval-by-near-dup: for
     // EVERY document, the top-5 most similar OTHER docs by exact
     // shingle Jaccard, candidates restricted to docs sharing ≥1 LSH
@@ -3282,6 +3335,46 @@ object TextOps {
            |  l.doc_id = l.cluster_rep AS is_keeper
            |FROM lbl l JOIN sz USING (cluster_rep)
            |ORDER BY l.doc_id""".stripMargin,
+
+      "q_source_overlap" ->
+        s"""WITH ${minhashPairsSqlCtes()},
+           |pj AS (SELECT id_a, id_b,
+           |    ${roundToSql("inter / (sz_a + sz_b - inter)", 4)} AS j FROM np),
+           |x AS (SELECT LEAST(a.source, b.source) AS source_a,
+           |    GREATEST(a.source, b.source) AS source_b, pj.j
+           |  FROM pj JOIN documents a ON a.doc_id = pj.id_a
+           |          JOIN documents b ON b.doc_id = pj.id_b)
+           |SELECT source_a, source_b, count(*) AS n_pairs,
+           |  ${roundToSql(
+             "CAST(SUM(CAST(j AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)}
+           |    AS avg_jaccard
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_stats" ->
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+           |cs0 AS (SELECT cluster_rep, count(*) AS sz FROM lbl GROUP BY 1),
+           |cs AS (SELECT count(*) AS n_clusters,
+           |    CAST(COALESCE(SUM(CASE WHEN sz > 1 THEN sz END), 0) AS BIGINT)
+           |      AS docs_in_neardup_clusters,
+           |    CAST(max(sz) AS BIGINT) AS max_cluster_size FROM cs0),
+           |eg0 AS (SELECT md5(${normTextSql("text")}) AS h, count(*) AS c
+           |  FROM documents GROUP BY 1),
+           |eg AS (SELECT count(*) AS n_exact_groups,
+           |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           |      AS docs_in_exact_dups FROM eg0),
+           |nd AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT nd.n_docs, eg.n_exact_groups, eg.docs_in_exact_dups,
+           |  cs.n_clusters, cs.docs_in_neardup_clusters, cs.max_cluster_size,
+           |  ${roundToSql("CAST(docs_in_neardup_clusters AS DOUBLE) / " +
+             "GREATEST(CAST(n_docs AS DOUBLE), 1.0)", 6)} AS neardup_share
+           |FROM nd CROSS JOIN eg CROSS JOIN cs""".stripMargin,
 
       "q_leakage_split" ->
         s"""WITH RECURSIVE ${minhashPairsSqlCtes()},

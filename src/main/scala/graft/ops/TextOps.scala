@@ -2351,6 +2351,54 @@ object TextOps {
     // what production pipelines run when a true suffix array does
     // not fit; it finds every duplicated span ≥ the window width at
     // window granularity.
+    // GENERATION-LOOP DETECTOR — the synthetic-data-era filter:
+    // model-generated text degenerates into REPEATED runs ("loops"),
+    // i.e. the SAME token window recurring many times WITHIN one
+    // document. Unlike q_substring_dedup (cross-doc verbatim overlap,
+    // corpus-keyed shuffle), this is per-doc state: the stride-1
+    // window hashes are sorted IN-ROW and a single fold counts the
+    // maximum multiplicity and the repeated-window mass — pure
+    // map-side (zero shuffle, the langID shape), so it runs at crawl
+    // ingestion cost. A doc with any window repeating ≥ 3× is flagged
+    // (two repeats happen in natural prose; three is a loop).
+    // The oracle replays the same integers by per-doc explode +
+    // count — same multiset, shuffle-free only on the engine side.
+    "q_loop_detect" -> ((s, dir) => {
+      val w = SubstrWindow
+      val base = substrTokenized(s, dir)
+      val hs = when(col("n") >= w,
+        sort_array(transform(sequence(lit(1), col("n") - (w - 1)),
+          st => hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))))))
+        .otherwise(array().cast("array<long>"))
+      // fold over the sorted hashes: track the current run, fold
+      // closed runs into (max multiplicity, repeated-window mass)
+      val stats = aggregate(col("hs"),
+        struct(lit(-1L).as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("reps")),
+        (acc, x) => when(x === acc.getField("prev"),
+          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("best").as("best"), acc.getField("reps").as("reps")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            greatest(acc.getField("best"), acc.getField("run")).as("best"),
+            (acc.getField("reps") + when(acc.getField("run") > 1,
+              acc.getField("run")).otherwise(0L)).as("reps"))),
+        acc => struct(
+          greatest(acc.getField("best"), acc.getField("run")).as("best"),
+          (acc.getField("reps") + when(acc.getField("run") > 1,
+            acc.getField("run")).otherwise(0L)).as("reps")))
+      base
+        .withColumn("hs", hs)
+        .withColumn("n_windows", size(col("hs")).cast("long"))
+        .withColumn("st", stats)
+        .select(col("doc_id"), col("n_windows"),
+          col("st.best").as("max_window_mult"),
+          when(col("n_windows") > 0, roundTo(
+            col("st.reps").cast("double") / col("n_windows"), 6))
+            .otherwise(lit(0.0)).as("rep_window_share"),
+          (col("st.best") >= 3).as("loop_flag"))
+        .orderBy("doc_id")
+    }),
+
     "q_substring_dedup" -> ((s, dir) => {
       val w = SubstrWindow
       val base = substrTokenized(s, dir).filter(col("n") >= w)
@@ -3063,6 +3111,35 @@ object TextOps {
           |    WHEN w * 24 >= h * 32 THEN greatest(1, (h * 32) // w)
           |    ELSE 24 END AS INTEGER) AS height
           |FROM d ORDER BY media_id""".stripMargin,
+
+      // per-doc window multiplicity, replayed by explode + count —
+      // the same integer multiset the engine's in-row sorted fold
+      // walks (the oracle may shuffle; the engine side must not)
+      "q_loop_detect" -> {
+        val w = SubstrWindow
+        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+           |wi AS (
+           |  SELECT doc_id,
+           |    ${hash60Sql(s"array_to_string(toks[s:s+${w - 1}], ' ')")} AS h
+           |  FROM b, unnest(range(1, n - ${w - 2})) AS u(s)
+           |  WHERE n >= $w),
+           |m AS (SELECT doc_id, h, count(*) AS c FROM wi GROUP BY 1, 2),
+           |agg AS (SELECT doc_id,
+           |    CAST(SUM(c) AS BIGINT) AS n_windows,
+           |    CAST(MAX(c) AS BIGINT) AS max_window_mult,
+           |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           |      AS reps
+           |  FROM m GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(COALESCE(a.max_window_mult, 0) AS BIGINT) AS max_window_mult,
+           |  CASE WHEN COALESCE(a.n_windows, 0) > 0
+           |       THEN ${roundToSql("CAST(a.reps AS DOUBLE) / a.n_windows", 6)}
+           |       ELSE 0.0 END AS rep_window_share,
+           |  COALESCE(a.max_window_mult, 0) >= 3 AS loop_flag
+           |FROM b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
+      },
 
       "q_substring_dedup" -> {
         val w = SubstrWindow

@@ -383,6 +383,35 @@ object VectorOps {
     // cosine rerank inside them. At scale: assignment never shuffles
     // vectors, each iteration shuffles K×dims decimal partials, and
     // the probe is a partition-pruned read (see Ivf.writeIndex).
+    // TOPIC-BALANCED SAMPLING — q_mixture_sample's temperature-
+    // flattened rebalancing (α = 1/2) applied to EMBEDDING-SPACE
+    // topics instead of language labels: the replayable k=8 IVF fit
+    // assigns each vector a cell ("topic"), each topic keeps
+    // floor(10000·sqrt(c_min/c)) basis points via the deterministic
+    // salted-hash rule — the curation step when one embedding cluster
+    // (boilerplate, spam, one scraped site) dominates the corpus.
+    // Scale shape: the audited fit + assign, one cells-sized count,
+    // a ≤k-row broadcast rate table, map-side keep.
+    "q_topic_sample" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")),
+        k = 8, iters = 2)
+      val assigned = Ivf.assign(e, col("embedding"), centers)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      val minC = counts.agg(min(col("c")).as("cmin"))
+      val rates = counts.crossJoin(broadcast(minC))
+        .select(col("cell"),
+          floor(lit(10000) * sqrt(col("cmin").cast("double") / col("c")))
+            .cast("int").as("rate_bp"))
+      assigned.join(broadcast(rates), Seq("cell"))
+        .filter(pmod(TextOps.hash60(
+          concat(lit("topic:"), col("vec_id").cast("string"))),
+          lit(10000)) < col("rate_bp"))
+        .select(col("vec_id"), col("cell"), col("rate_bp"))
+        .orderBy("vec_id")
+    }),
+
     "q_ann_ivf_built" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
@@ -849,6 +878,21 @@ object VectorOps {
          |FROM embeddings e JOIN probed p ON e.label = p.label, qv
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_topic_sample" ->
+      s"""WITH $fitReplayCtes,
+         |af AS (${fitAssignSql("c2")}),
+         |cnt AS (SELECT cell, count(*) AS c FROM af GROUP BY 1),
+         |mn AS (SELECT min(c) AS cmin FROM cnt),
+         |rates AS (SELECT cell,
+         |    CAST(FLOOR(10000 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER)
+         |      AS rate_bp
+         |  FROM cnt CROSS JOIN mn)
+         |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, r.rate_bp
+         |FROM af JOIN rates r ON af.cell = r.cell
+         |WHERE ${TextOps.hash60Sql("'topic:' || CAST(af.vec_id AS VARCHAR)")}
+         |  % 10000 < r.rate_bp
+         |ORDER BY af.vec_id""".stripMargin,
 
     "q_ann_ivf_built" ->
       s"""WITH $fitReplayCtes,

@@ -894,4 +894,20 @@ class IvfSpec extends SparkSpec {
     // recall"
     assert(rows.map(_._2).sum > 0, "IVF leg found no true neighbors at all")
   }
+
+  test("topic sample flattens cell mass: sqrt rates, small cells keep all") {
+    val out = graft.SparkEntry.queries("q_topic_sample")(spark, dir)
+      .select($"vec_id", $"cell", $"rate_bp")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    val rates = out.map(r => r._2 -> r._3).toMap
+    // the smallest cell keeps with certainty; at least one larger
+    // cell is genuinely downsampled (or the thresholds are vacuous)
+    assert(rates.values.max == 10000, s"min cell must keep all: $rates")
+    assert(rates.values.min < 10000, s"no cell downsampled: $rates")
+    // deterministic: a rerun keeps the SAME vectors
+    val again = graft.SparkEntry.queries("q_topic_sample")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
 }

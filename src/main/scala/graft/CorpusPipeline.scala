@@ -96,12 +96,22 @@ object CorpusPipeline {
     *                    over [[denseHashEmbeddings]]; None disables
     * @param shardsOut   when set, also materialize chunked training
     *                    shards there ([[TextOps.writeTrainingShards]])
+    * @param loopGate    opt-in generation-loop filter
+    *                    ([[TextOps.loopStats]] — drops documents whose
+    *                    window multiplicity flags model-loop
+    *                    degeneracy; the synthetic-data-era gate)
     */
   def run(spark: SparkSession, dir: String,
       semanticTau: Option[Double] = None,
-      shardsOut: Option[String] = None): CorpusResult = {
+      shardsOut: Option[String] = None,
+      loopGate: Boolean = false): CorpusResult = {
     val docs = Tables.documents(spark, dir)
-    val selected0 = TextOps.corpusPipelineKeepers(spark, dir)
+    val selected1 = TextOps.corpusPipelineKeepers(spark, dir)
+    val selected0 =
+      if (!loopGate) selected1
+      else selected1.join(
+        TextOps.loopStats(docs).filter(col("loop_flag")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
     val (selected, dropped) = semanticTau match {
       case None => (selected0, 0L)
       case Some(tau) =>

@@ -696,6 +696,52 @@ object TextOps {
   // edit to one could silently diverge.
   // ---------------------------------------------------------------
 
+  /** GENERATION-LOOP metrics appended to the input frame (columns
+    * n_windows, max_window_mult, rep_window_share, loop_flag): the
+    * stride-1 [[SubstrWindow]]-token window hashes are sorted IN-ROW
+    * and ONE fold counts the maximum multiplicity and the
+    * repeated-window mass — pure projection, zero shuffle, zero
+    * state, so it composes with batch scans AND any streaming
+    * pipeline ([[graft.stream.StreamingDedup.loopGate]]). A window
+    * recurring ≥ 3× flags (two repeats happen in natural prose;
+    * three is model-loop degeneracy). Input needs (text); all input
+    * columns pass through. */
+  def loopStats(docs: DataFrame): DataFrame = {
+    val w = SubstrWindow
+    val toks = tokens(col("text"))
+    val hs = when(size(toks) >= w,
+      sort_array(transform(sequence(lit(1), size(toks) - (w - 1)),
+        st => hash60(concat_ws(" ", slice(toks, st, lit(w)))))))
+      .otherwise(array().cast("array<long>"))
+    // fold over the sorted hashes: track the current run, fold
+    // closed runs into (max multiplicity, repeated-window mass)
+    val stats = aggregate(col("__loop_hs"),
+      struct(lit(-1L).as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("reps")),
+      (acc, x) => when(x === acc.getField("prev"),
+        struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
+          acc.getField("best").as("best"), acc.getField("reps").as("reps")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          greatest(acc.getField("best"), acc.getField("run")).as("best"),
+          (acc.getField("reps") + when(acc.getField("run") > 1,
+            acc.getField("run")).otherwise(0L)).as("reps"))),
+      acc => struct(
+        greatest(acc.getField("best"), acc.getField("run")).as("best"),
+        (acc.getField("reps") + when(acc.getField("run") > 1,
+          acc.getField("run")).otherwise(0L)).as("reps")))
+    docs
+      .withColumn("__loop_hs", hs)
+      .withColumn("n_windows", size(col("__loop_hs")).cast("long"))
+      .withColumn("__loop_st", stats)
+      .withColumn("max_window_mult", col("__loop_st.best"))
+      .withColumn("rep_window_share",
+        when(col("n_windows") > 0, roundTo(
+          col("__loop_st.reps").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("loop_flag", col("max_window_mult") >= 3)
+      .drop("__loop_hs", "__loop_st")
+  }
+
   /** The tokenized documents base every substring query starts from:
     * (doc_id, toks, n). */
   private def substrTokenized(s: SparkSession, dir: String): DataFrame =
@@ -2363,41 +2409,11 @@ object TextOps {
     // (two repeats happen in natural prose; three is a loop).
     // The oracle replays the same integers by per-doc explode +
     // count — same multiset, shuffle-free only on the engine side.
-    "q_loop_detect" -> ((s, dir) => {
-      val w = SubstrWindow
-      val base = substrTokenized(s, dir)
-      val hs = when(col("n") >= w,
-        sort_array(transform(sequence(lit(1), col("n") - (w - 1)),
-          st => hash60(concat_ws(" ", slice(col("toks"), st, lit(w)))))))
-        .otherwise(array().cast("array<long>"))
-      // fold over the sorted hashes: track the current run, fold
-      // closed runs into (max multiplicity, repeated-window mass)
-      val stats = aggregate(col("hs"),
-        struct(lit(-1L).as("prev"), lit(0L).as("run"),
-          lit(0L).as("best"), lit(0L).as("reps")),
-        (acc, x) => when(x === acc.getField("prev"),
-          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
-            acc.getField("best").as("best"), acc.getField("reps").as("reps")))
-          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-            greatest(acc.getField("best"), acc.getField("run")).as("best"),
-            (acc.getField("reps") + when(acc.getField("run") > 1,
-              acc.getField("run")).otherwise(0L)).as("reps"))),
-        acc => struct(
-          greatest(acc.getField("best"), acc.getField("run")).as("best"),
-          (acc.getField("reps") + when(acc.getField("run") > 1,
-            acc.getField("run")).otherwise(0L)).as("reps")))
-      base
-        .withColumn("hs", hs)
-        .withColumn("n_windows", size(col("hs")).cast("long"))
-        .withColumn("st", stats)
-        .select(col("doc_id"), col("n_windows"),
-          col("st.best").as("max_window_mult"),
-          when(col("n_windows") > 0, roundTo(
-            col("st.reps").cast("double") / col("n_windows"), 6))
-            .otherwise(lit(0.0)).as("rep_window_share"),
-          (col("st.best") >= 3).as("loop_flag"))
-        .orderBy("doc_id")
-    }),
+    "q_loop_detect" -> ((s, dir) =>
+      loopStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_windows"), col("max_window_mult"),
+          col("rep_window_share"), col("loop_flag"))
+        .orderBy("doc_id")),
 
     "q_substring_dedup" -> ((s, dir) => {
       val w = SubstrWindow

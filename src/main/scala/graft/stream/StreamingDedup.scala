@@ -59,6 +59,21 @@ object StreamingDedup {
     docs.withColumn("text", graft.ops.Html.extractText(col(htmlCol)))
       .drop(htmlCol)
 
+  /** Opt-in GENERATION-LOOP gate for the streaming corpus path: drops
+    * documents whose window multiplicity flags model-loop degeneracy
+    * ([[TextOps.loopStats]] — a pure projection + filter: no state,
+    * no watermark, no shuffle), keeping the caller's schema. The
+    * synthetic-data-era ingestion filter; stream == batch by
+    * construction since both sides run the ONE loopStats definition
+    * (StreamingSpec pins it). */
+  def loopGate(docs: DataFrame): DataFrame = {
+    val statCols = Seq("n_windows", "max_window_mult",
+      "rep_window_share", "loop_flag")
+    TextOps.loopStats(docs)
+      .filter(!org.apache.spark.sql.functions.col("loop_flag"))
+      .drop(statCols: _*)
+  }
+
   /** Streaming EXACT dedup by normalized-text digest: emits only the
     * first-arriving copy of each distinct normalized text (the
     * streaming form of q_dedup_exact's keeper rule, ordered by arrival

@@ -758,6 +758,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming loop gate equals the batch loop filter") {
+    import graft.stream.StreamingDedup
+    val loop = ("i am sorry i can not help with that request " * 6).trim
+    val docs = io.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+      .union(Seq((100001L, loop), (100002L, loop + " extra tail words"))
+        .toDF("doc_id", "text"))
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val batchKept = StreamingDedup.loopGate(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    // the planted loops must be doing real work
+    assert(!batchKept.contains(100001L) && !batchKept.contains(100002L))
+    assert(batchKept.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.loopGate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("loop_gate_out").start()
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("loop_gate_out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed === batchKept,
+        "streamed loop gate diverged from the batch filter")
+      // schema passes through unchanged (no metric columns leak)
+      assert(spark.table("loop_gate_out").columns.toSeq == Seq("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("dsir frozen-ratio stream scoring equals batch dsirWeights") {
     // deployment shape (VERDICT r12 #4): fit the ratio table once in
     // batch, freeze it, score a document STREAM map-side against it —

@@ -708,7 +708,11 @@ object TextOps {
     * columns pass through. */
   def loopStats(docs: DataFrame): DataFrame = {
     val w = SubstrWindow
-    val toks = tokens(col("text"))
+    // STAGED token materialization (the Dsir.featureBuckets trap:
+    // referencing tokens(text) inside the window lambda re-runs the
+    // regex split per window — O(n²) splits per doc; measured 3.8×
+    // wall on q_loop_detect before this column)
+    val toks = col("__loop_toks")
     val hs = when(size(toks) >= w,
       sort_array(transform(sequence(lit(1), size(toks) - (w - 1)),
         st => hash60(concat_ws(" ", slice(toks, st, lit(w)))))))
@@ -730,6 +734,7 @@ object TextOps {
         (acc.getField("reps") + when(acc.getField("run") > 1,
           acc.getField("run")).otherwise(0L)).as("reps")))
     docs
+      .withColumn("__loop_toks", tokens(col("text")))
       .withColumn("__loop_hs", hs)
       .withColumn("n_windows", size(col("__loop_hs")).cast("long"))
       .withColumn("__loop_st", stats)
@@ -739,7 +744,7 @@ object TextOps {
           col("__loop_st.reps").cast("double") / col("n_windows"), 6))
           .otherwise(lit(0.0)))
       .withColumn("loop_flag", col("max_window_mult") >= 3)
-      .drop("__loop_hs", "__loop_st")
+      .drop("__loop_toks", "__loop_hs", "__loop_st")
   }
 
   /** The tokenized documents base every substring query starts from:

@@ -638,6 +638,39 @@ object Retrieval {
     "q_lm_perplexity" -> ((s, dir) =>
       lmPerplexity(Tables.documents(s, dir))),
 
+    // CURRICULUM PHASING — easy-to-hard training-order assignment by
+    // the LM-perplexity difficulty proxy: phase 0 = easiest tercile,
+    // 2 = hardest. The tercile THRESHOLDS come from the engine's own
+    // HDR quantile sketch over basis-point nll (guaranteed 1/64
+    // relative error, bounded state, mergeable) — at 100 TB the
+    // per-doc difficulty frame is billions of rows and an exact
+    // percentile would sort it; the sketch never does. One scoring
+    // pass, one bounded-state aggregation, a 1-row threshold
+    // broadcast, map-side phase assignment.
+    "q_curriculum" -> ((s, dir) => {
+      val ppl = lmPerplexity(Tables.documents(s, dir))
+        .withColumn("v", floor(col("avg_nll") * 10000).cast("long"))
+      // MIN-SHIFT before sketching: log buckets are RELATIVELY sized,
+      // and a corpus's nll distribution is narrow (≈3.2–3.6 here) —
+      // unshifted, the whole corpus lands in a handful of wide
+      // buckets and the terciles go coarse. Shifted to the origin the
+      // low buckets are width-1 (exact) and resolution follows the
+      // distribution's spread, not its offset. One extra 1-row
+      // broadcast.
+      val mn = ppl.agg(min(col("v")).as("vmin"))
+      val shifted = ppl.crossJoin(broadcast(mn))
+        .withColumn("sv", col("v") - col("vmin"))
+      val thr = shifted.agg(graft.functions.hdr_sketch(
+          graft.functions.hdr_bucket_lo(col("sv"))).as("sk"))
+        .select(graft.functions.hdr_quantile(col("sk"), 0.33).as("t1"),
+          graft.functions.hdr_quantile(col("sk"), 0.66).as("t2"))
+      shifted.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("avg_nll"),
+          when(col("sv") <= col("t1"), 0)
+            .when(col("sv") <= col("t2"), 1).otherwise(2).as("phase"))
+        .orderBy("doc_id")
+    }),
+
     // PII detect + redact with an end-to-end content hash.
     "q_pii_redact" -> ((s, dir) =>
       piiRedact(Tables.documents(s, dir))),
@@ -920,6 +953,30 @@ object Retrieval {
        |SELECT doc_id, rank, mmr AS mmr_score, rrf FROM rec ORDER BY rank""".stripMargin
   }
 
+  /** The q_lm_perplexity CTE chain ending in `pd(doc_id, n_bigrams,
+    * avg_nll)` — shared with the q_curriculum oracle. */
+  private def lmCtesSql: String =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |big AS (
+       |  SELECT d.doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, unnest(CASE WHEN len(toks) < 2 THEN []
+       |                      ELSE range(1, len(toks)) END) AS t(i)),
+       |train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM
+       |  (SELECT unnest(toks) AS token FROM d WHERE doc_id % 2 = 0)),
+       |nll AS (
+       |  SELECT b.doc_id, ${roundToSql(
+             "-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))", 6)} AS nll
+       |  FROM big b
+       |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+       |  ${roundToSql(
+           "CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)", 4)} AS avg_nll
+       |FROM nll GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = {
     val termsList = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     Map(
@@ -965,26 +1022,31 @@ object Retrieval {
            |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
       "q_lm_perplexity" ->
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |big AS (
-           |  SELECT d.doc_id, toks[i] AS w1, toks[i + 1] AS w2
-           |  FROM d, unnest(CASE WHEN len(toks) < 2 THEN []
-           |                      ELSE range(1, len(toks)) END) AS t(i)),
-           |train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
-           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
-           |c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
-           |v AS (SELECT count(DISTINCT token) AS v FROM
-           |  (SELECT unnest(toks) AS token FROM d WHERE doc_id % 2 = 0)),
-           |nll AS (
-           |  SELECT b.doc_id, ${roundToSql(
-                 "-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))", 6)} AS nll
-           |  FROM big b
-           |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-           |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v)
-           |SELECT doc_id, count(*) AS n_bigrams,
-           |  ${roundToSql(
-               "CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)", 4)} AS avg_nll
-           |FROM nll GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        s"""WITH $lmCtesSql
+           |SELECT doc_id, n_bigrams, avg_nll FROM pd ORDER BY doc_id""".stripMargin,
+
+      // per-doc difficulty off the SAME lm chain; thresholds replay
+      // the hdr sketch's rank rule over ascending bucket floors
+      "q_curriculum" ->
+        s"""WITH $lmCtesSql,
+           |bp AS (SELECT doc_id, avg_nll,
+           |    CAST(FLOOR(avg_nll * 10000) AS BIGINT) AS v FROM pd),
+           |mnv AS (SELECT min(v) AS vmin FROM bp),
+           |sh AS (SELECT doc_id, avg_nll, v - vmin AS sv
+           |  FROM bp CROSS JOIN mnv),
+           |bl AS (SELECT doc_id, avg_nll, sv,
+           |    ${graft.functions.hdrBucketLoSql("sv")} AS lo FROM sh),
+           |c AS (SELECT lo, count(*) AS cnt FROM bl GROUP BY 1),
+           |bc AS (SELECT lo, sum(cnt) OVER (ORDER BY lo) AS cum,
+           |    sum(cnt) OVER () AS n FROM c),
+           |thr AS (SELECT
+           |    min(CASE WHEN cum >= ceil(0.33 * n) THEN lo END) AS t1,
+           |    min(CASE WHEN cum >= ceil(0.66 * n) THEN lo END) AS t2
+           |  FROM bc)
+           |SELECT bl.doc_id, bl.avg_nll,
+           |  CASE WHEN bl.sv <= thr.t1 THEN 0
+           |       WHEN bl.sv <= thr.t2 THEN 1 ELSE 2 END AS phase
+           |FROM bl CROSS JOIN thr ORDER BY bl.doc_id""".stripMargin,
 
       "q_pii_redact" ->
         s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)

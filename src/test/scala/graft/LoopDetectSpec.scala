@@ -54,3 +54,34 @@ class LoopDetectSpec extends SparkSpec {
       s"loop detection must be map-side, got ${exchanges.size} exchanges")
   }
 }
+
+/** Curriculum phasing semantics: phases are monotone in difficulty,
+  * terciles are balanced once the sketch values are min-shifted, and
+  * assignment is deterministic. */
+class CurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("phases are monotone in avg_nll and roughly tercile-sized") {
+    val rows = graft.SparkEntry.queries("q_curriculum")(spark, sf("sf0.01"))
+      .select($"doc_id", $"avg_nll", $"phase")
+      .as[(Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    // monotone: max nll of phase k <= min nll of phase k+1
+    val byPhase = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byPhase.keySet == Set(0, 1, 2), byPhase.keySet.toString)
+    assert(byPhase(0).max <= byPhase(1).min && byPhase(1).max <= byPhase(2).min)
+    // min-shifted sketch thresholds give real terciles (each phase
+    // within 2x of n/3 — the coarse-bucket failure mode puts 66% in
+    // one phase)
+    val n = rows.length
+    Seq(0, 1, 2).foreach { p =>
+      val c = byPhase(p).length
+      assert(c * 3 > n / 2 && c * 3 < n * 2,
+        s"phase $p has $c of $n — terciles degenerated")
+    }
+    // deterministic
+    val again = graft.SparkEntry.queries("q_curriculum")(spark, sf("sf0.01"))
+      .select($"doc_id", $"phase").as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._3))
+  }
+}

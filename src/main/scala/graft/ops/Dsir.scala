@@ -173,7 +173,13 @@ object Dsir {
   def scoreWith(docs: DataFrame, lrt: DataFrame): DataFrame = {
     val dense = Array.fill(DsirBuckets)(Double.NaN)
     lrt.select(col("b").cast("int"), col("lr").cast("double")).collect()
-      .foreach(r => dense(r.getInt(0)) = r.getDouble(1))
+      .foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < DsirBuckets,
+          s"scoreWith: bucket $b outside [0, $DsirBuckets) — the ratio " +
+            "table must come from ratioTable (or share its bucket space)")
+        dense(b) = r.getDouble(1)
+      }
     val lrArr = typedLit(dense.toSeq)
     val lrs = filter(
       transform(featureArray(col("toks")),

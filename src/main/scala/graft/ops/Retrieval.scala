@@ -648,6 +648,11 @@ object Retrieval {
     // pass, one bounded-state aggregation, a 1-row threshold
     // broadcast, map-side phase assignment.
     "q_curriculum" -> ((s, dir) => {
+      // NOT persisted despite three consumers (min, sketch, final):
+      // measured 2.6 s persisted vs 1.9 s lazy at sf0.1 — the
+      // broadcast subqueries reuse the scoring exchange, and the
+      // cache write + extra materialization job cost more than the
+      // re-read (the hybridSearch/mmrRerank lesson, third sighting)
       val ppl = lmPerplexity(Tables.documents(s, dir))
         .withColumn("v", floor(col("avg_nll") * 10000).cast("long"))
       // MIN-SHIFT before sketching: log buckets are RELATIVELY sized,

@@ -1122,7 +1122,9 @@ object TextOps {
   /** The HOT (df-capped-out) shingle set of a (doc_id, h) stream —
     * one keyed aggregation; output is bounded by total_shingles/cap ≤
     * [[DeconDfDenom]]·avg-shingles-per-doc distinct hashes, so it
-    * broadcasts at any corpus size. */
+    * broadcasts at any corpus size. count(*) IS document frequency
+    * because both feeders emit DISTINCT hashes per doc
+    * (ngram_hash_explode / ngram_hashes contract). */
   private def deconHotShingles(ex: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.select(count(lit(1)).as("n_docs"))
     ex.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -364,21 +364,21 @@ object Retrieval {
     * recursive CTE over per-candidate similarity lists. Rounding
     * ladder: rrf at 9 (fusion), pairwise cosine at 6 (the hybrid cos
     * rule), mmr scores at 9. */
-  def mmrRerank(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
-    val cands = rrfFused(docs, terms)
-      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
-      .select(col("doc_id"), col("rrf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // NOT persisted: the self-join's identical embed subtrees land as
-    // ReusedExchange in one action, and a cache write here measured
-    // SLOWER (6.1 s vs 5.2 s at sf0.1) — the hybridSearch lesson
+  /** Pairwise hashed-tf-idf cosine among a SMALL id set (a, b, cos
+    * with a < b; pairs sharing no dimension are absent = similarity
+    * 0): the vectors are id-restricted BEFORE the pair join, so the
+    * pair space is |ids|²-bounded, never a corpus shuffle. Shared by
+    * [[mmrRerank]] and the q_mmr_diversity gauge. NOT persisted: the
+    * self-join's identical embed subtrees land as ReusedExchange in
+    * one action, and a cache write measured SLOWER (6.1 s vs 5.2 s at
+    * sf0.1) — the hybridSearch lesson. */
+  private def pairwiseCos(docs: DataFrame, ids: DataFrame): DataFrame = {
     val cvecs = hashEmbedSkinny(docs)
-      .join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"))
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"))
     def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
     val norms = cvecs.groupBy(col("doc_id"))
       .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))
-    val pairs = cvecs.select(col("doc_id").as("a"), col("dim"), col("val").as("va"))
+    cvecs.select(col("doc_id").as("a"), col("dim"), col("val").as("va"))
       .join(cvecs.select(col("doc_id").as("b"), col("dim"), col("val").as("vb")),
         Seq("dim"))
       .filter(col("a") < col("b"))
@@ -389,6 +389,21 @@ object Retrieval {
       .filter(col("na") * col("nb") > 0)
       .select(col("a"), col("b"),
         roundTo(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+  }
+
+  /** The collected MMR working set: candidate relevance, symmetric
+    * pairwise sims (absent = 0), and the greedy pick order — ONE
+    * pipeline run serves [[mmrRerank]] AND the q_mmr_diversity gauge
+    * (both top-5 sets are subsets of the top-[[HybridK]] candidates,
+    * so their pairwise sims are a sub-map of this one). */
+  private def mmrCore(docs: DataFrame, terms: Seq[String])
+      : (Seq[(Long, Double, Double)], Map[Long, Double],
+         Map[(Long, Long), Double]) = {
+    val cands = rrfFused(docs, terms)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
+      .select(col("doc_id"), col("rrf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairwiseCos(docs, cands)
 
     // bounded driver fold: ≤ K rel rows, ≤ K(K−1)/2 sims
     val rel = cands.collect()
@@ -417,17 +432,58 @@ object Retrieval {
       picked += best
       pickedIds += best._1
     }
+    (picked.toSeq, rel, sim.toMap)
+  }
+
+  def mmrRerank(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val (picked, _, _) = mmrCore(docs, terms)
     val rows = picked.zipWithIndex.map { case ((id, m, rl), i) =>
       org.apache.spark.sql.Row(id, (i + 1).toLong, m, rl)
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      java.util.Arrays.asList(rows.toSeq: _*),
+      java.util.Arrays.asList(rows: _*),
       StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("rank", LongType, nullable = false),
         StructField("mmr_score", DoubleType, nullable = false),
         StructField("rrf", DoubleType, nullable = false))))
+  }
+
+  /** q_mmr_diversity off ONE [[mmrCore]] run: redundancy (mean
+    * pairwise cosine, absent pairs = 0, k(k−1)/2 denominator) of the
+    * relevance top-5 vs the MMR top-5. Driver arithmetic over the
+    * already-collected candidate sims; decimal-summed like the
+    * engine-side spelling so the oracle matches bit-for-bit. */
+  def mmrDiversity(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val (picked, rel, sim) = mmrCore(docs, terms)
+    val hy5 = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+    val mm5 = picked.take(5).map(_._1)
+    val s6 = math.pow(10, 6)
+    def r6(x: Double): Double = math.floor(x * s6 + 0.5) / s6
+    def gauge(tag: String, ids: Seq[Long]): org.apache.spark.sql.Row = {
+      val k = ids.length.toLong
+      val nPairs = k * (k - 1) / 2
+      // exact decimal sum of the round6 sims (BigDecimal — the same
+      // multiset the SQL DECIMAL(18,6) sum adds)
+      val sc = ids.combinations(2).map { case Seq(a, b) =>
+        // HALF_UP to 6 = the engines' double→DECIMAL(18,6) cast
+        BigDecimal(sim.getOrElse((a, b), 0.0)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)
+      }.foldLeft(BigDecimal(0))(_ + _)
+      val avg = if (nPairs > 0) r6(sc.toDouble / nPairs.toDouble) else 0.0
+      org.apache.spark.sql.Row(tag, k, nPairs, avg)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(gauge("hybrid", hy5), gauge("mmr", mm5)),
+      StructType(Seq(
+        StructField("variant", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("avg_pairwise_cos", DoubleType, nullable = false))))
   }
 
   // ---------------------------------------------------------------
@@ -707,6 +763,15 @@ object Retrieval {
     "q_mmr_rerank" -> ((s, dir) =>
       mmrRerank(Tables.documents(s, dir), BmTerms)),
 
+    // MMR EFFECTIVENESS GAUGE — the q_ann_recall discipline applied
+    // to diversity: the REDUNDANCY of the plain-relevance top-5 vs
+    // the MMR top-5 as oracle-checked numbers (mean pairwise cosine,
+    // absent pairs = 0, k(k−1)/2 denominator). ONE mmrCore run serves
+    // both variants: each top-5 is a subset of the top-20 candidate
+    // set whose sims the core already collected.
+    "q_mmr_diversity" -> ((s, dir) =>
+      mmrDiversity(Tables.documents(s, dir), BmTerms)),
+
     // BPE TRAINING STEP — the tokenizer-learning primitive: the
     // corpus-frequency-weighted count of adjacent character pairs
     // inside tokens (one merge round of byte-pair encoding; iterate
@@ -908,31 +973,40 @@ object Retrieval {
     * each step scores every unpicked candidate against the picked
     * set via per-candidate (sids, scos) similarity lists and QUALIFYs
     * the (mmr DESC, doc_id) winner. */
-  private def mmrOracleSql: String = {
-    val lam = MmrLambda
-    val oneMinus = 1 - MmrLambda
-    s"""WITH RECURSIVE $hybridChainSql,
-       |mcand AS (
-       |  SELECT doc_id, rrf FROM fscored
-       |  QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= $HybridK),
-       |mv AS (SELECT v.doc_id, v.dim, v.val FROM hvec v
-       |  JOIN mcand USING (doc_id)),
-       |mn AS (SELECT doc_id,
+  /** Pairwise-cosine CTEs over hvec restricted to an id CTE `$ids` —
+    * emits `ms_$tag(a, b, cos)`; the SQL twin of [[pairwiseCos]]. */
+  private def pairCosSql(ids: String, tag: String): String =
+    s"""mv_$tag AS (SELECT v.doc_id, v.dim, v.val FROM hvec v
+       |  JOIN $ids USING (doc_id)),
+       |mn_$tag AS (SELECT doc_id,
        |    sqrt(CAST(SUM(CAST(${roundToSql("val * val", 8)}
        |      AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
-       |  FROM mv GROUP BY 1),
-       |mp AS (SELECT va.doc_id AS a, vb.doc_id AS b,
+       |  FROM mv_$tag GROUP BY 1),
+       |mp_$tag AS (SELECT va.doc_id AS a, vb.doc_id AS b,
        |    CAST(SUM(CAST(${roundToSql("va.val * vb.val", 8)}
        |      AS DECIMAL(38,8))) AS DOUBLE) AS dot
-       |  FROM mv va JOIN mv vb ON va.dim = vb.dim AND va.doc_id < vb.doc_id
+       |  FROM mv_$tag va JOIN mv_$tag vb
+       |    ON va.dim = vb.dim AND va.doc_id < vb.doc_id
        |  GROUP BY 1, 2),
-       |msim AS (SELECT mp.a, mp.b,
-       |    ${roundToSql("mp.dot / (na.nrm * nb.nrm)", 6)} AS cos
-       |  FROM mp JOIN mn na ON na.doc_id = mp.a
-       |          JOIN mn nb ON nb.doc_id = mp.b
-       |  WHERE na.nrm * nb.nrm > 0),
-       |sym AS (SELECT a, b, cos FROM msim
-       |        UNION ALL SELECT b, a, cos FROM msim),
+       |ms_$tag AS (SELECT mp_$tag.a, mp_$tag.b,
+       |    ${roundToSql(s"mp_$tag.dot / (na.nrm * nb.nrm)", 6)} AS cos
+       |  FROM mp_$tag JOIN mn_$tag na ON na.doc_id = mp_$tag.a
+       |          JOIN mn_$tag nb ON nb.doc_id = mp_$tag.b
+       |  WHERE na.nrm * nb.nrm > 0)""".stripMargin
+
+  /** The MMR chain (candidates, pairwise sims, greedy recursion) —
+    * assumes [[hybridChainSql]] precedes it; ends in
+    * `rec(rank, doc_id, mmr, rrf, picked)`. Shared by the
+    * q_mmr_rerank and q_mmr_diversity oracles. */
+  private def mmrChainSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    s"""mcand AS (
+       |  SELECT doc_id, rrf FROM fscored
+       |  QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= $HybridK),
+       |${pairCosSql("mcand", "c")},
+       |sym AS (SELECT a, b, cos FROM ms_c
+       |        UNION ALL SELECT b, a, cos FROM ms_c),
        |cl AS (SELECT c.doc_id, c.rrf,
        |    COALESCE(list(s.b ORDER BY s.b)
        |      FILTER (WHERE s.b IS NOT NULL), []) AS sids,
@@ -954,8 +1028,41 @@ object Retrieval {
        |    FROM rec p JOIN cl c ON NOT list_contains(p.picked, c.doc_id)
        |    WHERE p.rank < $MmrFinal) st
        |   QUALIFY row_number() OVER (ORDER BY st.mmr DESC, st.doc_id) = 1)
-       |)
+       |)""".stripMargin
+  }
+
+  private def mmrOracleSql: String =
+    s"""WITH RECURSIVE $hybridChainSql,
+       |$mmrChainSql
        |SELECT doc_id, rank, mmr AS mmr_score, rrf FROM rec ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of q_mmr_diversity: top-5 id sets of both rankings
+    * off the shared chains, the [[pairCosSql]] machinery per set, the
+    * k(k−1)/2-denominator mean with absent pairs counting 0. */
+  private def mmrDiversityOracleSql: String = {
+    def gaugeSql(ids: String, tag: String): String =
+      s"""${pairCosSql(ids, tag)},
+         |g_$tag AS (SELECT '$tag' AS variant,
+         |    (SELECT count(*) FROM $ids) AS k,
+         |    (SELECT count(*) FROM $ids) *
+         |      ((SELECT count(*) FROM $ids) - 1) // 2 AS n_pairs,
+         |    CAST(COALESCE(SUM(CAST(cos AS DECIMAL(18,6))), 0)
+         |      AS DOUBLE) AS sc
+         |  FROM ms_$tag)""".stripMargin
+    s"""WITH RECURSIVE $hybridChainSql,
+       |$mmrChainSql,
+       |hy5 AS (SELECT doc_id FROM fscored
+       |  QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 5),
+       |mm5 AS (SELECT doc_id FROM rec WHERE rank <= 5),
+       |${gaugeSql("hy5", "h5")},
+       |${gaugeSql("mm5", "m5")},
+       |u AS (SELECT * FROM g_h5 UNION ALL SELECT * FROM g_m5)
+       |SELECT CASE WHEN variant = 'h5' THEN 'hybrid' ELSE 'mmr' END AS variant,
+       |  CAST(k AS BIGINT) AS k, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CASE WHEN n_pairs > 0
+       |       THEN ${roundToSql("sc / CAST(n_pairs AS DOUBLE)", 6)}
+       |       ELSE 0.0 END AS avg_pairwise_cos
+       |FROM u ORDER BY variant""".stripMargin
   }
 
   /** The q_lm_perplexity CTE chain ending in `pd(doc_id, n_bigrams,
@@ -993,6 +1100,8 @@ object Retrieval {
       "q_hybrid_search" -> hybridOracleSql,
 
       "q_mmr_rerank" -> mmrOracleSql,
+
+      "q_mmr_diversity" -> mmrDiversityOracleSql,
 
       "q_bm25_batch" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

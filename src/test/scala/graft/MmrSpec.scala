@@ -38,4 +38,13 @@ class MmrSpec extends SparkSpec {
     assert(dupRanks.length == 1 || dupRanks.max > 5,
       s"second dup must be suppressed or fall below the top-5: $dupRanks")
   }
+
+  test("diversity gauge: the MMR top-5 is measurably less redundant") {
+    val g = Retrieval.mmrDiversity(docs, terms)
+      .select($"variant", $"n_pairs", $"avg_pairwise_cos")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(g("hybrid")._2 == 10L && g("mmr")._2 == 10L)
+    assert(g("mmr")._3 < g("hybrid")._3,
+      s"mmr ${g("mmr")._3} must be below hybrid ${g("hybrid")._3}")
+  }
 }

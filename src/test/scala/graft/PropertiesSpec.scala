@@ -214,4 +214,80 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(d - expect) < 1e-12, s"vec $id: adc=$d expect=$expect")
     }
   }
+
+  // ----------------------------------------------------------------
+  // DropChrome vs an INDEPENDENT model of the oracle's sentinel-split
+  // prefix-sum spelling, over generated tag soups — property evidence
+  // for the engine-parity claim beyond the fixture corpus. Domain:
+  // balanced-or-truncated chrome (the documented agreement domain;
+  // stray closes at depth 0 deliberately diverge). Equivalence is up
+  // to tag-strip + whitespace-normalize, exactly what blockText
+  // applies downstream in both engines.
+  // ----------------------------------------------------------------
+
+  private val chromeWs = "[ \\t\\n\\r\\f\\x0B]"
+  private val chromeAlt = graft.functions.HtmlScanUtil.chromeTags.mkString("|")
+  private val sentRe =
+    s"(?is)</?(?:$chromeAlt)(?:$chromeWs[^>]*)?/?>".r
+  private def fullMatch(p: String, x: String) =
+    java.util.regex.Pattern.compile(p).matcher(x).matches()
+  private def deltaOf(piece: String): Int =
+    if (fullMatch(s"(?is)</(?:$chromeAlt)$chromeWs*>", piece)) -1
+    else if (fullMatch(s"(?is)<(?:$chromeAlt)(?:$chromeWs[^>]*)?/>", piece)) 0
+    else if (fullMatch(s"(?is)<(?:$chromeAlt)(?:$chromeWs[^>]*)?>", piece)) 1
+    else 0
+
+  /** The SQL spelling, re-implemented: sentinel-split, classify,
+    * prefix-sum depth, keep depth-0 text pieces, dropped → space. */
+  private def chromeModel(s: String): String = {
+    val out = new StringBuilder
+    var depth = 0
+    var last = 0
+    val m = sentRe.pattern.matcher(s)
+    def textPiece(t: String): Unit =
+      if (depth == 0) out.append(t) else out.append(' ')
+    while (m.find()) {
+      textPiece(s.substring(last, m.start()))
+      out.append(' ') // tag pieces are never kept
+      depth += deltaOf(m.group())
+      last = m.end()
+    }
+    textPiece(s.substring(last))
+    out.toString
+  }
+
+  private def stripNorm(s: String): String =
+    s.replaceAll("<[^>]*>", " ").replaceAll(chromeWs + "+", " ").trim
+
+  test("drop_chrome equals the sentinel-split prefix-sum model on generated soups") {
+    val word = Gen.oneOf("alpha", "beta", "<navigation>", "x>y", "a<b",
+      "<p>para</p>", "plain", "&amp;", "<header-ish>")
+    val chromeTag = Gen.oneOf("nav", "header", "footer", "aside")
+    def node(depth: Int): Gen[String] =
+      if (depth <= 0) word
+      else Gen.frequency(
+        4 -> word,
+        2 -> (for {
+          t <- chromeTag
+          attr <- Gen.oneOf("", " class=\"x\"", " id=a b=2")
+          inner <- Gen.listOfN(3, node(depth - 1)).map(_.mkString(" "))
+        } yield s"<$t$attr>$inner</$t>"),
+        1 -> chromeTag.map(t => s"<$t/>"),
+        1 -> (for {
+          inner <- Gen.listOfN(2, node(depth - 1)).map(_.mkString(" "))
+        } yield s"<div>$inner</div>"))
+    val soup = Gen.listOfN(6, node(3)).map(_.mkString(" "))
+    val cases = samples(soup, 120) ++
+      // truncation stays in the agreement domain (unclosed containers)
+      samples(soup, 60, seed = 7L).zipWithIndex.map { case (x, i) =>
+        x.take(math.max(1, (x.length * (i % 10)) / 10))
+      }
+    cases.foreach { x =>
+      val viaScanner = graft.functions.HtmlScanUtil.dropChrome(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)).toString
+      val viaModel = chromeModel(x)
+      assert(stripNorm(viaScanner) == stripNorm(viaModel),
+        s"diverged on: $x\n scanner=${stripNorm(viaScanner)}\n model=${stripNorm(viaModel)}")
+    }
+  }
 }

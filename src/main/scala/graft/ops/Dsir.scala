@@ -182,18 +182,21 @@ object Dsir {
       }
     val lrArr = typedLit(dense.toSeq)
     val lrs = filter(
-      transform(featureArray(col("toks")),
+      transform(featureArray(col("__dsir_toks")),
         f => element_at(lrArr, bucketOf(f).cast("int") + 1)),
       v => !isnan(v))
-    docs.withColumn("toks", tokens(col("text")))
-      .withColumn("lrs", lrs)
-      .withColumn("n_feats", size(col("lrs")).cast("long"))
+    // internal columns carry the __dsir_ prefix (the loopStats
+    // discipline — ADVICE r13) so caller columns named toks/lrs/
+    // n_feats pass through untouched; n_feats is OUTPUT contract.
+    docs.withColumn("__dsir_toks", tokens(col("text")))
+      .withColumn("__dsir_lrs", lrs)
+      .withColumn("n_feats", size(col("__dsir_lrs")).cast("long"))
       .filter(col("n_feats") >= 1)
       .withColumn("dsir_score", roundTo(
-        aggregate(col("lrs"), lit(0).cast("decimal(28,6)"),
+        aggregate(col("__dsir_lrs"), lit(0).cast("decimal(28,6)"),
           (acc, v) => (acc + v.cast("decimal(28,6)")).cast("decimal(28,6)"))
           .cast("double") / col("n_feats"), 4))
-      .drop("toks", "lrs")
+      .drop("__dsir_toks", "__dsir_lrs")
   }
 
   /** Shared CTE stack of the weights pipeline ending in `w` of

@@ -9,23 +9,10 @@ object DiagKeepers {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.TextOps
     val root = java.nio.file.Files.createTempDirectory("diag").toString
-    // probe-local corpus via PipelineScaleProbe's generator (reflection-free: re-gen here)
+    // the EXACT probe corpus (shared generator — ADVICE r13), so the
+    // diag numbers describe the same distribution the probe measures
     val n = 3000L
-    import spark.implicits._
-    val probeGen = graft.tools.PipelineScaleProbe
-    // use private gen indirectly: regenerate with same shape
-    spark.range(n).map { id =>
-      val h0 = CorpusGenerator.mix64(id * 31 + 17)
-      def pick(h: Long, m: Int) = (((h >>> 8) % m + m) % m).toInt
-      val stop = TextOps.stopwords.toArray
-      def tokOf(h: Long) = { val p = (((h >>> 40) % 10 + 10) % 10).toInt
-        if (p < 3) stop(pick(h, stop.length)) else if (p == 3) "w" + pick(h, 50000) + "." else "w" + pick(h, 50000) }
-      val nn = 40 + pick(h0, 61)
-      val txt = Array.tabulate(nn)(i => tokOf(CorpusGenerator.mix64(id * 1000003L + i))).mkString(" ")
-      (id, txt, "en", "src" + (id % 20))
-    }.toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .write.mode("overwrite").parquet(s"$root/raw/documents.parquet")
+    ProbeCorpus.writeCorpus(spark, s"$root/raw", n, parts = 8)
     val html = graft.io.Tables.documents(spark, s"$root/raw")
       .select(col("doc_id"), col("lang"), col("source"),
         graft.ops.Html.fixture(col("doc_id"), col("text")).as("html"))

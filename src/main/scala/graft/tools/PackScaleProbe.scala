@@ -113,8 +113,14 @@ object PackScaleProbe {
       val (pFfd, pId) = (agg.getDouble(3), agg.getDouble(4))
       assert(rows == n, s"ffd lost rows: $rows of $n")
       assert(maxEnd <= C, s"no-split violated: a doc ends at $maxEnd > $C")
-      assert(pFfd <= pId,
-        s"size-decreasing padding $pFfd exceeds id-order $pId")
+      // FFD beating id-order next-fit is an empirical property of
+      // THIS size distribution, not an invariant (ADVICE r13): both
+      // ratios land in the JSON; only row conservation and no-split
+      // are hard asserts.
+      if (pFfd > pId)
+        System.err.println(
+          f"[pack-scale] WARNING: ffd pad $pFfd%.6f > id-order $pId%.6f " +
+            s"at $n rows — distribution-dependent, not a packing bug")
       packed.unpersist(false)
       s"""{"rows":$n,"bins":$bins,""" +
         f""""ffd_sec":$sec%.2f,"pad_ratio_ffd":$pFfd%.6f,""" +

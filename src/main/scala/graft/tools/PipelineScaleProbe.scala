@@ -32,19 +32,22 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.tools.PipelineScaleProbe [baseDocs]"
   * (default 100000; scales ×1/×3/×10). Writes PIPELINE_SCALE.json.
   */
-object PipelineScaleProbe {
-
-  // --- probe corpus ------------------------------------------------
-  // [[CorpusGenerator]]'s 30-word vocabulary is deliberately tiny for
-  // the dedup probes, but it is the WRONG corpus for the full arc:
-  // every trigram shingle collides (n-gram decontamination degenerates
-  // quadratic) and distinct_ratio sits at the rep-gate boundary (the
-  // selection keeps ~0 after extraction boilerplate). This corpus
-  // keeps the generator's BLOCK duplicate structure (pos 8 exact copy,
-  // pos 9 ~1/12 mutated near-dup) but draws tokens from a 50k hashed
-  // vocabulary with ~30% en stopwords and ~10% sentence punctuation,
-  // so quality, repetition, dedup and decontamination all operate in
-  // their intended regimes.
+/** The realistic-corpus generator SHARED by [[PipelineScaleProbe]]
+  * and [[DiagKeepers]] (ADVICE r13: a hand-copied duplicate could
+  * silently drift, and the diag tool would then measure a different
+  * corpus than the probe).
+  *
+  * [[CorpusGenerator]]'s 30-word vocabulary is deliberately tiny for
+  * the dedup probes, but it is the WRONG corpus for the full arc:
+  * every trigram shingle collides (n-gram decontamination degenerates
+  * quadratic) and distinct_ratio sits at the rep-gate boundary (the
+  * selection keeps ~0 after extraction boilerplate). This corpus
+  * keeps the generator's BLOCK duplicate structure (pos 8 exact copy,
+  * pos 9 ~1/12 mutated near-dup) but draws tokens from a 50k hashed
+  * vocabulary with ~30% en stopwords and ~10% sentence punctuation,
+  * so quality, repetition, dedup and decontamination all operate in
+  * their intended regimes. */
+private[tools] object ProbeCorpus {
   private val StopToks = graft.ops.TextOps.stopwords.toArray
 
   private def pick(h: Long, n: Int): Int = (((h >>> 8) % n + n) % n).toInt
@@ -68,7 +71,7 @@ object PipelineScaleProbe {
       if (pick(h, 12) == 0) tokOf(CorpusGenerator.mix64(h)) else w
     }
 
-  private def textOf(id: Long): String = {
+  def textOf(id: Long): String = {
     val block = id / 10
     val base = block * 10
     val toks = (id % 10) match {
@@ -79,15 +82,19 @@ object PipelineScaleProbe {
     toks.mkString(" ")
   }
 
-  private def writeCorpus(spark: SparkSession, dir: String, n: Long): Unit = {
+  def writeCorpus(spark: SparkSession, dir: String, n: Long,
+      parts: Int = 32): Unit = {
     import spark.implicits._
     spark.range(n)
       .map(id => (id, textOf(id), "en", "src" + (id % 20)))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(32)
+      .repartition(parts)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
+}
+
+object PipelineScaleProbe {
 
   private final class ShuffleMeter extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -130,7 +137,7 @@ object PipelineScaleProbe {
       val nDocs = base * s
       val raw = s"$root/raw_$s"
       val dir = s"$root/ex_$s"
-      writeCorpus(spark, raw, nDocs) // generation untimed
+      ProbeCorpus.writeCorpus(spark, raw, nDocs) // generation untimed
       val stages = collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
 
       // 1. extraction entry (extract ON): fixture-wrapped crawl pages
@@ -193,8 +200,8 @@ object PipelineScaleProbe {
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"pipeline_scale","base_docs":$base,""" +
       s""""scales":$scaleJson,"verdicts":$verdictJson}"""
-    Files.writeString(
-      Paths.get("/root/repo/PIPELINE_SCALE.json"), json)
+    // repo-relative like bench_baseline.json is read (ADVICE r13)
+    Files.writeString(Paths.get("PIPELINE_SCALE.json"), json)
     println(json)
     spark.stop()
   }

@@ -87,7 +87,8 @@ object SubstrScaleProbe {
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"substr_scale","base_docs":$base,""" +
       s""""scales":$scaleJson,"verdicts":$vJson}"""
-    Files.writeString(Paths.get("/root/repo/SUBSTR_SCALE.json"), json)
+    // repo-relative like bench_baseline.json is read (ADVICE r13)
+    Files.writeString(Paths.get("SUBSTR_SCALE.json"), json)
     println(json)
     spark.stop()
   }

@@ -66,4 +66,25 @@ class DsirSpec extends SparkSpec {
     val sel = Dsir.dsirSelect(one).collect()
     assert(sel.length == 1 && sel.head.getInt(2) == 10000)
   }
+
+  test("scoreWith passes caller columns named toks/lrs through untouched") {
+    // ADVICE r13: internal columns are __dsir_-prefixed, so a frame
+    // already carrying toks/lrs keeps them — values AND scores agree
+    // with the plain-frame run
+    val lrt = Dsir.ratioTable(docs)
+    val withClash = docs
+      .withColumn("toks", array(lit("caller"), lit("owned")))
+      .withColumn("lrs", lit(42))
+    val out = Dsir.scoreWith(withClash, lrt)
+    assert(out.columns.contains("toks") && out.columns.contains("lrs"))
+    val rows = out.select(col("doc_id"), col("lrs"),
+      concat_ws("|", col("toks")).as("t"), col("dsir_score")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 42, s"lrs clobbered for doc ${r.getLong(0)}")
+      assert(r.getString(2) == "caller|owned", s"toks clobbered for doc ${r.getLong(0)}")
+    }
+    val plain = Dsir.scoreWith(docs, lrt)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    rows.foreach(r => assert(plain(r.getLong(0)) == r.getDouble(3)))
+  }
 }

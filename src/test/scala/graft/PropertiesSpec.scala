@@ -238,8 +238,12 @@ class PropertiesSpec extends SparkSpec {
     else 0
 
   /** The SQL spelling, re-implemented: sentinel-split, classify,
-    * prefix-sum depth, keep depth-0 text pieces, dropped → space. */
-  private def chromeModel(s: String): String = {
+    * prefix-sum depth, keep depth-0 text pieces, dropped → space.
+    * `clampStray = true` is instead the SCANNER's documented stray-
+    * close rule (HtmlScan.scala:36-42): a close at depth 0 is a
+    * no-op (the tag text is copied verbatim, which stripNorm folds
+    * to the same space), so depth never goes negative. */
+  private def chromeModel(s: String, clampStray: Boolean = false): String = {
     val out = new StringBuilder
     var depth = 0
     var last = 0
@@ -250,6 +254,7 @@ class PropertiesSpec extends SparkSpec {
       textPiece(s.substring(last, m.start()))
       out.append(' ') // tag pieces are never kept
       depth += deltaOf(m.group())
+      if (clampStray && depth < 0) depth = 0
       last = m.end()
     }
     textPiece(s.substring(last))
@@ -288,6 +293,58 @@ class PropertiesSpec extends SparkSpec {
       val viaModel = chromeModel(x)
       assert(stripNorm(viaScanner) == stripNorm(viaModel),
         s"diverged on: $x\n scanner=${stripNorm(viaScanner)}\n model=${stripNorm(viaModel)}")
+    }
+  }
+
+  // The documented DIVERGENCE domain (HtmlScan.scala:36-42), pinned
+  // explicitly instead of relying on the fixture never producing it
+  // (VERDICT r13 #2): stray closes at depth 0 — scanner ignores and
+  // keeps the tail, the SQL prefix-sum goes negative and drops it.
+  private def scanOf(x: String): String =
+    graft.functions.HtmlScanUtil.dropChrome(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)).toString
+
+  test("stray-close divergence is pinned in BOTH spellings") {
+    val x = "<p>a</p></nav><p>tail survives here</p>"
+    // scanner (Spark engine): stray close ignored, tail kept
+    assert(stripNorm(scanOf(x)) == "a tail survives here")
+    // SQL spelling (the model): depth -1 after the stray close, every
+    // later depth-0-in-scanner piece is non-zero here — tail DROPPED
+    assert(stripNorm(chromeModel(x)) == "a")
+    // the clamped model IS the scanner's rule — agreement restored
+    assert(stripNorm(chromeModel(x, clampStray = true)) == stripNorm(scanOf(x)))
+  }
+
+  test("literal \\x01 passes the scanner verbatim (SQL sentinel divergence)") {
+    // the SQL spelling consumes \x01 as its split sentinel; the
+    // scanner treats it as ordinary text — pinned so a fixture change
+    // that starts emitting control bytes fails HERE, not in the oracle
+    val x = "keep" + "\u0001" + "this <nav>drop</nav> end"
+    val out = scanOf(x)
+    assert(out.contains("keep" + "\u0001" + "this"), out)
+    assert(!out.contains("drop"), out)
+  }
+
+  test("scanner equals the CLAMPED model on soups WITH stray closes") {
+    // generator arm with stray closes mixed in — Spark-side only (the
+    // un-clamped SQL model legitimately diverges on this domain)
+    val word = Gen.oneOf("alpha", "beta", "</nav>", "</header >", "</aside>",
+      "<p>para</p>", "plain", "<navigation>", "x>y")
+    val chromeTag = Gen.oneOf("nav", "header", "footer", "aside")
+    def node(depth: Int): Gen[String] =
+      if (depth <= 0) word
+      else Gen.frequency(
+        4 -> word,
+        2 -> (for {
+          t <- chromeTag
+          inner <- Gen.listOfN(3, node(depth - 1)).map(_.mkString(" "))
+        } yield s"<$t>$inner</$t>"),
+        1 -> chromeTag.map(t => s"</$t>"))
+    val soup = Gen.listOfN(6, node(3)).map(_.mkString(" "))
+    samples(soup, 120, seed = 99L).foreach { x =>
+      assert(stripNorm(scanOf(x)) == stripNorm(chromeModel(x, clampStray = true)),
+        s"diverged on: $x\n scanner=${stripNorm(scanOf(x))}\n " +
+          s"clamped=${stripNorm(chromeModel(x, clampStray = true))}")
     }
   }
 }

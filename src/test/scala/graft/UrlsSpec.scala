@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Urls
+
+/** URL canonicalization + exact URL dedup + per-domain cap
+  * (VERDICT r13 #2): the planted ?utm_* twin must dedup, the planted
+  * hot domain must be capped. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.urlCanonicalize($"url")).as[String].collect().toSeq
+
+  test("canonicalization: case, default port, fragment, tracking params") {
+    // utm twin: differs ONLY by tracking params + fragment + case + :443
+    val Seq(a, b) = canon(
+      "https://news.example.com/a/1?id=7",
+      "HTTPS://NEWS.Example.COM:443/a/1?id=7&utm_source=feed&utm_medium=rss#top")
+    assert(a == "https://news.example.com/a/1?id=7")
+    assert(b == a, s"utm twin did not collapse: $b")
+    // param order of SURVIVORS is preserved; tracking in front dies
+    val Seq(c) = canon("https://h.example.org/p?utm_campaign=z&id=5&x=2")
+    assert(c == "https://h.example.org/p?id=5&x=2")
+    // non-default port is content-bearing — kept
+    val Seq(d, e) = canon(
+      "https://h.example.org:8080/p?id=1",
+      "http://h.example.org:80/p?id=1")
+    assert(d == "https://h.example.org:8080/p?id=1")
+    assert(e == "http://h.example.org/p?id=1")
+    // empty path normalizes to /; PATH case survives
+    val Seq(f) = canon("https://H.example.org?x=1")
+    assert(f == "https://h.example.org/?x=1")
+    val Seq(g) = canon("https://h.example.org/CaseSensitive/Path")
+    assert(g == "https://h.example.org/CaseSensitive/Path")
+    // all-tracking query drops the '?' entirely
+    val Seq(h) = canon("https://h.example.org/p?utm_source=x&gclid=abc")
+    assert(h == "https://h.example.org/p")
+  }
+
+  test("registered domain: subdomains stripped, port ignored") {
+    val rows = Seq(
+      "https://news.hub-portal.com/a?id=1",
+      "https://www.site7.org:8080/a",
+      "https://deep.sub.tree.example.net/x")
+      .toDF("url")
+      .select(Urls.registeredDomain(Urls.urlCanonicalize($"url"))).as[String]
+      .collect().toSeq
+    assert(rows == Seq("hub-portal.com", "site7.org", "example.net"))
+  }
+
+  test("fixture variants of one group dedup to one canonical url") {
+    // g=4 (no :8080 since 4 % 7 != 0): ids 12,13,14 collapse to one
+    val collapsed = Urls.urlDedup(
+      Seq(12L, 13L, 14L).toDF("doc_id")
+        .select($"doc_id", Urls.urlFixture($"doc_id").as("url")))
+      .collect()
+    assert(collapsed.length == 1)
+    assert(collapsed.head.getLong(0) == 12L)     // keeper = min doc_id
+    assert(collapsed.head.getLong(2) == 3L)      // all three variants
+    // g=7 (7 % 7 == 0): v0 keeps :8080 → stays distinct from v1/v2
+    val port = Urls.urlDedup(
+      Seq(21L, 22L, 23L).toDF("doc_id")
+        .select($"doc_id", Urls.urlFixture($"doc_id").as("url")))
+      .collect()
+    assert(port.length == 2)
+    val byKeeper = port.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byKeeper(21L) == 1L && byKeeper(22L) == 2L)
+  }
+
+  test("hot domain is capped at exactly cap; cold domains keep all") {
+    // 30 docs on hot.example.com, 4 on cold.example.org; cap 5
+    val scored = ((0L until 30L).map(i =>
+        (i, s"https://www.hot.example.com/p$i", 0.5 + (i % 10) * 0.01)) ++
+      (100L until 104L).map(i =>
+        (i, s"https://cold.example.org/p$i", 0.9)))
+      .toDF("doc_id", "url", "quality_score")
+    val out = Urls.domainCap(scored, 5).collect()
+    val hot = out.filter(_.getString(1) == "example.com")
+    val cold = out.filter(_.getString(1) == "example.org")
+    assert(hot.length == 5, s"hot domain kept ${hot.length}, want 5")
+    assert(cold.length == 4)
+    // top-5 by (quality desc, doc_id asc): quality .59 ids 9,19,29 then
+    // .58 ids 8,18 — deterministic tie-break on the lower id
+    assert(hot.map(_.getLong(0)).toSeq == Seq(9L, 19L, 29L, 8L, 18L))
+    assert(hot.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+}

@@ -209,6 +209,53 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------
+  // Curriculum phasing — frozen-threshold deployment form
+  // ---------------------------------------------------------------
+
+  /** THE FROZEN CURRICULUM ARTIFACT (VERDICT r13 #7): one row
+    * (vmin, t1, t2) — the min-shift anchor and the two HDR-sketch
+    * tercile thresholds over basis-point difficulty, exactly the
+    * values q_curriculum derives inline (StreamingSpec pins the two
+    * spellings doc-for-doc). A deployment fits this once per corpus
+    * snapshot and ships it to [[curriculumWith]]; like
+    * [[Dsir.ratioTable]], REFITTING per micro-batch would let new
+    * data shift every document's phase. Input: any frame carrying
+    * `avg_nll` (the [[lmPerplexity]] difficulty proxy). */
+  def curriculumThresholds(scored: DataFrame): DataFrame = {
+    val v = scored.select(floor(col("avg_nll") * 10000).cast("long").as("v"))
+    val mn = v.agg(min(col("v")).as("vmin"))
+    v.crossJoin(broadcast(mn))
+      .groupBy(col("vmin"))
+      .agg(graft.functions.hdr_sketch(
+        graft.functions.hdr_bucket_lo(col("v") - col("vmin"))).as("sk"))
+      .select(col("vmin"),
+        graft.functions.hdr_quantile(col("sk"), 0.33).as("t1"),
+        graft.functions.hdr_quantile(col("sk"), 0.66).as("t2"))
+  }
+
+  /** FROZEN-THRESHOLD phase assignment — the streaming deployment
+    * path (the [[Dsir.scoreWith]] precedent): the 1-row threshold
+    * table collects once (bounded control plane) and phases apply as
+    * a PURE PROJECTION — no join, no aggregation, no state, composes
+    * with any streaming pipeline. Internal column __cur_-prefixed so
+    * caller columns pass through. */
+  def curriculumWith(scored: DataFrame, thresholds: DataFrame): DataFrame = {
+    val r = thresholds.select(col("vmin").cast("long"),
+      col("t1").cast("long"), col("t2").cast("long")).collect()
+    require(r.length == 1,
+      s"curriculumWith: expected ONE threshold row, got ${r.length} — " +
+        "the table must come from curriculumThresholds")
+    val (vmin, t1, t2) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    scored
+      .withColumn("__cur_sv",
+        floor(col("avg_nll") * 10000).cast("long") - lit(vmin))
+      .withColumn("phase",
+        when(col("__cur_sv") <= t1, 0)
+          .when(col("__cur_sv") <= t2, 1).otherwise(2))
+      .drop("__cur_sv")
+  }
+
+  // ---------------------------------------------------------------
   // Hybrid retrieval: BM25 ⊕ hashed-embedding cosine via RRF
   // ---------------------------------------------------------------
 
@@ -415,11 +462,21 @@ object Retrieval {
       sim((b, a)) = c
     }
     cands.unpersist(false)
-    val s9 = math.pow(10, 9) // roundTo's exact ladder, driver-side
+    (mmrGreedy(rel, sim.toMap, MmrFinal), rel, sim.toMap)
+  }
+
+  /** THE greedy MMR fold — one definition behind the driver-side
+    * single-query path ([[mmrCore]]) and the executor-side per-group
+    * fold of [[mmrBatch]] (can't-desynchronize). Pure function of a
+    * ≤K-entry rel map + symmetric sim map; round-9 ladder matches
+    * the oracle's recursion; ties by doc_id asc. */
+  private[ops] def mmrGreedy(rel: Map[Long, Double],
+      sim: Map[(Long, Long), Double], k: Int): Seq[(Long, Double, Double)] = {
+    val s9 = math.pow(10, 9) // roundTo's exact ladder
     def r9(x: Double): Double = math.floor(x * s9 + 0.5) / s9
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val pickedIds = scala.collection.mutable.HashSet.empty[Long]
-    while (picked.size < MmrFinal && pickedIds.size < rel.size) {
+    while (picked.size < k && pickedIds.size < rel.size) {
       val best = rel.iterator
         .filter { case (id, _) => !pickedIds(id) }
         .map { case (id, rl) =>
@@ -432,7 +489,7 @@ object Retrieval {
       picked += best
       pickedIds += best._1
     }
-    (picked.toSeq, rel, sim.toMap)
+    picked.toSeq
   }
 
   def mmrRerank(docs: DataFrame, terms: Seq[String]): DataFrame = {
@@ -484,6 +541,79 @@ object Retrieval {
         StructField("k", LongType, nullable = false),
         StructField("n_pairs", LongType, nullable = false),
         StructField("avg_pairwise_cos", DoubleType, nullable = false))))
+  }
+
+  /** BATCH MMR SERVING (VERDICT r13 #3) — [[mmrRerank]] re-ranks ONE
+    * query with two corpus-scale scans; a retrieval product re-ranks
+    * EVERY query. This is the per-query-frame form: the bm25Batch
+    * query frame (doc_id ≡ 0 mod 100, terms at positions 1/5/9)
+    * retrieves per-query top-[[HybridK]] candidates through the
+    * bounded-state topk aggregate, relevance is the single-leg RRF
+    * transform round9(1/(60+rank)) (the same score scale λ was tuned
+    * against), and the greedy fold runs PER QUERY in a flatMapGroups
+    * over ≤[[HybridK]]-row groups (the FFD precedent — random-access
+    * picked-set state, executor-side, no driver traffic).
+    *
+    * SCALE SHAPE: one corpus scan feeds the candidate retrieval and
+    * one feeds the shared embedding space — independent of query
+    * count (vs ~2 scans PER query in the single-query form). The
+    * candidate-pair space is |queries| × K(K−1)/2 (never
+    * corpus-scale): vectors are candidate-restricted BEFORE the pair
+    * join and the self-join is keyed on (q_id, dim). Sim lists ride
+    * a sort_array(collect_list) per (q_id, candidate) — ≤K−1 entries
+    * each, deterministic order. */
+  def mmrBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = bm25Batch(docs, HybridK)
+      .select(col("q_id"), col("doc_id"),
+        roundTo(lit(1.0) / (lit(RrfC) + col("rank").cast("double")), 9)
+          .as("rel"))
+    val ids = cands.select(col("doc_id")).distinct()
+    // candidate-restricted shared embedding space (one hashEmbed
+    // subtree; the broadcast bound is |queries|·K distinct ids — a
+    // serving batch, not the corpus)
+    val vecs = hashEmbedSkinny(docs).join(broadcast(ids), Seq("doc_id"))
+    def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
+    val norms = vecs.groupBy(col("doc_id"))
+      .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))
+    val qv = cands.select(col("q_id"), col("doc_id")).join(vecs, Seq("doc_id"))
+    val pairs = qv.select(col("q_id"), col("doc_id").as("a"), col("dim"),
+        col("val").as("va"))
+      .join(qv.select(col("q_id"), col("doc_id").as("b"), col("dim"),
+        col("val").as("vb")), Seq("q_id", "dim"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("q_id"), col("a"), col("b"))
+      .agg(sum(sq(col("va") * col("vb"))).cast("double").as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), Seq("b"))
+      .filter(col("na") * col("nb") > 0)
+      .select(col("q_id"), col("a"), col("b"),
+        roundTo(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+    val sym = pairs
+      .union(pairs.select(col("q_id"), col("b").as("a"), col("a").as("b"),
+        col("cos")))
+    val simLists = sym.groupBy(col("q_id"), col("a"))
+      .agg(sort_array(collect_list(struct(col("b").as("_1"),
+        col("cos").as("_2")))).as("sims"))
+      .withColumnRenamed("a", "doc_id")
+    val grouped = cands.join(simLists, Seq("q_id", "doc_id"), "left")
+      .select(col("q_id"), col("doc_id"), col("rel"),
+        coalesce(col("sims"),
+          array().cast("array<struct<_1:bigint,_2:double>>")).as("sims"))
+      .as[(Long, Long, Double, Seq[(Long, Double)])]
+    grouped.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray // ≤ HybridK rows per group
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.iterator.flatMap(r =>
+          r._4.iterator.map { case (b, c) => (r._2, b) -> c }).toMap
+        mmrGreedy(rel, sim, MmrFinal).iterator.zipWithIndex.map {
+          case ((id, m, rl), i) => (qid, (i + 1).toLong, id, m, rl)
+        }
+      }
+      .toDF("q_id", "rank", "doc_id", "mmr_score", "rel")
+      .orderBy("q_id", "rank")
   }
 
   // ---------------------------------------------------------------
@@ -606,22 +736,74 @@ object Retrieval {
         array_join(col("syms"), " ").as("encoded"))
   }
 
-  /** Per-document token counts under the LEARNED BPE vocabulary —
-    * the "real token counts" feeding sequence packing: each ≥2-char
-    * token costs its encoded piece count (broadcast join against the
-    * vocab-granular [[bpeEncodeVocab]] table — the occurrence stream
-    * never carries text beyond the token itself), 1-char tokens are
-    * single symbols, empty tokens vanish. */
-  def bpePackCounts(s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val vocabPieces = bpeEncodeVocab(s, dir, rounds)
-      .select(col("token"), col("n_pieces"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .join(broadcast(vocabPieces), Seq("token"), "left")
-      .withColumn("p", coalesce(col("n_pieces"), lit(1L)))
-      .groupBy(col("doc_id")).agg(sum(col("p")).as("n"))
+  /** The PIECE LEXICON under a learned merge table: every distinct
+    * final piece the corpus vocabulary encodes to (multi-char pieces
+    * are exactly merge products; 1-char tokens are their own piece),
+    * sorted lexicographically — id = position. Bounded by |alphabet|
+    * + rounds, so collecting it is operator metadata, not data; the
+    * derivation runs the fold once per DISTINCT token (the
+    * [[bpeEncodeVocab]] vocab-granularity discipline). */
+  def bpePieceLexicon(docs: DataFrame,
+      merges: Seq[(String, String)]): Array[String] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+      .select(explode(when(length(col("token")) >= 2,
+        applyMerges(split(col("token"), ""), merges))
+        .otherwise(array(col("token")))).as("piece"))
+      .distinct().orderBy("piece").as[String].collect()
   }
+
+  /** MATERIALIZE THE TOKENIZED CORPUS (VERDICT r13 #4) — the per-doc
+    * token-id arrays a trainer actually consumes: (doc_id,
+    * ids array<int>, n_ids), ids in document order under the learned
+    * vocabulary ([[bpePieceLexicon]] positions). Docs with zero
+    * non-empty tokens are absent (the lmPerplexity absent-rows
+    * rule). */
+  def bpeTokens(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = bpeMergesMemo(s, dir, rounds)
+    bpeTokensFrom(docs, merges, bpePieceLexicon(docs, merges))
+  }
+
+  /** Frame-level core of [[bpeTokens]] — a PURE PROJECTION: per-token
+    * greedy fold + literal piece-id map lookup, all in-row, so the
+    * corpus text NEVER shuffles and the stage composes with any
+    * streaming pipeline (the scoreWith discipline — no join, no
+    * aggregation, no state). A first spelling broadcast a
+    * vocab-granular (token → ids) table onto the (doc_id, pos,
+    * token) explode and regrouped per doc: correct, linear, but it
+    * exchanged ~16 B per corpus TOKEN (90 s for 222M ids at probe
+    * scale) where this spelling exchanges nothing and can't skew —
+    * the per-occurrence fold redundancy (distinct tokens re-encoded
+    * per occurrence) is cheaper than shipping every token id through
+    * a shuffle, and vanishes into the same scan that tokenizes.
+    * Pieces outside `lexicon` (a stream token unseen at freeze time)
+    * map to null ids — callers freezing a lexicon own that contract
+    * (same rule as [[graft.ops.VectorOps.topicSampleWith]]'s unknown
+    * cells). */
+  def bpeTokensFrom(docs: DataFrame, merges: Seq[(String, String)],
+      lexicon: Array[String]): DataFrame = {
+    val idMap = typedlit(lexicon.zipWithIndex.toMap)
+    def pieceOf(t: Column): Column =
+      when(length(t) >= 2, applyMerges(split(t, ""), merges))
+        .otherwise(array(t))
+    docs
+      .select(col("doc_id"), flatten(transform(
+        filter(tokens(col("text")), t => t =!= ""),
+        t => transform(pieceOf(t), p => element_at(idMap, p)))).as("ids"))
+      .filter(size(col("ids")) >= 1)
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast("long").as("n_ids"))
+  }
+
+  /** Per-document token counts under the LEARNED BPE vocabulary —
+    * the "real token counts" feeding sequence packing, defined AS
+    * [[bpeTokens]]'s n_ids (VERDICT r13 #4: packing runs on real
+    * tokenizer output, one spelling — the count IS the id array's
+    * length, map-side like everything else in the encode lane). */
+  def bpePackCounts(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    bpeTokens(s, dir, rounds).select(col("doc_id"), col("n_ids").as("n"))
 
   // ---------------------------------------------------------------
   // PII detection / redaction
@@ -772,6 +954,12 @@ object Retrieval {
     "q_mmr_diversity" -> ((s, dir) =>
       mmrDiversity(Tables.documents(s, dir), BmTerms)),
 
+    // BATCH MMR SERVING — every query of the bm25Batch frame
+    // re-ranked for diversity in ~two corpus scans total (vs two PER
+    // query in the single-query form).
+    "q_mmr_batch" -> ((s, dir) =>
+      mmrBatch(Tables.documents(s, dir))),
+
     // BPE TRAINING STEP — the tokenizer-learning primitive: the
     // corpus-frequency-weighted count of adjacent character pairs
     // inside tokens (one merge round of byte-pair encoding; iterate
@@ -813,7 +1001,19 @@ object Retrieval {
     // oracle-side window-cumsum replay.
     "q_bpe_pack" -> ((s, dir) =>
       TextOps.packCounts(bpePackCounts(s, dir, BpeEncodeRounds),
-        TextOps.PackContext))
+        TextOps.PackContext)),
+
+    // THE TOKENIZED CORPUS — per-doc token-id arrays under the
+    // learned vocabulary (the artifact a trainer consumes). The
+    // declared projection joins ids to a string because the oracle
+    // gate compares scalar columns; the operator's array form is
+    // spec-pinned equal.
+    "q_bpe_tokens" -> ((s, dir) =>
+      bpeTokens(s, dir, BpeEncodeRounds)
+        .select(col("doc_id"), col("n_ids"),
+          array_join(transform(col("ids"), _.cast("string")), " ")
+            .as("token_ids"))
+        .orderBy("doc_id"))
   )
 
   private def toksSql = tokensSql("text")
@@ -892,6 +1092,23 @@ object Retrieval {
        |  FROM scored)""".stripMargin
   }
 
+  /** The hashed-embedding table CTEs (htf/hdf/hw → `hvec`), assuming
+    * `ex(doc_id, dl, token)` and `stats` precede — shared verbatim by
+    * [[hybridChainSql]] (single query) and the q_mmr_batch oracle
+    * (whose `ex`/`stats` come from the batch chain instead). */
+  private def hvecCtesSql: String =
+    s"""htf AS (SELECT doc_id, token, count(*) AS tf FROM ex
+       |        WHERE token != '' GROUP BY 1, 2),
+       |hdf AS (SELECT token, count(*) AS df FROM htf GROUP BY 1),
+       |hw AS (
+       |  SELECT htf.doc_id, ${TextOps.hash60Sql("htf.token")} % 64 AS dim,
+       |    ${roundToSql("htf.tf * ln((s.n_docs + 1.0) / (hdf.df + 1.0))", 6)} AS w
+       |  FROM htf JOIN hdf USING (token) CROSS JOIN stats s),
+       |hvec AS (
+       |  SELECT doc_id, dim,
+       |    ${roundToSql("CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS val
+       |  FROM hw GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB replay of [[hybridSearch]]: the shared [[bm25ChainSql]]
     * lexical leg, the hashed-embedding cosine leg (htf/hdf mirror the
     * q_hash_embed chain off the SAME `ex` explode; query vector under
@@ -905,17 +1122,7 @@ object Retrieval {
     def rrfLeg(r: String) = roundToSql(
       s"CASE WHEN $r IS NULL THEN 0.0 ELSE 1.0 / ($RrfC + CAST($r AS DOUBLE)) END", 9)
     s"""$bm25ChainSql,
-       |htf AS (SELECT doc_id, token, count(*) AS tf FROM ex
-       |        WHERE token != '' GROUP BY 1, 2),
-       |hdf AS (SELECT token, count(*) AS df FROM htf GROUP BY 1),
-       |hw AS (
-       |  SELECT htf.doc_id, ${TextOps.hash60Sql("htf.token")} % 64 AS dim,
-       |    ${roundToSql("htf.tf * ln((s.n_docs + 1.0) / (hdf.df + 1.0))", 6)} AS w
-       |  FROM htf JOIN hdf USING (token) CROSS JOIN stats s),
-       |hvec AS (
-       |  SELECT doc_id, dim,
-       |    ${roundToSql("CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS val
-       |  FROM hw GROUP BY 1, 2),
+       |$hvecCtesSql,
        |hqdf AS (
        |  SELECT token, count(DISTINCT doc_id) AS df FROM ex
        |  WHERE token IN (SELECT unnest($termsList)) GROUP BY 1),
@@ -1065,6 +1272,107 @@ object Retrieval {
        |FROM u ORDER BY variant""".stripMargin
   }
 
+  /** The [[bm25Batch]] replay chain ending in `branked(q_id, doc_id,
+    * score, rank)` — shared by the q_bm25_batch and q_mmr_batch
+    * oracles (one spelling). Also leaves `ex` and `stats` in scope
+    * for [[hvecCtesSql]]. */
+  private def bm25BatchChainSql: String =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest([toks[1], toks[5], toks[9]]) AS token
+       |  FROM d WHERE doc_id % 100 = 0 AND len(toks) >= 9),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+       |ex AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
+       |fx AS (SELECT * FROM ex WHERE token IN (SELECT token FROM q)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |       FROM fx GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
+       |  FROM tf JOIN df USING (token) JOIN q USING (token)
+       |  CROSS JOIN stats s
+       |  WHERE tf.doc_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, doc_id, ${roundToSql(
+             "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |branked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+
+  /** DuckDB replay of [[mmrBatch]]: per-query top-[[HybridK]]
+    * candidates off [[bm25BatchChainSql]], single-leg RRF relevance,
+    * pairwise cosine in the shared [[hvecCtesSql]] space keyed by
+    * (q_id, dim), and the greedy fold as ONE recursive CTE advancing
+    * EVERY query one pick per iteration (state = latest pick per
+    * q_id, PARTITION BY q_id in the QUALIFY; queries that exhaust
+    * their candidates simply stop producing rows). */
+  private def mmrBatchOracleSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    s"""WITH RECURSIVE $bm25BatchChainSql,
+       |$hvecCtesSql,
+       |bcand AS (
+       |  SELECT q_id, doc_id,
+       |    ${roundToSql(s"1.0 / ($RrfC + CAST(rank AS DOUBLE))", 9)} AS rel
+       |  FROM branked WHERE rank <= $HybridK),
+       |bv AS (SELECT c.q_id, v.doc_id, v.dim, v.val
+       |  FROM hvec v JOIN bcand c USING (doc_id)),
+       |bn AS (SELECT v.doc_id,
+       |    sqrt(CAST(SUM(CAST(${roundToSql("v.val * v.val", 8)}
+       |      AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+       |  FROM hvec v JOIN (SELECT DISTINCT doc_id FROM bcand) c USING (doc_id)
+       |  GROUP BY 1),
+       |bp AS (SELECT va.q_id, va.doc_id AS a, vb.doc_id AS b,
+       |    CAST(SUM(CAST(${roundToSql("va.val * vb.val", 8)}
+       |      AS DECIMAL(38,8))) AS DOUBLE) AS dot
+       |  FROM bv va JOIN bv vb
+       |    ON va.q_id = vb.q_id AND va.dim = vb.dim AND va.doc_id < vb.doc_id
+       |  GROUP BY 1, 2, 3),
+       |bs AS (SELECT bp.q_id, bp.a, bp.b,
+       |    ${roundToSql("bp.dot / (na.nrm * nb.nrm)", 6)} AS cos
+       |  FROM bp JOIN bn na ON na.doc_id = bp.a
+       |          JOIN bn nb ON nb.doc_id = bp.b
+       |  WHERE na.nrm * nb.nrm > 0),
+       |bsym AS (SELECT q_id, a, b, cos FROM bs
+       |         UNION ALL SELECT q_id, b, a, cos FROM bs),
+       |bcl AS (SELECT c.q_id, c.doc_id, c.rel,
+       |    COALESCE(list(s.b ORDER BY s.b)
+       |      FILTER (WHERE s.b IS NOT NULL), []) AS sids,
+       |    COALESCE(list(s.cos ORDER BY s.b)
+       |      FILTER (WHERE s.b IS NOT NULL), []) AS scos
+       |  FROM bcand c LEFT JOIN bsym s
+       |    ON s.q_id = c.q_id AND s.a = c.doc_id
+       |  GROUP BY 1, 2, 3),
+       |brec(q_id, rank, doc_id, mmr, rel, picked) AS (
+       |  (SELECT * FROM (SELECT q_id, CAST(1 AS BIGINT) AS rank, doc_id,
+       |      ${roundToSql(s"$lam * rel", 9)} AS mmr, rel,
+       |      [doc_id] AS picked FROM bcl) b0
+       |   QUALIFY row_number() OVER (PARTITION BY b0.q_id
+       |     ORDER BY b0.mmr DESC, b0.doc_id) = 1)
+       |  UNION ALL
+       |  (SELECT * FROM (SELECT p.q_id, p.rank + 1 AS rank, c.doc_id,
+       |      ${roundToSql(
+            s"$lam * c.rel - $oneMinus * COALESCE(list_max(" +
+              "list_transform(p.picked, " +
+              "pk -> c.scos[list_position(c.sids, pk)])), 0.0)", 9)} AS mmr,
+       |      c.rel, list_append(p.picked, c.doc_id) AS picked
+       |    FROM brec p JOIN bcl c
+       |      ON c.q_id = p.q_id AND NOT list_contains(p.picked, c.doc_id)
+       |    WHERE p.rank < $MmrFinal) st
+       |   QUALIFY row_number() OVER (PARTITION BY st.q_id
+       |     ORDER BY st.mmr DESC, st.doc_id) = 1)
+       |)
+       |SELECT q_id, rank, doc_id, mmr AS mmr_score, rel FROM brec
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The q_lm_perplexity CTE chain ending in `pd(doc_id, n_bigrams,
     * avg_nll)` — shared with the q_curriculum oracle. */
   private def lmCtesSql: String =
@@ -1104,36 +1412,11 @@ object Retrieval {
       "q_mmr_diversity" -> mmrDiversityOracleSql,
 
       "q_bm25_batch" ->
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |q AS (
-           |  SELECT doc_id AS q_id,
-           |    unnest([toks[1], toks[5], toks[9]]) AS token
-           |  FROM d WHERE doc_id % 100 = 0 AND len(toks) >= 9),
-           |stats AS (SELECT count(*) AS n_docs,
-           |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
-           |ex AS (
-           |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM d),
-           |fx AS (SELECT * FROM ex WHERE token IN (SELECT token FROM q)),
-           |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
-           |       FROM fx GROUP BY 1, 2),
-           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-           |contrib AS (
-           |  SELECT q.q_id, tf.doc_id,
-           |    ${bmContribSql("tf.tf", "df.df", "tf.dl", "s.n_docs", "s.avgdl")} AS c
-           |  FROM tf JOIN df USING (token) JOIN q USING (token)
-           |  CROSS JOIN stats s
-           |  WHERE tf.doc_id <> q.q_id),
-           |scored AS (
-           |  SELECT q_id, doc_id, ${roundToSql(
-                 "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
-           |  FROM contrib GROUP BY 1, 2),
-           |ranked AS (
-           |  SELECT q_id, doc_id, score,
-           |    row_number() OVER (PARTITION BY q_id
-           |      ORDER BY score DESC, doc_id ASC) AS rank
-           |  FROM scored)
+        s"""WITH $bm25BatchChainSql
            |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-           |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+           |FROM branked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+      "q_mmr_batch" -> mmrBatchOracleSql,
 
       "q_lm_perplexity" ->
         s"""WITH $lmCtesSql
@@ -1231,7 +1514,41 @@ object Retrieval {
            |  (st + n - 1) // ${TextOps.PackContext} AS last_example,
            |  ((st + n - 1) // ${TextOps.PackContext}) - (st // ${TextOps.PackContext}) + 1
            |    AS n_examples
-           |FROM c ORDER BY doc_id""".stripMargin
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // replay: learn merges (chained CTEs), piece the DISTINCT
+      // vocabulary (1-char tokens are their own piece), id the piece
+      // lexicon lexicographically, then flatten ids in (pos, ppos)
+      // document order
+      "q_bpe_tokens" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tok0 AS (SELECT unnest(toks) AS token FROM d),
+           |${bpeChainSql(BpeEncodeRounds)},
+           |vt AS (SELECT DISTINCT token FROM tok0 WHERE token != ''),
+           |vp AS (SELECT vt.token,
+           |    CASE WHEN length(vt.token) >= 2 THEN sv.syms
+           |         ELSE [vt.token] END AS pieces
+           |  FROM vt LEFT JOIN s$BpeEncodeRounds sv ON vt.token = sv.token),
+           |pid AS (SELECT piece,
+           |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS piece_id
+           |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM vp)),
+           |tp AS (SELECT token, i AS ppos, pieces[CAST(i AS INT)] AS piece
+           |  FROM vp, unnest(range(1, len(pieces) + 1)) AS u(i)),
+           |tj AS (SELECT tp.token, tp.ppos, pid.piece_id
+           |  FROM tp JOIN pid USING (piece)),
+           |tids AS (SELECT token, list(piece_id ORDER BY ppos) AS tok_ids
+           |  FROM tj GROUP BY 1),
+           |occ AS (SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS token
+           |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+           |  WHERE toks[CAST(i AS INT)] != ''),
+           |oj AS (SELECT o.doc_id, o.pos, t.tok_ids
+           |  FROM occ o JOIN tids t USING (token)),
+           |ag AS (SELECT doc_id, flatten(list(tok_ids ORDER BY pos)) AS ids
+           |  FROM oj GROUP BY 1)
+           |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+           |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' ')
+           |    AS token_ids
+           |FROM ag ORDER BY doc_id""".stripMargin
     )
   }
 }

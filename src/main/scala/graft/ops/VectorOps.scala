@@ -232,6 +232,46 @@ object VectorOps {
         (col("vec_id") === col("rep_id") && col("dropped_id").isNull).as("kept"))
   }
 
+  /** THE FROZEN TOPIC-RATE ARTIFACT (VERDICT r13 #7): the ≤k-row
+    * (cell, rate_bp) table of q_topic_sample's sqrt-flattened
+    * mixture rule over an assigned (vec_id, cell) frame — fit once
+    * per corpus snapshot, shipped to [[topicSampleWith]] (the
+    * [[graft.ops.Dsir.ratioTable]] freeze discipline: re-deriving
+    * per micro-batch lets new data flip earlier keep decisions). */
+  def topicRates(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val minC = counts.agg(min(col("c")).as("cmin"))
+    counts.crossJoin(broadcast(minC))
+      .select(col("cell"),
+        floor(lit(10000) * sqrt(col("cmin").cast("double") / col("c")))
+          .cast("int").as("rate_bp"))
+  }
+
+  /** The deterministic salted-hash keep rule over a frame carrying
+    * (vec_id, rate_bp) — ONE spelling behind the batch join path and
+    * the frozen-rate projection path. */
+  private[ops] def topicKeepPredicate: Column =
+    pmod(TextOps.hash60(
+      concat(lit("topic:"), col("vec_id").cast("string"))),
+      lit(10000)) < col("rate_bp")
+
+  /** FROZEN-RATE topic sampling — the streaming deployment path (the
+    * scoreWith precedent): the ≤k-row rate table collects once into
+    * a map literal and the keep decision is a PURE PROJECTION over
+    * the assigned stream (cells come map-side from frozen centers
+    * via [[Ivf.assign]]) — no join, no state. Vectors landing in a
+    * cell ABSENT from the frozen table are DROPPED (a new topic has
+    * no calibrated rate until the next refit — conservative,
+    * stated). */
+  def topicSampleWith(assigned: DataFrame, rates: DataFrame): DataFrame = {
+    val r = rates.select(col("cell").cast("long"), col("rate_bp").cast("int"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assigned
+      .withColumn("rate_bp", element_at(typedlit(r), col("cell")))
+      .filter(col("rate_bp").isNotNull && topicKeepPredicate)
+      .select(col("vec_id"), col("cell"), col("rate_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate nearest neighbors via sign-LSH: bucket every vector
     // with 8 deterministic hyperplanes, search only the query's bucket,
@@ -398,16 +438,8 @@ object VectorOps {
         k = 8, iters = 2)
       val assigned = Ivf.assign(e, col("embedding"), centers)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
-      val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      val minC = counts.agg(min(col("c")).as("cmin"))
-      val rates = counts.crossJoin(broadcast(minC))
-        .select(col("cell"),
-          floor(lit(10000) * sqrt(col("cmin").cast("double") / col("c")))
-            .cast("int").as("rate_bp"))
-      assigned.join(broadcast(rates), Seq("cell"))
-        .filter(pmod(TextOps.hash60(
-          concat(lit("topic:"), col("vec_id").cast("string"))),
-          lit(10000)) < col("rate_bp"))
+      assigned.join(broadcast(topicRates(assigned)), Seq("cell"))
+        .filter(topicKeepPredicate)
         .select(col("vec_id"), col("cell"), col("rate_bp"))
         .orderBy("vec_id")
     }),

@@ -84,14 +84,29 @@ object BpeScaleProbe {
       val piecesShrunk = encoded.filter(col("n_pieces") <
         length(col("token"))).count()
       val tFold = (System.nanoTime() - t2) / 1e9
+      // OCCURRENCE-LEVEL ENCODE (VERDICT r13 #4): the per-doc
+      // token-id materialization a trainer consumes — in-row fold +
+      // literal piece-id map, ZERO shuffle (a broadcast-join+regroup
+      // spelling measured 90 s for the 1M-doc config; this one is
+      // pure scan). Must scale ~linearly with docs at fixed vocab.
+      val t3 = System.nanoTime()
+      val lexicon = graft.ops.Retrieval.bpePieceLexicon(docs, merges)
+      val tokIds = graft.ops.Retrieval.bpeTokensFrom(docs, merges, lexicon)
+      val idAgg = tokIds.agg(count(lit(1)), sum(col("n_ids"))).collect()(0)
+      val (idDocs, idTotal) = (idAgg.getLong(0), idAgg.getLong(1))
+      val tEncode = (System.nanoTime() - t3) / 1e9
       vocabDf.unpersist(true)
       docs.unpersist(true)
       require(nEncoded <= vocab,
         s"encoded vocab $nEncoded exceeds the drawn vocab $vocab")
       require(piecesShrunk > 0, "no token shrank — merges not applied")
+      require(idDocs == nDocs, s"encode lost docs: $idDocs of $nDocs")
+      require(idTotal >= nDocs * 50,
+        s"id count $idTotal below the token floor ${nDocs * 50}")
       f"""{"docs":$nDocs,"vocab_drawn":$vocab,"vocab_encoded":$nEncoded,""" +
         f""""rounds":$rounds,"vocab_agg_sec":$tVocab%.2f,"learn_sec":$tLearn%.2f,""" +
-        f""""fold_sec":$tFold%.2f,""" +
+        f""""fold_sec":$tFold%.2f,"encode_sec":$tEncode%.2f,""" +
+        f""""ids_total":$idTotal,""" +
         f""""tokens_total":${nDocs * 50},"shrunk":$piecesShrunk}"""
     }
     println(s"""{"metric":"bpe_scale","configs":[${results.mkString(",")}]}""")

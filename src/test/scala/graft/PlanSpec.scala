@@ -131,17 +131,21 @@ class PlanSpec extends SparkSpec {
       s"one vocab aggregation exchange expected (plus AQE read):\n${p.take(2000)}")
   }
 
-  test("bpe pack counts broadcast the piece-count vocab onto the token stream") {
+  test("bpe pack counts are a pure projection — no join, no shuffle (r14)") {
     // q_bpe_pack's final frame is the RDD-backed two-phase packing
-    // output (its executedPlan is a flat scan); the join discipline
-    // lives in the counts stage feeding it — pin THAT plan
+    // output (its executedPlan is a flat scan); the encode discipline
+    // lives in the counts stage feeding it — pin THAT plan. r14: the
+    // counts are bpeTokens' in-row fold + literal piece-id map, so
+    // the stage must carry NO join (the broadcast-table spelling was
+    // dropped, NOTES_r14) and NO exchange — the corpus text never
+    // leaves its scan.
     val p = graft.ops.Retrieval
       .bpePackCounts(spark, dir, graft.ops.Retrieval.BpeEncodeRounds)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"vocab piece counts must broadcast:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"token-stream join must not sort-merge:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"bpe counts must not join (in-row encode):\n${p.take(2000)}")
+    assert(!p.contains("Exchange"),
+      s"bpe counts must not shuffle (map-side only):\n${p.take(2000)}")
   }
 
   test("q_pii_redact is pure map-side — no join, no aggregation") {

@@ -249,6 +249,49 @@ class RetrievalSpec extends SparkSpec {
     assert(r === List("aa", "a"))
   }
 
+  test("bpe tokens: document-order ids, 1-char tokens, n_ids == pack counts") {
+    val docs = Seq(
+      (1L, "low newest"),
+      (2L, "newest low"),
+      (3L, "low low a lower"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tok").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Retrieval.bpeTokens(spark, dir, 4)
+      .select(col("doc_id"), col("ids"), col("n_ids"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toList, r.getLong(2))).toMap
+    // whitespace-only doc is absent; every n_ids is its array's size
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    rows.values.foreach { case (ids, n) => assert(ids.length.toLong == n) }
+    // in-memory expected piece counts under the SAME learned table
+    val merges = Retrieval.learnBpeMerges(
+      graft.io.Tables.documents(spark, dir), 4)
+    def enc(t: String): List[String] =
+      if (t.length < 2) List(t)
+      else merges.foldLeft(t.split("").toList) { case (syms, (a, b)) =>
+        def ap(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: ap(rest)
+          case x :: rest => x :: ap(rest)
+          case Nil => Nil
+        }
+        ap(syms)
+      }
+    val nLow = enc("low").length
+    val nNewest = enc("newest").length
+    assert(rows(1L)._1.length == nLow + nNewest)
+    assert(rows(3L)._1.length == 2 * nLow + 1 + enc("lower").length)
+    // DOCUMENT ORDER: doc 1 = low ++ newest, doc 2 = newest ++ low —
+    // the same two id blocks, swapped
+    val (ids1, ids2) = (rows(1L)._1, rows(2L)._1)
+    assert(ids2 == ids1.drop(nLow) ++ ids1.take(nLow),
+      s"order not preserved: $ids1 vs $ids2")
+    // packing consumes the SAME lengths (one id-table definition)
+    val packed = Retrieval.bpePackCounts(spark, dir, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == rows.map { case (k, (_, n)) => k -> n })
+  }
+
   // ---------------- SemDeDup ----------------
 
   test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {

@@ -820,6 +820,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-threshold curriculum stream phasing equals batch q_curriculum") {
+    // deployment shape (VERDICT r13 #7): fit the HDR tercile
+    // thresholds once in batch, freeze them, phase a difficulty
+    // STREAM map-side — phases must equal the inline-threshold batch
+    // query doc-for-doc
+    val dir = sf("sf0.001")
+    val batch = SparkEntry.queries("q_curriculum")(spark, dir)
+      .select($"doc_id", $"phase").as[(Long, Int)].collect().toMap
+    val ppl = ops.Retrieval.lmPerplexity(io.Tables.documents(spark, dir))
+      .select($"doc_id", $"avg_nll")
+    val thr = ops.Retrieval.curriculumThresholds(ppl)
+    val rows = ppl.as[(Long, Double)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Double)]
+    val q = ops.Retrieval.curriculumWith(
+        input.toDF().toDF("doc_id", "avg_nll"), thr)
+      .select($"doc_id", $"phase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curriculum_out").start()
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("curriculum_out")
+        .select($"doc_id", $"phase").as[(Long, Int)].collect().toMap
+      assert(streamed === batch,
+        "streamed frozen-threshold phases diverged from batch q_curriculum")
+      assert(streamed.values.toSet == Set(0, 1, 2),
+        s"degenerate phasing: ${streamed.values.toSet}")
+    } finally q.stop()
+  }
+
+  test("frozen-rate topic sampling stream equals the batch join path") {
+    val dir = sf("sf0.001")
+    val e = io.Tables.embeddings(spark, dir)
+    val centers = ops.Ivf.fit(e, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    val assigned = ops.Ivf.assign(e, $"embedding", centers)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+    val rates = ops.VectorOps.topicRates(assigned)
+    // batch truth: the q_topic_sample join path over the same frame
+    val batch = assigned
+      .join(org.apache.spark.sql.functions.broadcast(rates), Seq("cell"))
+      .filter(org.apache.spark.sql.functions.pmod(
+        ops.TextOps.hash60(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("topic:"),
+          $"vec_id".cast("string"))),
+        org.apache.spark.sql.functions.lit(10000)) < $"rate_bp")
+      .select($"vec_id", $"cell", $"rate_bp")
+      .as[(Long, Long, Int)].collect().toSet
+    val rows = assigned.as[(Long, Long)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Long)]
+    val q = ops.VectorOps.topicSampleWith(
+        input.toDF().toDF("vec_id", "cell"), rates)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("topic_sample_out").start()
+    try {
+      rows.grouped(rows.length / 2 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("topic_sample_out")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed === batch,
+        "streamed frozen-rate topic sample diverged from the batch join")
+      assert(batch.nonEmpty && batch.size < rows.length,
+        s"degenerate sample: kept ${batch.size} of ${rows.length}")
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter equals the batch LSH pair graph") {
     import graft.stream.StreamingDedup
     val dir = sf("sf0.01")

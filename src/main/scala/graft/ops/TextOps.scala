@@ -1115,9 +1115,21 @@ object TextOps {
     * every page (a) flags the whole corpus contaminated and (b) makes
     * the (doc, eval) shingle join |docs|·|evals| — the superlinear
     * stage the round-13 PIPELINE_SCALE probe caught (NOTES_r13). The
-    * same df-cap idea as the MinHash path's hot-bucket CapBucket. */
+    * same df-cap idea as the MinHash path's hot-bucket CapBucket.
+    *
+    * [[DeconDfAbs]] is the r14 tightening (DiagDecon, NOTES_r14): a
+    * RELATIVE cap alone keeps every shingle whose df grows with the
+    * corpus but sits under n/20 — template families at df ≈ n/50
+    * made the eval pair join QUADRATIC again one decade up
+    * (1.26M → 127M pair rows at 10× in DIAG_DECON.json). Capping the
+    * threshold at an absolute df bounds pairs-per-shingle by a
+    * CONSTANT, so the join is O(n) at every scale: a shingle in >256
+    * documents is boilerplate no matter how big the corpus. Below
+    * n_docs = 20·256 the absolute arm is inactive — sf0.01/sf0.1
+    * results and pins are bit-identical. */
   val DeconDfDenom = 20
   val DeconDfFloor = 5
+  val DeconDfAbs = 256
 
   /** The HOT (df-capped-out) shingle set of a (doc_id, h) stream —
     * one keyed aggregation; output is bounded by total_shingles/cap ≤
@@ -1125,17 +1137,25 @@ object TextOps {
     * broadcasts at any corpus size. count(*) IS document frequency
     * because both feeders emit DISTINCT hashes per doc
     * (ngram_hash_explode / ngram_hashes contract). */
-  private def deconHotShingles(ex: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def deconHotShingles(ex: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.select(count(lit(1)).as("n_docs"))
     ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .filter(col("df") >
-        greatest(expr(s"n_docs div $DeconDfDenom"), lit(DeconDfFloor.toLong)))
+      .filter(col("df") > least(
+        greatest(expr(s"n_docs div $DeconDfDenom"), lit(DeconDfFloor.toLong)),
+        lit(DeconDfAbs.toLong)))
       .select(col("h"))
   }
 
-  private[graft] def corpusPipelineSelection(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  /** The selection's SUBSTAGE frames — (feats, contaminated,
+    * selected) — exposed so [[graft.tools.PipelineScaleProbe]] can
+    * attribute the quality_decon stage's wall/shuffle to its
+    * components (VERDICT r13 #1: an end-of-stage number alone let a
+    * superlinear term hide inside the composed wall). Semantics are
+    * exactly [[corpusPipelineSelection]]'s; production consumers go
+    * through that wrapper and pay no extra materialization. */
+  private[graft] def corpusPipelineSubstages(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val feats = corpusFeatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = clusterKeeperIds(s, dir, feats)
@@ -1157,6 +1177,12 @@ object TextOps {
       .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
         col("quality_score") >= 0.3 && col("marker_hits") > 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+    (feats, contaminated, selected)
+  }
+
+  private[graft] def corpusPipelineSelection(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (feats, _, selected) = corpusPipelineSubstages(s, dir)
     (selected, feats)
   }
 
@@ -2733,7 +2759,7 @@ object TextOps {
          |snd AS (SELECT count(*) AS n_docs FROM documents),
          |shot AS (SELECT h FROM
          |    (SELECT h, count(*) AS df FROM sex0 GROUP BY 1) t CROSS JOIN snd
-         |  WHERE t.df > GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor)),
+         |  WHERE t.df > LEAST(GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor), $DeconDfAbs)),
          |sex AS (SELECT * FROM sex0 WHERE h NOT IN (SELECT h FROM shot)),
          |cont AS (
          |  SELECT DISTINCT doc_id FROM (
@@ -3376,7 +3402,7 @@ object TextOps {
            |nd AS (SELECT count(*) AS n_docs FROM documents),
            |hot AS (SELECT h FROM
            |    (SELECT h, count(*) AS df FROM ex GROUP BY 1) t CROSS JOIN nd
-           |  WHERE t.df > GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor)),
+           |  WHERE t.df > LEAST(GREATEST(n_docs // $DeconDfDenom, $DeconDfFloor), $DeconDfAbs)),
            |kx AS (SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot))
            |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
            |FROM kx c JOIN kx e ON c.h = e.h

@@ -49,6 +49,13 @@ package object functions {
       markers: Seq[String]): Column =
     shims.column(TokenStats(shims.expression(tokens), stopwords, markers))
 
+  /** One-pass BPE encode of a token array to piece ids under a
+    * learned merge table + sorted piece lexicon (per-task
+    * distinct-token memo — the q_bpe_tokens hot loop). */
+  def bpe_encode_ids(tokens: Column, merges: Seq[(String, String)],
+      lexicon: Seq[String]): Column =
+    shims.column(BpeEncodeIds(shims.expression(tokens), merges, lexicon))
+
   /** One-pass k-permutation MinHash signature over pre-reduced
     * shingle hashes. */
   def minhash_sigs(hashes: Column, coefA: Array[Long], coefB: Array[Long],

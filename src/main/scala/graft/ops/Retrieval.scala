@@ -766,36 +766,28 @@ object Retrieval {
     bpeTokensFrom(docs, merges, bpePieceLexicon(docs, merges))
   }
 
-  /** Frame-level core of [[bpeTokens]] — a PURE PROJECTION: per-token
-    * greedy fold + literal piece-id map lookup, all in-row, so the
-    * corpus text NEVER shuffles and the stage composes with any
-    * streaming pipeline (the scoreWith discipline — no join, no
-    * aggregation, no state). A first spelling broadcast a
-    * vocab-granular (token → ids) table onto the (doc_id, pos,
-    * token) explode and regrouped per doc: correct, linear, but it
-    * exchanged ~16 B per corpus TOKEN (90 s for 222M ids at probe
-    * scale) where this spelling exchanges nothing and can't skew —
-    * the per-occurrence fold redundancy (distinct tokens re-encoded
-    * per occurrence) is cheaper than shipping every token id through
-    * a shuffle, and vanishes into the same scan that tokenizes.
-    * Pieces outside `lexicon` (a stream token unseen at freeze time)
-    * map to null ids — callers freezing a lexicon own that contract
-    * (same rule as [[graft.ops.VectorOps.topicSampleWith]]'s unknown
+  /** Frame-level core of [[bpeTokens]] — a PURE PROJECTION through
+    * the native [[graft.functions.BpeEncodeIds]] expression (one call
+    * per document, per-task distinct-token memo), so the corpus text
+    * NEVER shuffles and the stage composes with any streaming
+    * pipeline (the scoreWith discipline — no join, no aggregation,
+    * no state). Two rejected spellings, both measured (NOTES_r14): a
+    * broadcast (token → ids) table + per-doc regroup exchanged ~16 B
+    * per corpus TOKEN (90 s / 222M ids at probe scale); the
+    * interpreted-HOF in-row fold exchanged nothing but paid
+    * ~2 µs/token in lambda evaluation (20.5 s at sf0.1). Pieces
+    * outside `lexicon` (a stream token unseen at freeze time) map to
+    * null ids — callers freezing a lexicon own that contract (same
+    * rule as [[graft.ops.VectorOps.topicSampleWith]]'s unknown
     * cells). */
   def bpeTokensFrom(docs: DataFrame, merges: Seq[(String, String)],
-      lexicon: Array[String]): DataFrame = {
-    val idMap = typedlit(lexicon.zipWithIndex.toMap)
-    def pieceOf(t: Column): Column =
-      when(length(t) >= 2, applyMerges(split(t, ""), merges))
-        .otherwise(array(t))
+      lexicon: Array[String]): DataFrame =
     docs
-      .select(col("doc_id"), flatten(transform(
-        filter(tokens(col("text")), t => t =!= ""),
-        t => transform(pieceOf(t), p => element_at(idMap, p)))).as("ids"))
+      .select(col("doc_id"), graft.functions.bpe_encode_ids(
+        tokens(col("text")), merges, lexicon.toSeq).as("ids"))
       .filter(size(col("ids")) >= 1)
       .select(col("doc_id"), col("ids"),
         size(col("ids")).cast("long").as("n_ids"))
-  }
 
   /** Per-document token counts under the LEARNED BPE vocabulary —
     * the "real token counts" feeding sequence packing, defined AS

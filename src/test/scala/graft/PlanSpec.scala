@@ -148,6 +148,50 @@ class PlanSpec extends SparkSpec {
       s"bpe counts must not shuffle (map-side only):\n${p.take(2000)}")
   }
 
+  test("q_url_dedup is one keyed aggregate over canonical URLs — no join") {
+    val p = plan("q_url_dedup")
+    assert(!p.contains("Join"),
+      s"URL dedup must not join:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"),
+      s"dedup must be the keyed min/count aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"no window over the corpus — the aggregate IS the dedup:\n${p.take(2000)}")
+  }
+
+  test("q_domain_cap ranks through the bounded-state topk aggregate, no global window") {
+    val p = plan("q_domain_cap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-domain cap must ride topk_by_score (map-side partials are " +
+        s"the hot-domain skew mitigation):\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side join in the cap:\n${p.take(2000)}")
+    // no row_number window over the raw corpus — ranking happens on
+    // the exploded ≤cap survivors only
+    assert(!p.contains("row_number"),
+      s"cap must not window the corpus:\n${p.take(2000)}")
+  }
+
+  test("q_bpe_tokens is a pure projection — no join, only the presentation sort exchanges") {
+    val p = plan("q_bpe_tokens")
+    assert(!p.contains("Join"),
+      s"the native encode must not join:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"),
+      s"the native encode must not aggregate:\n${p.take(2000)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // range partitioning for the orderBy, AQE read
+      s"only the presentation sort may exchange ($exchanges):\n${p.take(2000)}")
+  }
+
+  test("q_mmr_batch: bounded-state candidate topk, no cartesian pair space") {
+    val p = plan("q_mmr_batch")
+    assert(!p.contains("CartesianProduct"),
+      s"the candidate pair space must stay (q_id, dim)-keyed:\n${p.take(3000)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidate retrieval must ride topk_by_score:\n${p.take(3000)}")
+    assert(p.contains("MapGroups"), // flatMapGroups' physical node
+      s"the greedy fold runs per ≤K-row group on executors:\n${p.take(3000)}")
+  }
+
   test("q_pii_redact is pure map-side — no join, no aggregation") {
     val p = plan("q_pii_redact")
     assert(!p.contains("Join"), s"PII pass must not join:\n${p.take(2000)}")

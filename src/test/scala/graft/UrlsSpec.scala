@@ -68,6 +68,25 @@ class UrlsSpec extends SparkSpec {
     assert(byKeeper(21L) == 1L && byKeeper(22L) == 2L)
   }
 
+  test("canonicalization is IDEMPOTENT over generated URL shapes") {
+    // canon(canon(u)) == canon(u): the property that makes re-running
+    // a curation stage over already-canonicalized data a no-op
+    val urls = for {
+      scheme <- Seq("https", "HTTPS", "http")
+      host <- Seq("News.Hub-Portal.COM", "www.site9.org", "a.b.c.example.net")
+      port <- Seq("", ":443", ":80", ":8080")
+      path <- Seq("", "/", "/A/Path", "/p?x=1&utm_source=f&id=2")
+      frag <- Seq("", "#Frag")
+    } yield s"$scheme://$host$port$path$frag"
+    val rows = urls.toDF("url")
+      .select(Urls.urlCanonicalize($"url").as("c1"))
+      .select($"c1", Urls.urlCanonicalize($"c1").as("c2"))
+      .as[(String, String)].collect()
+    rows.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"not idempotent: $c1 -> $c2")
+    }
+  }
+
   test("hot domain is capped at exactly cap; cold domains keep all") {
     // 30 docs on hot.example.com, 4 on cold.example.org; cap 5
     val scored = ((0L until 30L).map(i =>

@@ -206,6 +206,32 @@ object Urls {
     * offers ~200 of the 500 docs and keeps exactly this many. */
   val DomainCap = 50
 
+  /** Domain-level QUALITY ROLLUP over a (doc_id, url, quality_score)
+    * frame — the dashboard a curation run publishes per registered
+    * domain: doc count, corpus share in basis points, mean quality
+    * (decimal-summed, order-free), and how many docs survive the
+    * [[DomainCap]]. One keyed aggregate + a 1-row total broadcast;
+    * presentation order (n_docs DESC, domain) ranks the Zipf head
+    * first. */
+  def domainStats(scored: DataFrame, cap: Int): DataFrame = {
+    val g = scored
+      .select(registeredDomain(urlCanonicalize(col("url"))).as("domain"),
+        col("quality_score"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        Util.roundTo(
+          sum(col("quality_score").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 4).as("avg_quality"))
+    val t = g.agg(sum(col("n_docs")).as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("domain"), col("n_docs"),
+        floor(lit(10000.0) * col("n_docs") / col("total")).cast("int")
+          .as("share_bp"),
+        col("avg_quality"),
+        least(col("n_docs"), lit(cap.toLong)).as("kept_after_cap"))
+      .orderBy(col("n_docs").desc, col("domain"))
+  }
+
   // ---------------------------------------------------------------
   // Declared queries + oracles
   // ---------------------------------------------------------------
@@ -220,6 +246,14 @@ object Urls {
     // Per-registered-domain share cap: top-DomainCap by quality.
     "q_domain_cap" -> ((s, dir) =>
       domainCap(
+        TextOps.scoredDocs(Tables.documents(s, dir), withDigest = false)
+          .select(col("doc_id"), col("quality_score"),
+            urlFixture(col("doc_id")).as("url")),
+        DomainCap)),
+
+    // Domain-level quality rollup: the per-domain curation dashboard.
+    "q_domain_stats" -> ((s, dir) =>
+      domainStats(
         TextOps.scoredDocs(Tables.documents(s, dir), withDigest = false)
           .select(col("doc_id"), col("quality_score"),
             urlFixture(col("doc_id")).as("url")),
@@ -244,5 +278,26 @@ object Urls {
          |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM j)
          |SELECT doc_id, domain, rank, quality_score FROM r
-         |WHERE rank <= $DomainCap ORDER BY domain, rank""".stripMargin)
+         |WHERE rank <= $DomainCap ORDER BY domain, rank""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH ${TextOps.qualityCtesSql(withDigest = false)},
+         |$canonCteSql,
+         |dom AS (SELECT doc_id,
+         |    ${registeredDomainSql("url_canon")} AS domain
+         |  FROM canon),
+         |j AS (SELECT dom.domain, u.quality_score
+         |  FROM u JOIN dom USING (doc_id)),
+         |g AS (SELECT domain, count(*) AS n_docs,
+         |    ${Util.roundToSql(
+            "CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE)" +
+              " / count(*)", 4)} AS avg_quality
+         |  FROM j GROUP BY 1),
+         |gt AS (SELECT sum(n_docs) AS total FROM g)
+         |SELECT domain, n_docs,
+         |  CAST(floor(10000.0 * n_docs / total) AS INTEGER) AS share_bp,
+         |  avg_quality,
+         |  LEAST(n_docs, $DomainCap) AS kept_after_cap
+         |FROM g CROSS JOIN gt
+         |ORDER BY n_docs DESC, domain""".stripMargin)
 }

@@ -104,4 +104,23 @@ class UrlsSpec extends SparkSpec {
     assert(hot.map(_.getLong(0)).toSeq == Seq(9L, 19L, 29L, 8L, 18L))
     assert(hot.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("domain stats rank the Zipf head first with exact share and cap math") {
+    val scored = ((0L until 30L).map(i =>
+        (i, s"https://www.hot.example.com/p$i", 0.5)) ++
+      (100L until 110L).map(i =>
+        (i, s"https://cold.example.org/p$i", 0.9)))
+      .toDF("doc_id", "url", "quality_score")
+    val out = Urls.domainStats(scored, 5).collect()
+    assert(out.length == 2)
+    val hot = out.head // n_docs DESC: the 30-doc domain leads
+    assert(hot.getString(0) == "example.com")
+    assert(hot.getLong(1) == 30L)
+    assert(hot.getInt(2) == 7500)          // floor(10000*30/40)
+    assert(hot.getDouble(3) == 0.5)
+    assert(hot.getLong(4) == 5L)           // capped
+    val cold = out(1)
+    assert(cold.getLong(1) == 10L && cold.getInt(2) == 2500)
+    assert(cold.getDouble(3) == 0.9 && cold.getLong(4) == 5L)
+  }
 }

@@ -565,10 +565,17 @@ object Retrieval {
   def mmrBatch(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // EAGER CHECKPOINT of the candidate frame: ≤ queries×K rows
+    // feeding THREE consumers (distinct ids, the vector join, the
+    // grouped fold) — without it each consumer re-expands the whole
+    // BM25-batch subtree (~8 subtree copies in the physical plan;
+    // measured 8.0 s → see NOTES_r14). Bounded: a serving batch's
+    // candidate list, not corpus-scale.
     val cands = bm25Batch(docs, HybridK)
       .select(col("q_id"), col("doc_id"),
         roundTo(lit(1.0) / (lit(RrfC) + col("rank").cast("double")), 9)
           .as("rel"))
+      .localCheckpoint(true)
     val ids = cands.select(col("doc_id")).distinct()
     // candidate-restricted shared embedding space (one hashEmbed
     // subtree; the broadcast bound is |queries|·K distinct ids — a

@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   * plus, when `bench_baseline.json` exists, a `regressions` map of
   * queries slower than 1.5× their pinned round-1 time, and a `failed`
   * array so a failing query can never masquerade as a fast success.
+  * In-run numbers are MIN-OF-2 for queries that trip their pin's
+  * 1.5× gate on the first shot (VERDICT r14 #6 — see the loop).
   *
   * Each query is forced through `queryExecution.toRdd.count()` — unlike
   * `df.count()`, this executes the query's full physical plan (sorts,
@@ -59,22 +61,49 @@ object Bench {
     }
     System.gc()
 
+    // pins loaded BEFORE the loop: the min-of-2 discipline below
+    // needs each query's pin while it is being timed
+    val baseline = readBaseline("bench_baseline.json")
+
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def timeOnce(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       // OUTSIDE the timed region — cache hygiene + a GC breather:
       // queries that persist() an internal subtree are done with it, so
       // drop the blocks (a leaked cache measured as a ~3× slowdown on
       // later window queries), and absorb accumulated codegen/broadcast
       // garbage between queries instead of as a pause inside one.
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
+      def settle(): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      }
+      val first = timeOnce()
+      settle()
+      // MIN-OF-2 IN-RUN DISCIPLINE (VERDICT r14 #6): the in-run lane
+      // single-shotted each query against frozen pins on a box with a
+      // moving noise floor (NOTES_r14: 1/11/15 inline flags across
+      // three identical-code runs, near-disjoint flag sets). A query
+      // that lands past its pin's 1.5× gate is re-timed ONCE
+      // immediately — same run position, clean cache, settled heap —
+      // and the in-run number is the min of the two (the QTime /
+      // PipelineScaleProbe discipline). Genuine plan regressions
+      // survive both shots; page-cache/JIT/GC one-offs don't burn a
+      // verdict cycle. The end-of-run isolation lane is unchanged.
+      val sec =
+        if (!failed.contains(name) &&
+            baseline.get(name).exists(b => b > 0 && first > b * 1.5)) {
+          val second = timeOnce()
+          settle()
+          if (failed.contains(name)) first else math.min(first, second)
+        } else first
       name -> sec
     }
     val timings = results.toMap
@@ -83,8 +112,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
 
-    // regression gate vs the pinned round-1 baseline (>1.5× slower)
-    val baseline = readBaseline("bench_baseline.json")
+    // regression gate vs the pinned round-1 baseline (>1.5× slower;
+    // `timings` already carries the min-of-2 in-run numbers)
     val inline = baseline.toSeq.flatMap { case (name, b) =>
       timings.get(name).filter(t => !failed.contains(name) && b > 0 && t > b * 1.5)
         .map(t => name -> (t / b))
@@ -167,7 +196,7 @@ object Bench {
     // key. Repo-relative; round tag from the env with a bumpable
     // default.
     try {
-      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r14")
+      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r15")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"bench_local_$round.json"), line)
     } catch { case e: Throwable =>

@@ -119,9 +119,9 @@ object Retrieval {
     * and the per-query ranking runs through the BOUNDED-STATE
     * `topk_by_score` aggregate — k rows of state per query, no
     * score-space sort, the same serving discipline as q_batch_topk. */
-  def bm25Batch(docs: DataFrame, k: Int): DataFrame = {
+  def bm25Batch(docs: DataFrame, k: Int, queryMod: Int = 100): DataFrame = {
     val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val q = d.filter(col("doc_id") % 100 === 0 && size(col("toks")) >= 9)
+    val q = d.filter(col("doc_id") % queryMod === 0 && size(col("toks")) >= 9)
       .select(col("doc_id").as("q_id"),
         explode(array(element_at(col("toks"), 1),
           element_at(col("toks"), 5),
@@ -562,7 +562,13 @@ object Retrieval {
     * join and the self-join is keyed on (q_id, dim). Sim lists ride
     * a sort_array(collect_list) per (q_id, candidate) — ≤K−1 entries
     * each, deterministic order. */
-  def mmrBatch(docs: DataFrame): DataFrame = {
+  /** Distinct-candidate-id ceiling for [[mmrBatch]]'s broadcast
+    * restriction: 4M long ids ≈ 64 MB of hash-relation — past this
+    * the id set rides a shuffle instead (still candidate-restricted;
+    * only the join STRATEGY degrades). */
+  val MmrBatchBroadcastIdCap = 4_000_000L
+
+  def mmrBatch(docs: DataFrame, queryMod: Int = 100): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // EAGER CHECKPOINT of the candidate frame: ≤ queries×K rows
@@ -571,16 +577,24 @@ object Retrieval {
     // BM25-batch subtree (~8 subtree copies in the physical plan;
     // measured 8.0 s → see NOTES_r14). Bounded: a serving batch's
     // candidate list, not corpus-scale.
-    val cands = bm25Batch(docs, HybridK)
+    val cands = bm25Batch(docs, HybridK, queryMod)
       .select(col("q_id"), col("doc_id"),
         roundTo(lit(1.0) / (lit(RrfC) + col("rank").cast("double")), 9)
           .as("rel"))
       .localCheckpoint(true)
     val ids = cands.select(col("doc_id")).distinct()
     // candidate-restricted shared embedding space (one hashEmbed
-    // subtree; the broadcast bound is |queries|·K distinct ids — a
-    // serving batch, not the corpus)
-    val vecs = hashEmbedSkinny(docs).join(broadcast(ids), Seq("doc_id"))
+    // subtree). The broadcast bound is |queries|·K distinct ids —
+    // bounded ONLY while the external query batch is (ADVICE r14:
+    // the declared fixture derives queries from the corpus at 1%,
+    // so the id set grows linearly with corpus size there). Guard
+    // with an exact count off the checkpointed candidate frame
+    // (cheap: flat plan, skinny column) and fall back to a shuffle
+    // restriction once the set leaves the broadcast band — the join
+    // then ships candidate-doc vectors only, never the corpus.
+    val idsSmall = ids.count() <= MmrBatchBroadcastIdCap
+    val vecs = hashEmbedSkinny(docs)
+      .join(if (idsSmall) broadcast(ids) else ids, Seq("doc_id"))
     def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
     val norms = vecs.groupBy(col("doc_id"))
       .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))
@@ -782,11 +796,13 @@ object Retrieval {
     * broadcast (token → ids) table + per-doc regroup exchanged ~16 B
     * per corpus TOKEN (90 s / 222M ids at probe scale); the
     * interpreted-HOF in-row fold exchanged nothing but paid
-    * ~2 µs/token in lambda evaluation (20.5 s at sf0.1). Pieces
-    * outside `lexicon` (a stream token unseen at freeze time) map to
-    * null ids — callers freezing a lexicon own that contract (same
-    * rule as [[graft.ops.VectorOps.topicSampleWith]]'s unknown
-    * cells). */
+    * ~2 µs/token in lambda evaluation (20.5 s at sf0.1). Ids live in
+    * the byte-reserved space ([[graft.functions.BpeEncodeIds.ByteIdOffset]]
+    * + lexicon position); pieces outside `lexicon` (a stream token
+    * unseen at freeze time) decompose to their UTF-8 bytes as ids
+    * 0–255 — TOTAL coverage, the property real tokenizers guarantee
+    * (VERDICT r14 #3; the previous null-id contract silently
+    * inflated n_ids on unseen tokens). */
   def bpeTokensFrom(docs: DataFrame, merges: Seq[(String, String)],
       lexicon: Array[String]): DataFrame =
     docs
@@ -1203,7 +1219,16 @@ object Retrieval {
   /** The MMR chain (candidates, pairwise sims, greedy recursion) —
     * assumes [[hybridChainSql]] precedes it; ends in
     * `rec(rank, doc_id, mmr, rrf, picked)`. Shared by the
-    * q_mmr_rerank and q_mmr_diversity oracles. */
+    * q_mmr_rerank and q_mmr_diversity oracles.
+    *
+    * The diversity penalty floors the max picked-sim at 0
+    * (`GREATEST(…, 0.0)`) because [[mmrGreedy]]'s
+    * `foldLeft(0.0)(math.max)` does — the spellings would otherwise
+    * diverge on negative cosines. Hashed tf-idf weights are
+    * non-negative today (ln((n+1)/(df+1)) ≥ 0, so cos ≥ 0 and the
+    * arm is latent), but the floor is the CONTRACT, not an accident
+    * of the weight scheme (ADVICE r14; same floor in the q_mmr_batch
+    * oracle). */
   private def mmrChainSql: String = {
     val lam = MmrLambda
     val oneMinus = 1 - MmrLambda
@@ -1227,9 +1252,9 @@ object Retrieval {
        |  UNION ALL
        |  (SELECT * FROM (SELECT p.rank + 1 AS rank, c.doc_id,
        |      ${roundToSql(
-            s"$lam * c.rrf - $oneMinus * COALESCE(list_max(" +
+            s"$lam * c.rrf - $oneMinus * GREATEST(COALESCE(list_max(" +
               "list_transform(p.picked, " +
-              "pk -> c.scos[list_position(c.sids, pk)])), 0.0)", 9)} AS mmr,
+              "pk -> c.scos[list_position(c.sids, pk)])), 0.0), 0.0)", 9)} AS mmr,
        |      c.rrf, list_append(p.picked, c.doc_id) AS picked
        |    FROM rec p JOIN cl c ON NOT list_contains(p.picked, c.doc_id)
        |    WHERE p.rank < $MmrFinal) st
@@ -1358,9 +1383,9 @@ object Retrieval {
        |  UNION ALL
        |  (SELECT * FROM (SELECT p.q_id, p.rank + 1 AS rank, c.doc_id,
        |      ${roundToSql(
-            s"$lam * c.rel - $oneMinus * COALESCE(list_max(" +
+            s"$lam * c.rel - $oneMinus * GREATEST(COALESCE(list_max(" +
               "list_transform(p.picked, " +
-              "pk -> c.scos[list_position(c.sids, pk)])), 0.0)", 9)} AS mmr,
+              "pk -> c.scos[list_position(c.sids, pk)])), 0.0), 0.0)", 9)} AS mmr,
        |      c.rel, list_append(p.picked, c.doc_id) AS picked
        |    FROM brec p JOIN bcl c
        |      ON c.q_id = p.q_id AND NOT list_contains(p.picked, c.doc_id)
@@ -1529,7 +1554,8 @@ object Retrieval {
            |         ELSE [vt.token] END AS pieces
            |  FROM vt LEFT JOIN s$BpeEncodeRounds sv ON vt.token = sv.token),
            |pid AS (SELECT piece,
-           |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS piece_id
+           |    CAST(row_number() OVER (ORDER BY piece) - 1
+           |      + ${graft.functions.BpeEncodeIds.ByteIdOffset} AS INT) AS piece_id
            |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM vp)),
            |tp AS (SELECT token, i AS ppos, pieces[CAST(i AS INT)] AS piece
            |  FROM vp, unnest(range(1, len(pieces) + 1)) AS u(i)),

@@ -607,7 +607,29 @@ object TextOps {
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CANDIDATE-ID RESTRICTION of the verify side (VERDICT r14 #1):
+    // the verify joins below co-locate each pair with its two shingle
+    // sets. Joined against the FULL (doc_id, hsh) frame, the moment
+    // `cand` outgrows broadcast range the whole corpus's hsh arrays
+    // shuffle — including every document that collided in NO band
+    // (PIPELINE_SCALE r14: cc_dedup 59.9 → 1,916 MB at 1×→10×, a
+    // 32× step at the 1×→3× plan transition). Only docs that appear
+    // in ≥1 candidate pair can contribute to verification, so the
+    // hsh side is semi-restricted to the candidate-id set first —
+    // broadcast when the exact count (cheap: skinny column off the
+    // persisted pair frame) fits the band, shuffle-semi past it (the
+    // restriction still holds; only the SEMI's strategy degrades).
+    // What still moves is information-theoretically owed: each
+    // candidate doc's hsh once per verify side, plus h_a re-keyed
+    // per PAIR in the second join (bounded: exact-dup contraction
+    // kills clique fan-out and maxBucket caps per-bucket pairs).
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val idsSmall = candIds.count() <= PairVerifyBroadcastIdCap
     val sets = d.select(col("doc_id"), col("hsh"))
+      .join(if (idsSmall) broadcast(candIds) else candIds,
+        Seq("doc_id"), "left_semi")
     val pairs = cand
       .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("h_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("h_b")), "id_b")
@@ -617,9 +639,16 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // materialize the small verified set, then drop the wide cache
+    cand.unpersist(false)
     d.unpersist(false)
     pairs
   }
+
+  /** Candidate-id ceiling for the verify restriction's BROADCAST arm
+    * (one long column; 4M ids ≈ 64 MB of hash relation). Past it the
+    * semi-join rides a shuffle — the restriction itself never turns
+    * off. */
+  val PairVerifyBroadcastIdCap = 4_000_000L
 
   /** The recall computation shared by q_dedup_recall (uncapped) and
     * q_dedup_recall_capped: verified MinHash pairs (optionally

@@ -65,19 +65,135 @@ object Urls {
         .otherwise(lit("")))
   }
 
-  /** Registered domain of a CANONICAL url: host minus port, last two
-    * dot-labels (a public-suffix-list-free simplification, stated —
-    * co.uk-style suffixes group at the suffix; a production deploy
-    * swaps in a PSL table as a broadcast join, the shape is
-    * unchanged). */
-  def registeredDomain(urlCanon: Column): Column =
-    regexp_extract(
-      regexp_replace(regexp_extract(urlCanon, authRe, 1), ":[0-9]+$", ""),
-      "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+  /** Compact PUBLIC SUFFIX LIST snapshot (VERDICT r14 #2 — the
+    * last-two-labels simplification made every `*.co.uk` site one
+    * "registered domain", so a per-domain cap throttled all UK sites
+    * as one). PUBLIC DATA: the multi-label ICANN-section entries of
+    * the Mozilla-maintained list at publicsuffix.org — the ccTLD
+    * second/third-level suffixes a web crawl most commonly hits.
+    * Single-label TLDs (.com/.org/…) need no entry: the default `*`
+    * rule already yields last-two-labels for them. Deliberately a
+    * SNAPSHOT, not the full ~9k-entry list (which includes the
+    * private section and wildcard/exception rules): a production
+    * deploy swaps this one constant for the full parsed list — the
+    * lookup below is by-value and does not care about size. */
+  val PslSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
+    "police.uk", "me.uk", "ltd.uk", "plc.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "go.jp", "ed.jp", "lg.jp",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    // China / Taiwan / Hong Kong / Singapore
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    // India / Pakistan / Bangladesh
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    // South Africa / Kenya / Nigeria
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    // Korea / Thailand / Indonesia / Malaysia / Vietnam / Philippines
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "my.id", "biz.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    // Turkey / Israel / Ukraine / Poland
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    // Latin America
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe",
+    "com.ve", "co.ve", "net.ve", "org.ve", "edu.ve", "gob.ve",
+    "com.ec", "com.uy", "com.py", "com.bo", "com.gt", "com.sv",
+    "com.hn", "com.ni", "com.pa", "com.do", "com.pr",
+    "co.cr", "ac.cr", "go.cr",
+    // Middle East / North Africa
+    "com.eg", "com.sa", "com.ae", "com.qa", "com.kw", "com.lb", "com.jo",
+    // three-label entries (US k12/cc/lib pattern — exercises the
+    // depth-3 arm of the lookup)
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.il.us", "k12.ma.us",
+    "cc.ca.us", "lib.ca.us")
 
-  private def registeredDomainSql(urlCanon: String): String =
-    s"regexp_extract(regexp_replace(regexp_extract(($urlCanon), '$authRe', 1), " +
-      s"':[0-9]+$$', ''), '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1)"
+  /** Literal suffix → true lookup map — a codegen'd hash probe per
+    * row, strictly cheaper than the broadcast join the r14 comment
+    * promised (no build side, no join node, composes into streaming
+    * plans). ~200 entries ≈ a few KB per task. */
+  private val pslLookup: Column =
+    typedlit(PslSuffixes.map(_ -> true).toMap)
+
+  /** Registered domain of a CANONICAL url, PSL-backed: host minus
+    * port, longest public suffix (3-, then 2-label snapshot entries,
+    * else the default 1-label `*` rule) plus ONE label. A host that
+    * IS a bare public suffix — or empty — has no registered domain:
+    * "". `a.co.uk` and `b.co.uk` are DIFFERENT registered domains;
+    * `x.com` still yields `x.com` (VERDICT r14 #2). */
+  def registeredDomain(urlCanon: Column): Column = {
+    val host = regexp_replace(regexp_extract(urlCanon, authRe, 1),
+      ":[0-9]+$", "")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // last k labels; slice(-k) on a shorter array yields [] →
+    // array_join "" → never a PSL hit, so the n-guards are belt-and-
+    // braces for readability, not correctness
+    def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    def inPsl(k: Int): Column =
+      try_element_at(pslLookup, lastK(k)).isNotNull
+    val sufLen = when(n >= lit(3) && inPsl(3), lit(3))
+      .when(n >= lit(2) && inPsl(2), lit(2))
+      .otherwise(lit(1))
+    when(host === "", lit(""))
+      .when(n > sufLen,
+        array_join(slice(labels, -(sufLen + lit(1)), sufLen + lit(1)), "."))
+      .otherwise(lit(""))
+  }
+
+  /** DuckDB literal of [[PslSuffixes]] for the oracle twin. */
+  private def pslListSql: String =
+    PslSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Oracle twin of [[registeredDomain]] as a CTE chain from
+    * `$from(doc_id, url_canon)` ending in `dom(doc_id, domain)` —
+    * the same longest-suffix walk over the same snapshot list. */
+  private def domainCteSql(from: String): String =
+    s"""psl AS (SELECT unnest($pslListSql) AS s),
+       |dh AS (SELECT doc_id,
+       |    regexp_replace(regexp_extract(url_canon, '$authRe', 1),
+       |      ':[0-9]+$$', '') AS host
+       |  FROM $from),
+       |dl AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+       |    len(string_split(host, '.')) AS n
+       |  FROM dh),
+       |dsuf AS (SELECT doc_id, host, ls, n,
+       |    CASE WHEN n >= 3 AND array_to_string(ls[n-2:n], '.')
+       |           IN (SELECT s FROM psl) THEN 3
+       |         WHEN n >= 2 AND array_to_string(ls[n-1:n], '.')
+       |           IN (SELECT s FROM psl) THEN 2
+       |         ELSE 1 END AS sl
+       |  FROM dl),
+       |dom AS (SELECT doc_id,
+       |    CASE WHEN host = '' THEN ''
+       |         WHEN n > sl THEN array_to_string(ls[n-sl:n], '.')
+       |         ELSE '' END AS domain
+       |  FROM dsuf)""".stripMargin
 
   // ---------------------------------------------------------------
   // Deterministic URL fixture (id-derived, Zipf hot domain)
@@ -91,13 +207,19 @@ object Urls {
     * so v0/v1/v2 canonicalize to ONE url except the :8080 groups,
     * where v0 stays distinct (ports are content-bearing). The hot
     * domain (g % 5 < 2 → news.hub-portal.com) owns ~40% of docs —
-    * the Zipf head a per-domain cap must catch. */
+    * the Zipf head a per-domain cap must catch. The g % 5 = 2 arm
+    * (site<N>.co.uk) is the PSL exercise: ~20% of docs across ~211
+    * DISTINCT registered domains that the r14 last-two-labels rule
+    * fused into one "co.uk" mega-domain (and hence mis-capped as
+    * one). */
   def urlFixture(docId: Column): Column = {
     // exact for doc_id < 2^52 (the double-division band of every
     // id-derived fixture; oracle compare runs at sf0.01)
     val g = ((docId - pmod(docId, lit(3))) / lit(3)).cast("long")
     val gs = g.cast("string")
     val host = when(pmod(g, lit(5)) < 2, lit("news.hub-portal.com"))
+      .when(pmod(g, lit(5)) === 2,
+        concat(lit("site"), pmod(g, lit(211)).cast("string"), lit(".co.uk")))
       .otherwise(concat(lit("www.site"), pmod(g, lit(211)).cast("string"),
         lit(".org")))
     val port0 = when(pmod(g, lit(7)) === 0, lit(":8080")).otherwise(lit(""))
@@ -119,6 +241,7 @@ object Urls {
     val g = s"(($docId) // 3)"
     val gs = s"CAST($g AS VARCHAR)"
     val host = s"CASE WHEN $g % 5 < 2 THEN 'news.hub-portal.com' " +
+      s"WHEN $g % 5 = 2 THEN 'site' || CAST($g % 211 AS VARCHAR) || '.co.uk' " +
       s"ELSE 'www.site' || CAST($g % 211 AS VARCHAR) || '.org' END"
     val port0 = s"CASE WHEN $g % 7 = 0 THEN ':8080' ELSE '' END"
     val path = s"'/a/' || CAST($g % 1000 AS VARCHAR) || '/p' || $gs"
@@ -268,9 +391,7 @@ object Urls {
     "q_domain_cap" ->
       s"""WITH ${TextOps.qualityCtesSql(withDigest = false)},
          |$canonCteSql,
-         |dom AS (SELECT doc_id,
-         |    ${registeredDomainSql("url_canon")} AS domain
-         |  FROM canon),
+         |${domainCteSql("canon")},
          |j AS (SELECT u.doc_id, dom.domain, u.quality_score
          |  FROM u JOIN dom USING (doc_id)),
          |r AS (SELECT doc_id, domain, quality_score,
@@ -283,9 +404,7 @@ object Urls {
     "q_domain_stats" ->
       s"""WITH ${TextOps.qualityCtesSql(withDigest = false)},
          |$canonCteSql,
-         |dom AS (SELECT doc_id,
-         |    ${registeredDomainSql("url_canon")} AS domain
-         |  FROM canon),
+         |${domainCteSql("canon")},
          |j AS (SELECT dom.domain, u.quality_score
          |  FROM u JOIN dom USING (doc_id)),
          |g AS (SELECT domain, count(*) AS n_docs,

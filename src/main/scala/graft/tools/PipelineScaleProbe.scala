@@ -139,7 +139,11 @@ object PipelineScaleProbe {
     // so the per-dir session memos can't leak work across reps; wall
     // = min over reps (the QTime discipline), shuffle = rep 0 (it is
     // plan-determined and rep-invariant).
-    val scales = Seq(1, 3, 10)
+    // SECOND-DECADE arm (VERDICT r14 #4): the 30× point proves the
+    // two hottest stages (cc_dedup, qd_decon_join) per-unit-flat
+    // across TWO decades, not one — the regime where the r14 decon
+    // quadratic and the r14 verify-join step both hid below 10×.
+    val scales = Seq(1, 3, 10, 30)
     val rows = scales.map { s =>
       val nDocs = base * s
       val reps = (0 until 2).map { rep =>
@@ -234,28 +238,36 @@ object PipelineScaleProbe {
       val (w1, b1) = (at(rows(0))._2, at(rows(0))._3)
       val (w3, b3) = (at(rows(1))._2, at(rows(1))._3)
       val (w10, b10) = (at(rows(2))._2, at(rows(2))._3)
+      val (w30, b30) = (at(rows(3))._2, at(rows(3))._3)
       val mb = 1048576.0
       val wall10x = w10 / math.max(w1, 1e-9)
       val shuf10x = b10 / math.max(b1.toDouble, 1.0)
       val wallUnit = (w10 / 10.0) / math.max(w3 / 3.0, 1e-9)
       val shufUnit = (b10 / 10.0) / math.max(b3 / 3.0, 1.0)
+      // second decade: per-unit drift 10×→30× — same thresholds as
+      // the first decade's 3×→10× rule
+      val wallUnit2 = (w30 / 30.0) / math.max(w10 / 10.0, 1e-9)
+      val shufUnit2 = (b30 / 30.0) / math.max(b10 / 10.0, 1.0)
       val causes = Seq(
         (wall10x > 11.5) -> f"wall_10x=$wall10x%.2f",
         (b1 / mb > 20 && shuf10x > 15 && shufUnit > 1.2) ->
           f"shuffle_10x=$shuf10x%.2f",
         (wallUnit > 1.25) -> f"wall_unit_3to10=$wallUnit%.2f",
-        (b3 / mb > 20 && shufUnit > 1.5) -> f"shuffle_unit_3to10=$shufUnit%.2f"
+        (b3 / mb > 20 && shufUnit > 1.5) -> f"shuffle_unit_3to10=$shufUnit%.2f",
+        (w10 >= 1.5 && wallUnit2 > 1.25) -> f"wall_unit_10to30=$wallUnit2%.2f",
+        (b10 / mb > 20 && shufUnit2 > 1.5) ->
+          f"shuffle_unit_10to30=$shufUnit2%.2f"
       ).collect { case (true, c) => c }
       // a 1×→3× shuffle step followed by LINEAR 3×→10× growth is a
       // plan transition (a join side outgrowing broadcast range at a
       // scale boundary), not drift — named, but not superlinear
       val stepOnly = b1 / mb > 20 && shuf10x > 15 && shufUnit <= 1.2
-      val v = if (w10 < 1.5) "flat"
+      val v = if (w10 < 1.5 && w30 < 1.5) "flat"
         else if (causes.nonEmpty) s"superlinear: ${causes.mkString(", ")}"
         else if (stepOnly)
           f"step-then-linear (shuffle_10x=$shuf10x%.2f from a 1x->3x plan transition; 3x->10x per-unit $shufUnit%.2f)"
         else "linear-or-better"
-      (name, wall10x, wallUnit, shufUnit, v)
+      (name, wall10x, wallUnit, shufUnit, wallUnit2, shufUnit2, v)
     }
 
     val scaleJson = rows.map { case (s, n, packed, st) =>
@@ -264,9 +276,10 @@ object PipelineScaleProbe {
       }.mkString("[", ",", "]")
       s"""{"scale":$s,"docs":$n,"packed_docs":$packed,"stages":$stJson}"""
     }.mkString("[", ",", "]")
-    val verdictJson = verdicts.map { case (n, r, wu, su, v) =>
+    val verdictJson = verdicts.map { case (n, r, wu, su, wu2, su2, v) =>
       f"""{"stage":"$n","ratio_10x_vs_1x":$r%.2f,""" +
         f""""wall_unit_3to10":$wu%.2f,"shuffle_unit_3to10":$su%.2f,""" +
+        f""""wall_unit_10to30":$wu2%.2f,"shuffle_unit_10to30":$su2%.2f,""" +
         f""""verdict":"$v"}"""
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"pipeline_scale","base_docs":$base,""" +

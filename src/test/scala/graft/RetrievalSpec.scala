@@ -292,6 +292,75 @@ class RetrievalSpec extends SparkSpec {
     assert(packed == rows.map { case (k, (_, n)) => k -> n })
   }
 
+  test("bpe tokens: non-BMP tokens split by CODE POINT — native == composed") {
+    // ADVICE r14: a UTF-16-unit split would break 😀/𝕏 into lone
+    // surrogates that can never appear in the code-point-built
+    // lexicon. Compare the native expression's pieces against the
+    // composed split(token,'')+applyMerges spelling on a corpus
+    // whose hot pair IS a surrogate-pair sequence.
+    val docs = Seq(
+      (1L, "😀😀 ab 😀😀 ab"),
+      (2L, "😀😀x a𝕏b"),
+      (3L, "x😀 ab")).toDF("doc_id", "text")
+    val merges = Retrieval.learnBpeMerges(docs, 2)
+    assert(merges.contains(("😀", "😀")),
+      s"emoji pair should win a merge round, got $merges")
+    val lex = Retrieval.bpePieceLexicon(docs, merges)
+    // composed spelling: per-token pieces via split(token,'') fold
+    val composed = docs
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("token"), when(length(col("token")) >= 2,
+        Retrieval.applyMerges(split(col("token"), ""), merges))
+        .otherwise(array(col("token"))).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // every composed piece is in the lexicon → native ids must be
+    // exactly offset + lexicon positions, no byte fallback fired
+    val pos = lex.zipWithIndex.toMap
+    val expect = docs.select(col("doc_id"),
+        graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)
+          .flatMap(t => composed(t).map(p =>
+            graft.functions.BpeEncodeIds.ByteIdOffset + pos(p))).toList
+      }.toMap
+    val got = Retrieval.bpeTokensFrom(docs, merges, lex)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == expect, s"native != composed: $got vs $expect")
+  }
+
+  test("bpe tokens: byte fallback — frozen lexicon, unseen tokens, TOTAL ids") {
+    // freeze merges+lexicon on one corpus, encode a stream containing
+    // tokens unseen at freeze time: ids must be total (no nulls —
+    // the VERDICT r14 #3 contract), with out-of-lexicon pieces
+    // decomposed to their UTF-8 bytes in the reserved 0–255 band.
+    val trainDocs = Seq((1L, "low low newest")).toDF("doc_id", "text")
+    val merges = Retrieval.learnBpeMerges(trainDocs, 2)
+    val lex = Retrieval.bpePieceLexicon(trainDocs, merges)
+    val stream = Seq((10L, "low zq"), (11L, "émq")).toDF("doc_id", "text")
+    val out = Retrieval.bpeTokensFrom(stream, merges, lex)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList,
+        r.getLong(2))).sortBy(_._1)
+    val off = graft.functions.BpeEncodeIds.ByteIdOffset
+    out.foreach { case (_, ids, n) =>
+      assert(ids.length.toLong == n)
+      assert(!ids.contains(null), "byte fallback must be total")
+    }
+    // 'zq': 'z' and 'q' single-char pieces absent from the frozen
+    // lexicon (train corpus has no z/q) → UTF-8 bytes
+    val zq = out.find(_._1 == 10L).get._2.drop(
+      out.find(_._1 == 10L).get._2.length - 2)
+    assert(zq == List('z'.toInt, 'q'.toInt), s"zq bytes: $zq")
+    // 'émq' (unseen, multi-byte é): é = 0xC3 0xA9 in UTF-8 — two
+    // byte ids, both < 256; every id in-band
+    val em = out.find(_._1 == 11L).get._2
+    assert(em.take(2) == List(0xC3, 0xA9), s"é bytes: $em")
+    assert(em.forall(i => i >= 0 && (i < 256 || i >= off)))
+    // in-lexicon pieces still ride the offset band
+    val lowIds = out.find(_._1 == 10L).get._2.dropRight(2)
+    assert(lowIds.forall(_ >= off), s"in-lexicon ids must be offset: $lowIds")
+  }
+
   // ---------------- SemDeDup ----------------
 
   test("semantic dedup: mass-duplicate collapse keeps the group minimum only") {

@@ -49,6 +49,39 @@ class UrlsSpec extends SparkSpec {
     assert(rows == Seq("hub-portal.com", "site7.org", "example.net"))
   }
 
+  test("registered domain is PSL-backed: co.uk sites are DISTINCT domains") {
+    // VERDICT r14 #2: under last-two-labels every *.co.uk site shared
+    // one "registered domain" and a per-domain cap throttled all UK
+    // sites as one. The PSL snapshot keeps them apart.
+    val rows = Seq(
+      "https://a.co.uk/x",
+      "https://b.co.uk/x",
+      "https://www.shop.b.co.uk/x",     // subdomain → same reg domain as b
+      "https://co.uk/",                 // bare public suffix → no reg domain
+      "https://www.x.com/",             // default * rule unchanged
+      "https://en.wikipedia.org/wiki",  // default * rule unchanged
+      "https://www.school.k12.ca.us/p", // 3-label PSL entry
+      "https://ne.jp/")                 // bare 2-label suffix → ""
+      .toDF("url")
+      .select(Urls.registeredDomain(Urls.urlCanonicalize($"url"))).as[String]
+      .collect().toSeq
+    assert(rows == Seq("a.co.uk", "b.co.uk", "b.co.uk", "",
+      "x.com", "wikipedia.org", "school.k12.ca.us", ""))
+  }
+
+  test("fixture co.uk arm: distinct registered domains, not one suffix blob") {
+    // g%5==2 groups live on site<N>.co.uk — registeredDomain must
+    // yield ~distinct domains per N, never a single "co.uk"
+    val docs = (0L until 300L).toDF("doc_id")
+      .select($"doc_id", Urls.urlFixture($"doc_id").as("url"))
+    val doms = docs
+      .select(Urls.registeredDomain(Urls.urlCanonicalize($"url")).as("d"))
+      .filter($"d".endsWith(".co.uk")).distinct().as[String].collect()
+    assert(doms.length > 1, s"co.uk sites fused: ${doms.toSeq}")
+    assert(!doms.contains("co.uk"))
+    assert(doms.forall(_.matches("site[0-9]+\\.co\\.uk")), doms.toSeq.toString)
+  }
+
   test("fixture variants of one group dedup to one canonical url") {
     // g=4 (no :8080 since 4 % 7 != 0): ids 12,13,14 collapse to one
     val collapsed = Urls.urlDedup(

@@ -40,12 +40,15 @@ object CorpusPipeline {
     * (doc_id, lang, n_tokens, quality_score); `split`: leakage-safe
     * train/val/test for the SELECTED docs; `packed`: fixed-context
     * packing plan over the selected docs; `semanticDropped`: docs
-    * removed by the opt-in semantic stage (0 when disabled). */
+    * removed by the opt-in semantic-dedup stage (0 when disabled);
+    * `deconDropped`: docs removed by the opt-in SEMANTIC
+    * decontamination stage (0 when disabled). */
   case class CorpusResult(
       selected: DataFrame,
       split: DataFrame,
       packed: DataFrame,
-      semanticDropped: Long)
+      semanticDropped: Long,
+      deconDropped: Long = 0L)
 
   /** ENTRY stage for crawled corpora: materialize markup extraction
     * ONCE as a standard documents table at `outDir` (the batch twin
@@ -90,6 +93,29 @@ object CorpusPipeline {
       .filter(col("kept")).select(col("vec_id").as("doc_id"))
   }
 
+  /** Contaminated-id set of the opt-in SEMANTIC decontamination
+    * stage (VERDICT r14 #5): corpus docs whose [[denseHashEmbeddings]]
+    * vector sits within `tau` of ANY eval doc's — the paraphrase-
+    * contamination case the shingle decon inside
+    * [[TextOps.corpusPipelineKeepers]] misses by construction (a
+    * reworded eval answer shares almost no 3-gram shingles but keeps
+    * its token distribution, hence its hashed-tf-idf neighborhood).
+    * Eval set = doc_id % 97 ≡ 0, the same convention as the shingle
+    * stage. Shape: [[VectorOps.semanticDecon]] — eval routes to
+    * nProbe=2 IVF cells and broadcasts; the corpus side only ever
+    * cell-joins (no corpus-scale broadcast — PlanSpec pins it). */
+  def semanticContaminatedIds(embeddings: DataFrame, tau: Double,
+      kCells: Int = 8): DataFrame = {
+    val centers = Ivf.fit(embeddings, col("embedding"),
+      Seq(col("vec_id")), k = kCells, iters = 2)
+    val evalV = embeddings.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("q_emb"))
+    val corpus = embeddings.filter(col("vec_id") % 97 =!= 0)
+    VectorOps.semanticDecon(Ivf.assign(corpus, col("embedding"), centers),
+        evalV, centers, nProbe = 2, tau = tau)
+      .select(col("vec_id").as("doc_id")).distinct()
+  }
+
   /** Run the full arc over the documents table at `dir`.
     *
     * @param semanticTau opt-in semantic dedup threshold (e.g. 0.999)
@@ -100,11 +126,17 @@ object CorpusPipeline {
     *                    ([[TextOps.loopStats]] — drops documents whose
     *                    window multiplicity flags model-loop
     *                    degeneracy; the synthetic-data-era gate)
+    * @param deconTau    opt-in SEMANTIC decontamination threshold
+    *                    (e.g. 0.999) — drops selected docs within τ
+    *                    of any eval doc in [[denseHashEmbeddings]]
+    *                    space ([[semanticContaminatedIds]]); None
+    *                    disables
     */
   def run(spark: SparkSession, dir: String,
       semanticTau: Option[Double] = None,
       shardsOut: Option[String] = None,
-      loopGate: Boolean = false): CorpusResult = {
+      loopGate: Boolean = false,
+      deconTau: Option[Double] = None): CorpusResult = {
     val docs = Tables.documents(spark, dir)
     val selected1 = TextOps.corpusPipelineKeepers(spark, dir)
     val selected0 =
@@ -112,12 +144,21 @@ object CorpusPipeline {
       else selected1.join(
         TextOps.loopStats(docs).filter(col("loop_flag")).select("doc_id"),
         Seq("doc_id"), "left_anti")
-    val (selected, dropped) = semanticTau match {
+    // both embedding-space stages share one embedding derivation
+    lazy val emb = denseHashEmbeddings(docs)
+    val (selectedS, dropped) = semanticTau match {
       case None => (selected0, 0L)
       case Some(tau) =>
-        val kept = semanticKeptIds(denseHashEmbeddings(docs), tau)
+        val kept = semanticKeptIds(emb, tau)
         val s2 = selected0.join(kept, Seq("doc_id"), "left_semi")
         (s2, selected0.count() - s2.count())
+    }
+    val (selected, deconDropped) = deconTau match {
+      case None => (selectedS, 0L)
+      case Some(tau) =>
+        val flagged = semanticContaminatedIds(emb, tau)
+        val s2 = selectedS.join(flagged, Seq("doc_id"), "left_anti")
+        (s2, selectedS.count() - s2.count())
     }
     val ids = selected.select("doc_id")
     val split = TextOps.leakageSplit(spark, dir)
@@ -125,6 +166,6 @@ object CorpusPipeline {
     val packed = TextOps.packSequences(
       docs.join(ids, Seq("doc_id"), "left_semi"), TextOps.PackContext)
     shardsOut.foreach(out => TextOps.writeTrainingShards(docs, ids, out))
-    CorpusResult(selected, split, packed, dropped)
+    CorpusResult(selected, split, packed, dropped, deconDropped)
   }
 }

@@ -232,6 +232,42 @@ object VectorOps {
         (col("vec_id") === col("rep_id") && col("dropped_id").isNull).as("kept"))
   }
 
+  /** Cosine threshold for semantic decontamination — interpolated
+    * into the q_semantic_decon oracle (the MinhashK pattern). Same
+    * value as q_semantic_dedup's tau: "re-embedded near-verbatim or
+    * paraphrase" territory. */
+  val SemanticDeconTau = 0.999
+
+  /** SEMANTIC DECONTAMINATION (VERDICT r14 #5) — the complement to
+    * shingle-based decon ([[TextOps.deconHotShingles]] + the
+    * q_decontaminate join), which by construction only catches
+    * near-VERBATIM overlap: a paraphrased eval answer shares few
+    * 3-gram shingles but sits within τ of the eval doc in embedding
+    * space. Flags every corpus vector whose cosine to ANY eval
+    * vector is ≥ tau, through the existing IVF serving shape
+    * ([[Ivf.searchBatchOf]]'s routing): corpus rows are cell-assigned
+    * map-side, the eval set routes to its `nProbe` nearest cells and
+    * BROADCASTS (eval suites are MBs; the corpus is the TB side and
+    * never broadcasts — PlanSpec pins that), and scoring happens
+    * only where cells meet. A corpus row meets a given eval row at
+    * most once (the row has ONE cell; the eval's probed cells are
+    * distinct), so no dedup is needed.
+    *
+    * Returns (vec_id, eval_id, cos) for every flagged pair — the
+    * q_decontaminate evidence shape; callers wanting the drop set
+    * take `select(vec_id).distinct()`. */
+  def semanticDecon(corpusAssigned: DataFrame, evalVecs: DataFrame,
+      centers: Array[Array[Double]], nProbe: Int, tau: Double): DataFrame = {
+    val routed = evalVecs.select(col("eval_id"), col("q_emb"),
+      explode(graft.functions.nearest_cells(col("q_emb"), centers, nProbe))
+        .as("cell"))
+    corpusAssigned.join(broadcast(routed), Seq("cell"))
+      .select(col("vec_id"), col("eval_id"),
+        roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** THE FROZEN TOPIC-RATE ARTIFACT (VERDICT r13 #7): the ≤k-row
     * (cell, rate_bp) table of q_topic_sample's sqrt-flattened
     * mixture rule over an assigned (vec_id, cell) frame — fit once
@@ -727,11 +763,19 @@ object VectorOps {
     // is fixed by the shared fit replay.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // the source id rides under its own name so the perturbation
+      // lambda can't LATERAL-ALIAS-capture the shifted id (r15: in a
+      // single select, col("vec_id") inside the lambda resolves to
+      // the just-aliased vec_id+100000 — Spark LCA resolution — which
+      // silently shifts the per-dim pattern by (offset % 7); latent
+      // here because the declared output never emits a cosine, caught
+      // when q_semantic_decon DID emit one)
       val perturbed = e.filter(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select(col("vec_id").as("src_id"), col("embedding"), col("label"))
+        .select((col("src_id") + 100000).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             (x.cast("double") * (lit(1.0) +
-              (((col("vec_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
+              (((col("src_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
             .as("embedding"),
           col("label"))
       val aug = e.select(col("vec_id"), col("embedding"), col("label"))
@@ -739,6 +783,40 @@ object VectorOps {
       val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
       semanticDedup(Ivf.assign(aug, col("embedding"), centers), tau = 0.999)
         .orderBy("vec_id")
+    }),
+
+    // SEMANTIC DECONTAMINATION — the paraphrase-contamination case
+    // shingle decon (q_decontaminate) misses by construction. Eval
+    // set = vec_id % 97 ≡ 0 (the q_decontaminate convention); the
+    // corpus carries PLANTED paraphrase stand-ins (the
+    // q_semantic_dedup perturbation recipe, ids +200000) that share
+    // an embedding neighborhood with their eval source but — being
+    // embedding-level twins, not token-sequence twins — would pass
+    // any n-gram gate. Fit/assign/route replayed by the oracle
+    // (fitReplayCtes), flags = every (corpus, eval) pair with
+    // cos ≥ SemanticDeconTau met through nProbe=2 IVF routing.
+    "q_semantic_decon" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")),
+        k = 8, iters = 2)
+      val evalV = e.filter(col("vec_id") % 97 === 0)
+      // src_id naming: see q_semantic_dedup's LCA-capture note
+      val planted = evalV
+        .select(col("vec_id").as("src_id"), col("embedding"))
+        .select((col("src_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((col("src_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
+            .as("embedding"))
+      val corpus = e.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .union(planted)
+      semanticDecon(
+        Ivf.assign(corpus, col("embedding"), centers),
+        evalV.select(col("vec_id").as("eval_id"),
+          col("embedding").as("q_emb")),
+        centers, nProbe = 2, tau = SemanticDeconTau)
+        .orderBy("vec_id", "eval_id")
     }),
 
     // kNN LABEL PROPAGATION (auto-labeling — the classifier-
@@ -1366,6 +1444,37 @@ object VectorOps {
          |SELECT v.vec_id, v.cell,
          |  (v.vec_id NOT IN (SELECT d FROM dropped)) AS kept
          |FROM asg v ORDER BY v.vec_id""".stripMargin,
+
+    // fit replay + the same planted-paraphrase corpus, corpus rows
+    // assigned to their 1 nearest cell, eval rows routed to 2, flags
+    // where they meet at cos >= tau — the Spark spelling step-for-step
+    "q_semantic_decon" ->
+      s"""WITH $fitReplayCtes,
+         |ev AS (SELECT vec_id AS eval_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id % 97 = 0),
+         |pl AS (SELECT vec_id + 200000 AS vec_id,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (1.0 + ((vec_id + i - 1) % 7 - 3) * 0.0005) AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+         |  UNION ALL SELECT vec_id, embedding FROM pl),
+         |casg AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT a.vec_id, a.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${distSqSql("a.embedding", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM corpus a CROSS JOIN c2 c) WHERE rn = 1),
+         |routed AS (SELECT eval_id, q_emb, cell FROM (
+         |    SELECT q.eval_id, q.q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY q.eval_id
+         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM ev q CROSS JOIN c2 c) WHERE rn <= 2)
+         |SELECT a.vec_id, r.eval_id,
+         |  ${roundToSql(cosineSql("a.embedding", "r.q_emb"), 6)} AS cos
+         |FROM casg a JOIN routed r ON a.cell = r.cell
+         |WHERE ${roundToSql(cosineSql("a.embedding", "r.q_emb"), 6)}
+         |  >= $SemanticDeconTau
+         |ORDER BY vec_id, eval_id""".stripMargin,
 
     "q_label_centroids" -> {
       val dims = (0 until 4).map(i =>

@@ -37,6 +37,50 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic decon flags the PARAPHRASE the shingle gate misses") {
+    // contaminated doc = an eval doc's tokens REVERSED: shares ~no
+    // 3-gram shingles (the shingle decon gate passes it) but keeps
+    // the token distribution, so its hashed-tf-idf embedding is the
+    // eval doc's exactly — the paraphrase-contamination case
+    // VERDICT r14 #5 names. Eval convention: doc_id % 97 == 0.
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (97L, evalText),                                   // eval doc
+      (5L, evalText.split(" ").reverse.mkString(" ")),   // paraphrase
+      (6L, "totally different words in this document"),
+      (7L, "yet another unrelated piece of text here")).toDF("doc_id", "text")
+    val flagged = CorpusPipeline.semanticContaminatedIds(
+      CorpusPipeline.denseHashEmbeddings(docs),
+      tau = 0.999, kCells = 2).as[Long].collect().toSet
+    assert(flagged == Set(5L), s"got $flagged")
+    // …and the shingle evidence really is absent: reversed 10-token
+    // text shares zero 3-gram shingles with the original
+    val sh = docs.select($"doc_id",
+      graft.functions.ngram_hash_explode(
+        graft.ops.TextOps.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((sh(97L) intersect sh(5L)).isEmpty)
+  }
+
+  test("deconTau flag composes into the facade and drops only flagged docs") {
+    val res0 = CorpusPipeline.run(spark, dir)
+    val res = CorpusPipeline.run(spark, dir, deconTau = Some(0.999))
+    val sel0 = res0.selected.select($"doc_id").as[Long].collect().toSet
+    val sel = res.selected.select($"doc_id").as[Long].collect().toSet
+    assert(sel.subsetOf(sel0))
+    assert(res.deconDropped == (sel0.size - sel.size).toLong)
+    // the flagged set is exactly the facade's own contaminated ids
+    val flagged = CorpusPipeline.semanticContaminatedIds(
+      CorpusPipeline.denseHashEmbeddings(
+        graft.io.Tables.documents(spark, dir)), 0.999)
+      .as[Long].collect().toSet
+    assert(sel0 -- sel == (sel0 intersect flagged), s"drop mismatch")
+    // arc invariants hold under the flag
+    assert(res.split.count() == res.selected.count())
+    assert(res.packed.count() == res.selected.count())
+  }
+
   test("semantic stage drops the planted hash-embedding duplicate") {
     // a doc whose text duplicates another's gets the IDENTICAL hashed
     // embedding — the exact-dup case the semantic stage must collapse

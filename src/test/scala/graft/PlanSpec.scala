@@ -214,6 +214,37 @@ class PlanSpec extends SparkSpec {
       s"dropped-rep join must be an equi-join:\n${p.take(2000)}")
   }
 
+  test("q_semantic_decon broadcasts ONLY the routed eval side — never the corpus") {
+    // AQE off for THIS plan so the physical tree is traversable (an
+    // AdaptiveSparkPlanExec is a leaf wrapper that hides its subtree
+    // from collect); the broadcast under test is builder-hinted, not
+    // an AQE promotion, so the shape is identical either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("q_semantic_decon")(spark, dir).queryExecution
+      val p = qe.executedPlan.toString
+      // scoring meets on the cell equi-join — no all-pairs shape
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"decon scoring must be the cell equi-join:\n${p.take(2000)}")
+      // the ONLY broadcast subtrees are the routed eval set (its
+      // nearest_cells explode marks it); the corpus side — the
+      // embeddings scan UNIONed with the planted rows — must never
+      // sit under a BroadcastExchange. At 100 TB the eval suite is
+      // MBs and the corpus is the TB side.
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val bcasts = qe.executedPlan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "eval routing should broadcast")
+      bcasts.foreach { b =>
+        val sub = b.toString
+        assert(sub.contains("nearest_cells"),
+          s"unexpected broadcast subtree (corpus-scale?):\n${sub.take(1500)}")
+        assert(!sub.contains("Union"),
+          s"corpus union must never broadcast:\n${sub.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_video_neardup candidates come from the sig-collapsed band join") {
     val p = plan("q_video_neardup")
     assert(!p.contains("CartesianProduct"),

@@ -1160,20 +1160,50 @@ object TextOps {
   val DeconDfFloor = 5
   val DeconDfAbs = 256
 
-  /** The HOT (df-capped-out) shingle set of a (doc_id, h) stream —
-    * one keyed aggregation; output is bounded by total_shingles/cap ≤
-    * [[DeconDfDenom]]·avg-shingles-per-doc distinct hashes, so it
-    * broadcasts at any corpus size. count(*) IS document frequency
-    * because both feeders emit DISTINCT hashes per doc
-    * (ngram_hash_explode / ngram_hashes contract). */
-  private[graft] def deconHotShingles(ex: DataFrame, docs: DataFrame): DataFrame = {
+  /** The df-capped decontamination pair aggregate over a (doc_id, h)
+    * DISTINCT-shingles-per-doc stream — ONE spelling behind
+    * q_decontaminate and the pipeline's contamination substage:
+    * (doc_id, eval_id, shared_shingles) for corpus docs sharing ≥ 3
+    * kept shingles with an eval doc (eval = doc_id % 97 ≡ 0).
+    * count(*) over the stream IS document frequency because both
+    * feeders emit DISTINCT hashes per doc (ngram_hash_explode /
+    * ngram_hashes contract).
+    *
+    * R15 RESTRUCTURE (the 30× second-decade probe arm + DIAG_DECON
+    * attribution): the r14 shape anti-joined the CORPUS stream
+    * against a broadcast hot-shingle set, then joined the eval side —
+    * two map-side probes per corpus shingle row, with the hot set
+    * shipping to every executor even though only its intersection
+    * with EVAL hashes can ever matter (and under the absolute
+    * [[DeconDfAbs]] arm the hot set's size bound is
+    * total_shingles/cap — linear in the corpus, so the broadcast's
+    * old "bounded at any corpus size" claim no longer held; measured
+    * flat at 1,120 hashes from 1M→3M probe docs only because the
+    * generator's template family saturates). Capping the EVAL side
+    * instead is PAIR-IDENTICAL — a pair exists iff its hash survives
+    * on both sides of the equi-join, so filtering the eval side alone
+    * removes exactly the same pairs — and leaves the corpus stream a
+    * single probe against the (production-bounded: eval suites are
+    * MBs) eval broadcast. The full-corpus df aggregate stays: the cap
+    * must see corpus df BEFORE any eval restriction — restricting
+    * first would materialize Θ(df) rows per boilerplate hash present
+    * in eval, the exact blowup the cap exists to prevent. */
+  private[graft] def deconPairCounts(ex: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.select(count(lit(1)).as("n_docs"))
-    ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfAll = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val evalKept = ex.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+      .join(dfAll, Seq("h"))
       .crossJoin(broadcast(n))
-      .filter(col("df") > least(
+      .filter(col("df") <= least(
         greatest(expr(s"n_docs div $DeconDfDenom"), lit(DeconDfFloor.toLong)),
         lit(DeconDfAbs.toLong)))
-      .select(col("h"))
+      .select(col("eval_id"), col("h"))
+    ex.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalKept), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 3)
   }
 
   /** The selection's SUBSTAGE frames — (feats, contaminated,
@@ -1184,21 +1214,22 @@ object TextOps {
     * exactly [[corpusPipelineSelection]]'s; production consumers go
     * through that wrapper and pay no extra materialization. */
   private[graft] def corpusPipelineSubstages(s: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val feats = corpusFeatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = clusterKeeperIds(s, dir, feats)
+    // the skinny (doc_id, h) explode is PERSISTED: deconPairCounts
+    // makes three passes over it (df aggregate, eval filter, pair
+    // join), and re-deriving each from the wide feature cache pays
+    // the array-column deserialization of 84M hashes per 1M docs
+    // per pass — measured 59 s vs 21 s for the identical decon at 3M
+    // docs (DiagDeconSource, NOTES_r15). Released by the same
+    // consumers that release `feats`.
     val shingled0 = feats.select(col("doc_id"), explode(col("hsh")).as("h"))
-    // df-cap before the eval join ([[deconHotShingles]]): boilerplate
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-capped eval pairing ([[deconPairCounts]]): boilerplate
     // shingles would otherwise pair every doc with every eval doc
-    val shingled = shingled0.join(
-      broadcast(deconHotShingles(shingled0, feats)), Seq("h"), "left_anti")
-    val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(shingled.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
-      .groupBy(col("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 3)
+    val contaminated = deconPairCounts(shingled0, feats)
       .select(col("doc_id")).distinct()
     val selected = feats
       .join(keepers, Seq("doc_id"), "left_semi")
@@ -1206,13 +1237,13 @@ object TextOps {
       .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
         col("quality_score") >= 0.3 && col("marker_hits") > 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
-    (feats, contaminated, selected)
+    (feats, shingled0, contaminated, selected)
   }
 
   private[graft] def corpusPipelineSelection(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val (feats, _, selected) = corpusPipelineSubstages(s, dir)
-    (selected, feats)
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (feats, shingles, _, selected) = corpusPipelineSubstages(s, dir)
+    (selected, feats, shingles)
   }
 
   /** [[corpusPipelineSelection]]'s twin for the q_corpus_select_dedup
@@ -1247,9 +1278,10 @@ object TextOps {
       // feature cache — the hsh arrays are the bulk of it, and a
       // long-lived session (Verify + Bench in one JVM) must not
       // accumulate one per invocation.
-      val (selected, feats) = corpusPipelineSelection(s, dir)
+      val (selected, feats, shingles) = corpusPipelineSelection(s, dir)
       val out = selected.localCheckpoint(true)
       feats.unpersist(false)
+      shingles.unpersist(false)
       out
     }
 
@@ -1950,24 +1982,15 @@ object TextOps {
     // join + partial-agg'd (doc, eval) count. The production
     // decontamination shape: eval suites are MBs, corpora are TBs.
     "q_decontaminate" -> ((s, dir) => {
-      val ex = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
-      // df-cap the shingle stream first (deconHotShingles): corpus-
-      // common shingles are template/boilerplate, not contamination
+      // df-capped eval pairing ([[deconPairCounts]]): corpus-common
+      // shingles are template/boilerplate, not contamination
       // evidence — without the cap, extraction boilerplate shared by
       // every page makes the (doc, eval) join quadratic AND flags the
       // whole corpus (PIPELINE_SCALE round-13 finding, NOTES_r13)
-      val kx = ex.join(
-        broadcast(deconHotShingles(ex, Tables.documents(s, dir))),
-        Seq("h"), "left_anti")
-      val evalSet = kx.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("eval_id"), col("h"))
-      kx.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalSet), Seq("h"))
-        .groupBy(col("doc_id"), col("eval_id"))
-        .agg(count(lit(1)).as("shared_shingles"))
-        .filter(col("shared_shingles") >= 3)
+      val ex = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), graft.functions.ngram_hash_explode(col("toks")).as("h"))
+      deconPairCounts(ex, Tables.documents(s, dir))
         .orderBy("doc_id", "eval_id")
     }),
 

@@ -239,7 +239,7 @@ object VectorOps {
   val SemanticDeconTau = 0.999
 
   /** SEMANTIC DECONTAMINATION (VERDICT r14 #5) — the complement to
-    * shingle-based decon ([[TextOps.deconHotShingles]] + the
+    * shingle-based decon ([[TextOps.deconPairCounts]], the
     * q_decontaminate join), which by construction only catches
     * near-VERBATIM overlap: a paraphrased eval answer shares few
     * 3-gram shingles but sits within τ of the eval doc in embedding

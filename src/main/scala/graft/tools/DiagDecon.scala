@@ -40,8 +40,12 @@ object DiagDecon {
     val root = java.nio.file.Files.createTempDirectory("diag_decon").toString
     import graft.ops.TextOps
 
+    // arg 3: comma-separated scale list (r15: the 30× arm caught a
+    // superlinear WALL with linear shuffle in the pipeline probe —
+    // attribution needs the same second-decade point)
+    val scaleArg = args.drop(2).headOption.getOrElse("1,10")
     val lines = collection.mutable.ArrayBuffer.empty[String]
-    Seq(1L, 10L).foreach { s =>
+    scaleArg.split(",").map(_.trim.toLong).toSeq.foreach { s =>
       val n = base * s
       val raw = s"$root/raw_$s"; val dir = s"$root/ex_$s"
       ProbeCorpus.writeCorpus(spark, raw, n)
@@ -67,33 +71,47 @@ object DiagDecon {
       }
 
       val (nRows, tRows, bRows) = timed("stream")(shingled0.count())
-      // THE production cap definition, not a hand copy (the
-      // DiagKeepers shared-generator lesson: a replica here measured
-      // the OLD formula after the r14 absolute-cap fix landed)
-      val hotDf = TextOps.deconHotShingles(shingled0, docs)
-      val (nHot, tHot, bHot) = timed("hot")(hotDf.count())
-      val capped = shingled0.join(broadcast(hotDf), Seq("h"), "left_anti")
+      // THE production shape (r15: eval-side-only capping — the
+      // corpus stream pays ONE probe against the kept eval broadcast;
+      // the df aggregate is the cap's corpus-frequency source), built
+      // from the same pieces deconPairCounts fuses, staged so each
+      // term gets its own wall/bytes row. Cap thresholds quoted from
+      // the production constants (the DiagKeepers shared-definition
+      // lesson).
+      val thr = least(
+        greatest(expr(s"n_docs div ${TextOps.DeconDfDenom}"),
+          lit(TextOps.DeconDfFloor.toLong)),
+        lit(TextOps.DeconDfAbs.toLong))
+      val nDocsF = docs.select(count(lit(1)).as("n_docs"))
+      val dfAll = shingled0.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (nCap, tCap, bCap) = timed("capped")(capped.count())
-      val evalSide = capped.filter(col("doc_id") % 97 === 0)
+      val (nDistinct, tDf, bDf) = timed("df_agg")(dfAll.count())
+      val nHot = dfAll.crossJoin(broadcast(nDocsF))
+        .filter(col("df") > thr).count()
+      val evalKept = shingled0.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("h"))
-      val nEval = evalSide.count()
-      val joined = capped.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalSide), Seq("h"))
+        .join(dfAll, Seq("h"))
+        .crossJoin(broadcast(nDocsF))
+        .filter(col("df") <= thr)
+        .select(col("eval_id"), col("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nEval, tEval, bEval) = timed("eval_kept")(evalKept.count())
+      val joined = shingled0.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalKept), Seq("h"))
       val (nPairsRaw, tJoin, bJoin) = timed("join")(joined.count())
       val contaminated = joined
         .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 3).select(col("doc_id")).distinct()
       val (nCont, tAgg, bAgg) = timed("agg")(contaminated.count())
-      shingled0.unpersist(true); capped.unpersist(true)
+      shingled0.unpersist(true); dfAll.unpersist(true); evalKept.unpersist(true)
       spark.sharedState.cacheManager.clearCache(); System.gc()
 
       val line =
         f"""{"scale":$s,"docs":$n,"shuffle_partitions":$parts,""" +
         f""""shingle_rows":$nRows,"stream_sec":$tRows%.2f,"stream_mb":$bRows%.1f,""" +
-        f""""hot_shingles":$nHot,"hot_sec":$tHot%.2f,"hot_mb":$bHot%.1f,""" +
-        f""""capped_rows":$nCap,"capped_sec":$tCap%.2f,"capped_mb":$bCap%.1f,""" +
-        f""""eval_rows":$nEval,""" +
+        f""""distinct_hashes":$nDistinct,"df_sec":$tDf%.2f,"df_mb":$bDf%.1f,""" +
+        f""""hot_shingles":$nHot,""" +
+        f""""eval_rows":$nEval,"eval_sec":$tEval%.2f,"eval_mb":$bEval%.1f,""" +
         f""""pair_rows":$nPairsRaw,"join_sec":$tJoin%.2f,"join_mb":$bJoin%.1f,""" +
         f""""contaminated":$nCont,"agg_sec":$tAgg%.2f,"agg_mb":$bAgg%.1f}"""
       println(s"""{"metric":"diag_decon",${line.drop(1)}""")

@@ -79,9 +79,20 @@ object MmrScaleProbe {
     }
 
     val mb = 1048576.0
+    // corpus size on disk — the yardstick for "did more queries cost
+    // more corpus scans": input growth across 16× queries must stay
+    // well under ONE extra corpus read (the absolute input numbers
+    // are dominated by checkpointed-candidate block reads, which DO
+    // grow with queries and are supposed to — comparing their ratio
+    // alone misreads MBs of candidate reads as corpus rescans)
+    val corpusBytes = {
+      val d = new java.io.File(s"$root/documents.parquet")
+      Option(d.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    }
     // verdict: wall linear-in-queries (per-query wall at 16× within
     // 1.5× of 1× — fixed corpus costs make per-query wall FALL, so
-    // the bound is one-sided); input flat (16× input within 2× of 1×)
+    // the bound is one-sided); corpus-scan independence = input
+    // growth < half a corpus read while queries grew 16×
     val (m1, q1, _, w1, _, in1) = rows.head
     val (m16, q16, _, w16, _, in16) = rows.last
     val perQ1 = w1 / math.max(q1.toDouble, 1)
@@ -89,8 +100,8 @@ object MmrScaleProbe {
     val verdict =
       if (perQ16 > perQ1 * 1.5)
         f"superlinear-in-queries: per-query wall $perQ1%.4f -> $perQ16%.4f s"
-      else if (in16 > in1 * 2.0)
-        f"corpus-scan NOT query-independent: input ${in1 / mb}%.0f -> ${in16 / mb}%.0f MB"
+      else if (in16 - in1 > corpusBytes / 2)
+        f"corpus-scan NOT query-independent: input ${in1 / mb}%.0f -> ${in16 / mb}%.0f MB vs corpus ${corpusBytes / mb}%.0f MB"
       else "linear-in-queries, corpus-scan-count independent"
 
     val rowJson = rows.map { case (mod, nQ, nR, wall, shuf, in) =>
@@ -102,7 +113,8 @@ object MmrScaleProbe {
       s"""{
          |  "metric": "mmr_scale",
          |  "base_docs": $base,
-         |  "note": "fixed corpus, query count varied via id stride; wall = min of 2 reps; input_mb ~flat across 16x queries = corpus-scan-count independence; shuffle grows with the candidate/pair space (queries x K(K-1)/2), never the corpus.",
+         |  "corpus_mb": ${(corpusBytes / mb).round},
+         |  "note": "fixed corpus, query count varied via id stride; wall = min of 2 reps; corpus-scan independence = input growth across 16x queries well under one corpus read (absolute input is dominated by checkpointed-candidate block reads, which scale with queries by design); shuffle grows with the candidate/pair space (queries x K(K-1)/2), never the corpus.",
          |  "rows": [
          |$rowJson
          |  ],

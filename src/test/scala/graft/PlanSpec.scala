@@ -468,10 +468,10 @@ class PlanSpec extends SparkSpec {
     // Audited on the LAZY selection plan — the public entry memoizes
     // an eager localCheckpoint whose returned plan no longer shows the
     // scan it already paid (round-8 memoization).
-    val (selected, feats) = ops.TextOps.corpusPipelineSelection(spark, dir)
+    val (selected, feats, shingles) = ops.TextOps.corpusPipelineSelection(spark, dir)
     try assert(documentScansOf(selected) === 1,
       "q_corpus_pipeline must read documents exactly once")
-    finally feats.unpersist(false)
+    finally { feats.unpersist(false); shingles.unpersist(false) }
   }
 
   test("q_corpus_select_dedup reads document text exactly once") {

@@ -102,7 +102,15 @@ object Bench {
             baseline.get(name).exists(b => b > 0 && first > b * 1.5)) {
           val second = timeOnce()
           settle()
-          if (failed.contains(name)) first else math.min(first, second)
+          if (failed.contains(name)) {
+            // The FIRST shot succeeded — a transient failure on the
+            // re-time must not discard a valid measurement or exclude
+            // the query from the total/regression gates (ADVICE r15).
+            // `failed` marks queries whose measurement is unusable;
+            // this one's is `first`.
+            failed = failed.filterNot(_ == name)
+            first
+          } else math.min(first, second)
         } else first
       name -> sec
     }

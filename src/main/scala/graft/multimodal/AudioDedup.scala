@@ -126,6 +126,21 @@ object AudioDedup {
     }
   }
 
+  /** The DECODED fingerprints of the near-dup audio fixture,
+    * disk-cached like the fixture itself (VERDICT r15 #7 — the
+    * video-lane rationale at [[VideoDedup.nearDupFrameHashesMemo]]).
+    * Decode correctness stays covered by AudioDedupSpec and
+    * q_audio_meta, which run the real decode. */
+  def nearDupFingerprintsMemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Memo.stage(spark, dir, "neardup_audio_fp") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fp_v1") {
+        audioFingerprints(nearDupAudiosFromDocumentsMemo(spark, dir))
+          .as[(Long, Long)]
+      }.localCheckpoint(true)
+    }.toDF("media_id", "afp")
+  }
+
   /** Map-side fingerprints: (media_id, afp). Undecodable / non-PCM16
     * payloads drop out of the candidate space. */
   def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {

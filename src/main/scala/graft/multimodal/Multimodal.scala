@@ -252,6 +252,22 @@ object Multimodal {
     }
   }
 
+  /** The DECODED perceptual hashes of the near-dup image fixture,
+    * disk-cached like the fixture itself (VERDICT r15 #7 — the
+    * video-lane rationale at [[VideoDedup.nearDupFrameHashesMemo]]):
+    * pure arithmetic on (dir, doc_id), re-paid per JVM for no
+    * information. Decode correctness stays covered by MultimodalSpec
+    * and q_image_meta/q_image_decode, which run the real decode. */
+  def nearDupImagePHashesMemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Memo.stage(spark, dir, "neardup_image_phash") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_phash_v1") {
+        imagePHashes(nearDupImagesFromDocumentsMemo(spark, dir))
+          .as[(Long, Long)]
+      }.localCheckpoint(true)
+    }.toDF("media_id", "ahash")
+  }
+
   /** Perceptual hashes, map-side (payload bytes never shuffle):
     * (media_id, ahash). Undecodable payloads drop out of the
     * candidate space. */

@@ -1191,6 +1191,21 @@ object TextOps {
   private[graft] def deconPairCounts(ex: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.select(count(lit(1)).as("n_docs"))
     val dfAll = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // The eval side is production-bounded (eval suites are MBs) but
+    // the REPO'S OWN doc_id % 97 fixture grows it linearly with the
+    // corpus (~1/97 of all shingles — ~7.8M rows at the 30×/9M-doc
+    // probe point), so an unconditional broadcast is the same
+    // unbounded-build-side trap the verify/MMR joins already guard
+    // against (ADVICE r15). Same exact-count discipline, but through
+    // an EAGER LOCAL CHECKPOINT, not a persist: the skinny frame is
+    // consumed lazily by callers with no release hook, and a leaked
+    // cacheManager entry outlives the caller's shingle cache — after
+    // the caller unpersists, Spark recompiles the leaked entry to
+    // scan documents directly AND canonically matches it into LATER
+    // builds of the same plan (measured: PlanSpec's one-text-scan
+    // audit read 2 scans when a prior suite had run the pipeline).
+    // The checkpoint materializes once, makes the guard count a
+    // block-scan, and registers nothing in the cache manager.
     val evalKept = ex.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
       .join(dfAll, Seq("h"))
@@ -1199,12 +1214,20 @@ object TextOps {
         greatest(expr(s"n_docs div $DeconDfDenom"), lit(DeconDfFloor.toLong)),
         lit(DeconDfAbs.toLong)))
       .select(col("eval_id"), col("h"))
+      .localCheckpoint(true)
+    val evalSmall = evalKept.count() <= DeconEvalBroadcastRowCap
     ex.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(evalKept), Seq("h"))
+      .join(if (evalSmall) broadcast(evalKept) else evalKept, Seq("h"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= 3)
   }
+
+  /** Eval-shingle row ceiling for [[deconPairCounts]]'s BROADCAST arm
+    * (two long columns; 4M rows ≈ 64 MB of hashed relation — same
+    * band as [[PairVerifyBroadcastIdCap]]). Past it the pair join
+    * shuffles; the df cap and the pair semantics are unchanged. */
+  val DeconEvalBroadcastRowCap = 4_000_000L
 
   /** The selection's SUBSTAGE frames — (feats, contaminated,
     * selected) — exposed so [[graft.tools.PipelineScaleProbe]] can
@@ -2188,11 +2211,18 @@ object TextOps {
       val out = counts
         .withColumn("p_ref", (col("c_ref").cast("double") + 1.0) / lit(denRef))
         .withColumn("p_cur", (col("c_cur").cast("double") + 1.0) / lit(denCur))
+        // kl_contrib bound to the UNROUNDED p's in its own projection
+        // step — the old shape referenced `p_ref` in the same select
+        // that re-aliased `roundTo(p_ref)` to the same name, i.e. the
+        // exact lateral-column-alias knife edge of NOTES_r15 §4 (it
+        // happened to bind child-first, matching the oracle's
+        // unrounded-p CTE, but nothing pinned that). VERDICT r15 #1.
+        .withColumn("kl_contrib",
+          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8))
         .select(col("token"),
           roundTo(col("p_ref"), 8).as("p_ref"),
           roundTo(col("p_cur"), 8).as("p_cur"),
-          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8)
-            .as("kl_contrib"))
+          col("kl_contrib"))
         .orderBy(col("kl_contrib").desc, col("token").asc)
         .limit(20)
       // ≤20 rows: land them locally so the cache can be released with
@@ -2610,8 +2640,7 @@ object TextOps {
     // and the linear-output production form is
     // [[HammingDedup.clusters64]].
     "q_image_neardup" -> ((s, dir) => {
-      val hashed = graft.multimodal.Multimodal.imagePHashes(
-        graft.multimodal.Multimodal.nearDupImagesFromDocumentsMemo(s, dir))
+      val hashed = graft.multimodal.Multimodal.nearDupImagePHashesMemo(s, dir)
       HammingDedup.pairs64(hashed, "media_id", "ahash",
           nBands = 4, maxHamming = 3, maxBucket = Some(HammingDedup.CapBucket))
         .orderBy("id_a", "id_b")
@@ -2632,9 +2661,8 @@ object TextOps {
     // patterns) or a within-group miss (JPEG vs PNG re-encode) both
     // hash-mismatch.
     "q_video_neardup" -> ((s, dir) => {
-      val fh = graft.multimodal.VideoDedup.videoFrameHashes(
-        graft.multimodal.VideoDedup.nearDupVideosFromDocumentsMemo(s, dir),
-        maxFrames = 4)
+      val fh = graft.multimodal.VideoDedup.nearDupFrameHashesMemo(s, dir)
+        .toDF()
       graft.multimodal.VideoDedup.nearDupPairs(fh, maxHamming = 3,
           nBands = 4, maxBucket = Some(HammingDedup.CapBucket))
         .orderBy("id_a", "id_b")
@@ -2653,8 +2681,7 @@ object TextOps {
     // lost member, a cross-group merge, or a label that is not the
     // component minimum all hash-mismatch.
     "q_media_clusters" -> ((s, dir) => {
-      val hashed = graft.multimodal.Multimodal.imagePHashes(
-        graft.multimodal.Multimodal.nearDupImagesFromDocumentsMemo(s, dir))
+      val hashed = graft.multimodal.Multimodal.nearDupImagePHashesMemo(s, dir)
       HammingDedup.clusters64(hashed, "media_id", "ahash",
           nBands = 4, maxHamming = 3)
         .orderBy("media_id")
@@ -2674,8 +2701,7 @@ object TextOps {
     // channels non-uniformly, or compares energies with float
     // rounding hash-mismatches here.
     "q_audio_neardup" -> ((s, dir) => {
-      val fp = graft.multimodal.AudioDedup.audioFingerprints(
-        graft.multimodal.AudioDedup.nearDupAudiosFromDocumentsMemo(s, dir))
+      val fp = graft.multimodal.AudioDedup.nearDupFingerprintsMemo(s, dir)
       graft.multimodal.AudioDedup.nearDupPairs(fp)
         .orderBy("id_a", "id_b")
     }),

@@ -147,7 +147,15 @@ object Urls {
     * "". `a.co.uk` and `b.co.uk` are DIFFERENT registered domains;
     * `x.com` still yields `x.com` (VERDICT r14 #2). */
   def registeredDomain(urlCanon: Column): Column = {
-    val host = regexp_replace(regexp_extract(urlCanon, authRe, 1),
+    // authority = [userinfo@]host[:port] — strip userinfo (greedy
+    // `.*@`: RFC 3986 puts the LAST '@' before the host) and the
+    // port before splitting into labels. The pre-r15 regex's
+    // [A-Za-z0-9-] char class excluded '@' implicitly; the split
+    // spelling must exclude it explicitly (ADVICE r15:
+    // 'https://user@b.co.uk/x' must yield 'b.co.uk', not
+    // 'user@b.co.uk').
+    val host = regexp_replace(
+      regexp_replace(regexp_extract(urlCanon, authRe, 1), "^.*@", ""),
       ":[0-9]+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
@@ -176,7 +184,9 @@ object Urls {
   private def domainCteSql(from: String): String =
     s"""psl AS (SELECT unnest($pslListSql) AS s),
        |dh AS (SELECT doc_id,
-       |    regexp_replace(regexp_extract(url_canon, '$authRe', 1),
+       |    regexp_replace(
+       |      regexp_replace(regexp_extract(url_canon, '$authRe', 1),
+       |        '^.*@', ''),
        |      ':[0-9]+$$', '') AS host
        |  FROM $from),
        |dl AS (SELECT doc_id, host, string_split(host, '.') AS ls,

@@ -201,6 +201,29 @@ object VectorOps {
     * smallest-k candidates are exactly the most productive droppers.
     * The declared query runs uncapped (the oracle states the exact
     * greedy rule); production sets k ≈ expected cell membership. */
+  /** The ±0.0005 per-dim perturbation TWIN fixture shared by
+    * q_semantic_dedup (offset 100000) and q_semantic_decon (offset
+    * 200000): twin(src)ᵢ = srcᵢ · (1 + ((src_id + i) % 7 − 3)·0.0005),
+    * cast back to float. The source id rides under `src_id` so the
+    * per-dim lambda can't LATERAL-ALIAS-capture the shifted id
+    * (NOTES_r15 §4 — in one select, col("vec_id") inside the lambda
+    * resolves to the just-aliased vec_id+offset, silently shifting
+    * the pattern by offset % 7). ONE spelling, factored out so
+    * LateralAliasSpec can replay it float-for-float against a
+    * driver-side recompute (VERDICT r15 #1's knife-edge probe).
+    * `extraCols` pass through unchanged. */
+  private[graft] def perturbedTwins(src: DataFrame, offset: Long,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val keep = Seq(col("vec_id").as("src_id"), col("embedding")) ++
+      extraCols.map(col)
+    src.select(keep: _*)
+      .select((Seq((col("src_id") + offset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            (((col("src_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
+          .as("embedding")) ++ extraCols.map(col)): _*)
+  }
+
   def semanticDedup(assigned: DataFrame, tau: Double,
       maxCell: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col("cell"), col("embedding"))
@@ -538,6 +561,51 @@ object VectorOps {
         .orderBy("q_id")
     }),
 
+    // ANN RECALL FOR THE PQ SERVING PATH (VERDICT r15 #6): q_ann_recall
+    // gates the exact-rerank IVF leg; this gates [[Ivf.searchPqBatchOf]]
+    // — the IVFADC read path (route → per-query map-side LUT → ADC top-C
+    // cut on CODES ONLY → exact-cosine rerank) — against the same
+    // brute-force truth, so QUANTIZATION-induced recall loss is a
+    // declared, hash-checked number, not a probe-artifact vibe. Same
+    // queries (vec_id < 8), same fits as q_ivfpq (k=8/iters=2 IVF,
+    // m=4 × k=4 PQ), nProbe=2, rerankC=60 (12× topK — the production-shaped rerank
+    // budget that makes recall IVF-limited, not cut-limited, at the
+    // oracle-replayable m=4 × k=4 codebook), top-5. The oracle replays
+    // the entire batch chain: both fits, per-query routing, per-query
+    // subspace LUTs, the raw-double ADC cut at C=20 (bit-equal fold
+    // order — the q_pq_adc/q_ivfpq contract), round-6 rerank.
+    "q_ann_recall_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val cb = Pq.fit(e, col("embedding"), Seq(col("vec_id")),
+        m = 4, dims = 64, k = 4, iters = 1)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val index = Pq.encode(Ivf.assign(e, col("embedding"), centers),
+        col("embedding"), cb)
+      val served = Ivf.searchPqBatchOf(index, queries, centers, cb,
+        nProbe = 2, rerankC = 60, topK = 5, excludeSelf = true,
+        scoreRound = Some(6))
+        .select(col("q_id"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("cos_sim"),
+          Util.lpadKey(col("vec_id")).as("key"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), 5).as("topk"))
+        .select(col("q_id"), explode(col("topk")).as("hit"))
+        .select(col("q_id"), col("hit.key").cast("long").as("vec_id"),
+          lit(1).as("m"))
+      served.join(exact, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // INDEX DELETES, driver-gated end to end: build a REAL persisted
     // cell-partitioned index from the embeddings table (two append
     // batches), tombstone every vec_id ≡ 3 (mod 17) at a later batch,
@@ -770,14 +838,8 @@ object VectorOps {
       // silently shifts the per-dim pattern by (offset % 7); latent
       // here because the declared output never emits a cosine, caught
       // when q_semantic_decon DID emit one)
-      val perturbed = e.filter(col("vec_id") % 7 === 0)
-        .select(col("vec_id").as("src_id"), col("embedding"), col("label"))
-        .select((col("src_id") + 100000).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((col("src_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
-            .as("embedding"),
-          col("label"))
+      val perturbed = perturbedTwins(e.filter(col("vec_id") % 7 === 0),
+        offset = 100000, extraCols = Seq("label"))
       val aug = e.select(col("vec_id"), col("embedding"), col("label"))
         .union(perturbed)
       val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
@@ -800,14 +862,9 @@ object VectorOps {
       val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")),
         k = 8, iters = 2)
       val evalV = e.filter(col("vec_id") % 97 === 0)
-      // src_id naming: see q_semantic_dedup's LCA-capture note
-      val planted = evalV
-        .select(col("vec_id").as("src_id"), col("embedding"))
-        .select((col("src_id") + 200000).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((col("src_id") + i) % 7 - 3) * lit(0.0005)))).cast("float"))
-            .as("embedding"))
+      // src_id naming inside the builder: see [[perturbedTwins]]
+      val planted = perturbedTwins(
+        evalV.select(col("vec_id"), col("embedding")), offset = 200000)
       val corpus = e.filter(col("vec_id") % 97 =!= 0)
         .select(col("vec_id"), col("embedding"))
         .union(planted)
@@ -931,12 +988,15 @@ object VectorOps {
           (col("n_ref").cast("double") + col("kk").cast("double")))
         .withColumn("p_cur", (col("c_cur").cast("double") + 1.0) /
           (col("n_cur").cast("double") + col("kk").cast("double")))
+        // unrounded-p binding made explicit — same LCA knife edge and
+        // fix as q_corpus_drift's kl_contrib (VERDICT r15 #1)
+        .withColumn("kl_contrib",
+          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8))
         .select(col("cell").cast("long").as("cell"),
           col("c_ref"), col("c_cur"),
           roundTo(col("p_ref"), 8).as("p_ref"),
           roundTo(col("p_cur"), 8).as("p_cur"),
-          roundTo(col("p_ref") * log(col("p_ref") / col("p_cur")), 8)
-            .as("kl_contrib"),
+          col("kl_contrib"),
           col("centroid_norm"))
         .orderBy(col("kl_contrib").desc, col("cell").asc)
     })
@@ -1046,6 +1106,120 @@ object VectorOps {
          |LEFT JOIN (SELECT q_id, vec_id FROM exr WHERE rank <= 5) x
          |  ON i.q_id = x.q_id AND i.vec_id = x.vec_id
          |GROUP BY i.q_id ORDER BY i.q_id""".stripMargin,
+
+    // q_ivfpq's fit replays (i-prefixed IVF + per-subspace PQ), BATCH
+    // routing (per-query rank-2 cells), per-query subspace LUTs, the
+    // raw-double ADC cut at C=20, round-6 exact rerank to top-5, then
+    // the q_ann_recall hit join against the brute-force truth.
+    "q_ann_recall_pq" -> {
+      def iAssignSql(src: String) =
+        s"""SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSqSql("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $src c) WHERE rn = 1""".stripMargin
+      def iMeansSql(a: String) =
+        s"""SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM $a, dims GROUP BY cell, i""".stripMargin
+      def sub(s: Int): String = {
+        val st = s * 16 + 1
+        def dss(e: String, c: String) = distSqSliceSql(e, c, st, 16)
+        s"""seeds$s AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |    list_transform(range(1, 17), i -> CAST(embedding[${st - 1} + i] AS DOUBLE)) AS c
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |a$s AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN seeds$s c) WHERE rn = 1),
+           |md$s AS (
+           |  SELECT cell, i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[${st - 1} + i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           |      / count(*) AS cd
+           |  FROM a$s, sdims GROUP BY cell, i),
+           |m$s AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM md$s GROUP BY cell),
+           |cb$s AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+           |         FROM seeds$s s LEFT JOIN m$s m USING (cell)),
+           |code$s AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dss("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb$s c) WHERE rn = 1),
+           |lut$s AS (SELECT q.q_id, c.cell, ${dss("q.q_emb", "c.c")} AS d
+           |          FROM cb$s c CROSS JOIN qs q)""".stripMargin
+      }
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |sdims AS (SELECT unnest(range(1, 17)) AS i),
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 8),
+         |iseeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |ia1 AS (${iAssignSql("iseeds")}),
+         |im1d AS (${iMeansSql("ia1")}),
+         |im1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM im1d GROUP BY cell),
+         |ic1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+         |        FROM iseeds s LEFT JOIN im1 m USING (cell)),
+         |ia2 AS (${iAssignSql("ic1")}),
+         |im2d AS (${iMeansSql("ia2")}),
+         |im2 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM im2d GROUP BY cell),
+         |ic2 AS (SELECT p.cell, COALESCE(m.c, p.c) AS c
+         |        FROM ic1 p LEFT JOIN im2 m USING (cell)),
+         |routed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN ic2 c) WHERE rn <= 2),
+         |iaf AS (${iAssignSql("ic2")}),
+         |${(0 until 4).map(sub).mkString(",\n")},
+         |adc AS (
+         |  SELECT r.q_id, e.vec_id, l0.d + l1.d + l2.d + l3.d AS adc
+         |  FROM iaf e JOIN routed r ON e.cell = r.cell
+         |${(0 until 4).map(s =>
+            s"  JOIN code$s k$s ON k$s.vec_id = e.vec_id " +
+              s"JOIN lut$s l$s ON l$s.cell = k$s.cell AND l$s.q_id = r.q_id")
+            .mkString("\n")}
+         |  WHERE e.vec_id <> r.q_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc ASC, vec_id ASC) AS crn
+         |    FROM adc) WHERE crn <= 60),
+         |rr AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM rr),
+         |ex AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id),
+         |exr AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM ex)
+         |SELECT i.q_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(x.vec_id) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT q_id, vec_id FROM rk WHERE rank <= 5) i
+         |LEFT JOIN (SELECT q_id, vec_id FROM exr WHERE rank <= 5) x
+         |  ON i.q_id = x.q_id AND i.vec_id = x.vec_id
+         |GROUP BY i.q_id ORDER BY i.q_id""".stripMargin
+    },
 
     // survivors = everything except the tombstoned residue class,
     // plus the revived half; cells from the identical fit replay

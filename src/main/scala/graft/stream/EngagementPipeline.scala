@@ -52,14 +52,31 @@ object EngagementPipeline {
       .withWatermark("event_time", "15 minutes")
       .dropDuplicatesWithinWatermark("id")
 
-  /** A1/A2 windowed aggregation with watermark-bounded state. */
-  def windowedAgg(derived: DataFrame): DataFrame =
+  /** A1/A2 windowed aggregation with watermark-bounded state.
+    *
+    * `processingTime = true` buckets by the ingestion-stamped
+    * `processing_time` column instead of event time — the OPT-IN
+    * replay of the reference's wall-clock minute bucketing
+    * (`EngagementRedisSink.scala:132` keys Redis windows off
+    * `System.currentTimeMillis`). The engine's default deviates to
+    * event time deliberately (SURVEY §7.4-1: deterministic,
+    * replayable, late-data-correct, oracle-checkable); this flag
+    * exists for users who need the reference's exact semantics —
+    * results then depend on arrival wall-clock, so the mode is
+    * spec-only by nature (VERDICT r15 #8). The watermark rides the
+    * same column so state stays bounded either way (processing time
+    * is monotone, so the watermark only ever trims genuinely old
+    * state). */
+  def windowedAgg(derived: DataFrame,
+      processingTime: Boolean = false): DataFrame = {
+    val bucketCol = if (processingTime) "processing_time" else "event_time"
     derived
-      .withWatermark("event_time", "15 minutes")
-      .groupBy(window(col("event_time"), "1 minute"),
+      .withWatermark(bucketCol, "15 minutes")
+      .groupBy(window(col(bucketCol), "1 minute"),
         coalesce(col("content_type"), lit("unknown")).as("content_type"))
       .agg(count(lit(1)).as("access_count"),
         Util.dsum(col("engagement_pct")).as("sum_pct"))
+  }
 
   /** The reference's topic name (EngagementProcessor.scala:164). */
   val KafkaTopic = "streaming.public.engagement_events"
@@ -544,8 +561,8 @@ object EngagementPipeline {
   /** Windowed-aggregate stream to an in-memory table (for tests and the
     * console monitor analog — K5). */
   def startAggToMemory(raw: DataFrame, contentDim: DataFrame,
-      queryName: String): StreamingQuery =
-    windowedAgg(transform(raw, contentDim)).writeStream
+      queryName: String, processingTime: Boolean = false): StreamingQuery =
+    windowedAgg(transform(raw, contentDim), processingTime).writeStream
       .outputMode("update")
       .format("memory")
       .queryName(queryName)

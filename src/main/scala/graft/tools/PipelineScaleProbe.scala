@@ -154,8 +154,12 @@ object PipelineScaleProbe {
   }
 
   private def rowJson(r: ScaleRow): String = {
+    // shuffle_bytes carries the RAW long — the merge's verdict ratios
+    // must not be reconstructed from the display-rounded shuffle_mb
+    // ('%.1f' loses up to ~52 KB/stage; stages near the 20 MB gate
+    // jittered across runs — ADVICE r15). shuffle_mb stays for eyes.
     val stJson = r._4.map { case (nm, sec, by) =>
-      f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_mb":${by / 1048576.0}%.1f}"""
+      f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f}"""
     }.mkString("[", ",", "]")
     s"""{"scale":${r._1},"docs":${r._2},"packed_docs":${r._3},"stages":$stJson}"""
   }
@@ -165,8 +169,9 @@ object PipelineScaleProbe {
     val n = m.readTree(json)
     val stages = (0 until n.get("stages").size()).map { i =>
       val st = n.get("stages").get(i)
-      (st.get("stage").asText(), st.get("sec").asDouble(),
-        (st.get("shuffle_mb").asDouble() * 1048576.0).toLong)
+      val by = if (st.has("shuffle_bytes")) st.get("shuffle_bytes").asLong()
+        else (st.get("shuffle_mb").asDouble() * 1048576.0).toLong // pre-r16 partials
+      (st.get("stage").asText(), st.get("sec").asDouble(), by)
     }
     (n.get("scale").asInt(), n.get("docs").asLong(),
       n.get("packed_docs").asLong(), stages)
@@ -359,7 +364,7 @@ object PipelineScaleProbe {
 
     val scaleJson = rows.map { case (s, n, packed, st) =>
       val stJson = st.map { case (nm, sec, by) =>
-        f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_mb":${by / 1048576.0}%.1f}"""
+        f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f}"""
       }.mkString("[", ",", "]")
       s"""{"scale":$s,"docs":$n,"packed_docs":$packed,"stages":$stJson}"""
     }.mkString("[", ",", "]")

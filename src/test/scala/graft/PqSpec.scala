@@ -239,4 +239,21 @@ class PqSpec extends SparkSpec {
     assert(overlap >= 8, s"PQ hits outside the exact top-5%: $overlap/10 " +
       s"(got=$got)")
   }
+
+  test("q_ann_recall_pq: IVFADC serving recall floor (VERDICT r15 #6)") {
+    // The declared, oracle-hash-checked recall of the searchPqBatchOf
+    // read path at the replayable m=4 × k=4 codebook with the 12×-topK
+    // rerank budget. Pinned values at sf0.01: mean 0.85, min 0.6 (the
+    // exact-rerank IVF leg q_ann_recall reads mean 0.9 on the same
+    // queries — quantization costs ~0.05 mean recall here). The floor
+    // asserts the BAND, not the hash (the oracle does that): a
+    // codebook/LUT/cut regression that drops a query below 0.4 or the
+    // mean below 0.7 fails loudly.
+    val rows = graft.ops.VectorOps.queries("q_ann_recall_pq")(spark, dir)
+      .select($"recall").as[Double].collect()
+    assert(rows.length == 8)
+    val mean = rows.sum / rows.length
+    assert(mean >= 0.7, s"mean IVFADC recall regressed: $mean")
+    assert(rows.min >= 0.4, s"a query's IVFADC recall collapsed: ${rows.toSeq}")
+  }
 }

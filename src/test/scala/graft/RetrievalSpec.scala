@@ -338,13 +338,22 @@ class RetrievalSpec extends SparkSpec {
     val merges = Retrieval.learnBpeMerges(trainDocs, 2)
     val lex = Retrieval.bpePieceLexicon(trainDocs, merges)
     val stream = Seq((10L, "low zq"), (11L, "émq")).toDF("doc_id", "text")
-    val out = Retrieval.bpeTokensFrom(stream, merges, lex)
+    val tok = Retrieval.bpeTokensFrom(stream, merges, lex)
+    // totality is a SCHEMA property: the id array's element type must
+    // declare containsNull = false (a getSeq[Int] decode would box
+    // primitives and could never observe a null, so asserting on the
+    // decoded list was vacuous — ADVICE r15)
+    tok.schema.fields(1).dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) =>
+        assert(!containsNull, "byte fallback must be total (schema-level)")
+      case other => fail(s"ids column is not an array: $other")
+    }
+    val out = tok
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList,
         r.getLong(2))).sortBy(_._1)
     val off = graft.functions.BpeEncodeIds.ByteIdOffset
     out.foreach { case (_, ids, n) =>
       assert(ids.length.toLong == n)
-      assert(!ids.contains(null), "byte fallback must be total")
     }
     // 'zq': 'z' and 'q' single-char pieces absent from the frozen
     // lexicon (train corpus has no z/q) → UTF-8 bytes

@@ -1229,15 +1229,28 @@ object TextOps {
     * shuffles; the df cap and the pair semantics are unchanged. */
   val DeconEvalBroadcastRowCap = 4_000_000L
 
-  /** The selection's SUBSTAGE frames — (feats, contaminated,
-    * selected) — exposed so [[graft.tools.PipelineScaleProbe]] can
-    * attribute the quality_decon stage's wall/shuffle to its
-    * components (VERDICT r13 #1: an end-of-stage number alone let a
-    * superlinear term hide inside the composed wall). Semantics are
-    * exactly [[corpusPipelineSelection]]'s; production consumers go
-    * through that wrapper and pay no extra materialization. */
+  /** The selection's SUBSTAGE frames, exposed so
+    * [[graft.tools.PipelineScaleProbe]] can attribute the
+    * quality_decon stage's wall/shuffle to its components (VERDICT
+    * r13 #1: an end-of-stage number alone let a superlinear term hide
+    * inside the composed wall). `contaminated` and `selected` are
+    * LAZY (memoized on first touch): [[deconPairCounts]]'s broadcast
+    * guard does EAGER work (the eval-side checkpoint + exact count),
+    * and building it at construction time would book the decon cost
+    * into whatever stage happens to CALL this method — the r16 96 GB
+    * probe lane's first cut mis-attributed 26 s of decon into
+    * qd_keeper_ids exactly that way. Production consumers
+    * ([[corpusPipelineSelection]]) touch everything immediately;
+    * semantics are identical. */
+  private[graft] final class PipelineSubstages(
+      val feats: DataFrame, val shingles: DataFrame,
+      mkContaminated: () => DataFrame, mkSelected: DataFrame => DataFrame) {
+    lazy val contaminated: DataFrame = mkContaminated()
+    lazy val selected: DataFrame = mkSelected(contaminated)
+  }
+
   private[graft] def corpusPipelineSubstages(s: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      dir: String): PipelineSubstages = {
     val feats = corpusFeatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = clusterKeeperIds(s, dir, feats)
@@ -1250,23 +1263,23 @@ object TextOps {
     // consumers that release `feats`.
     val shingled0 = feats.select(col("doc_id"), explode(col("hsh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df-capped eval pairing ([[deconPairCounts]]): boilerplate
-    // shingles would otherwise pair every doc with every eval doc
-    val contaminated = deconPairCounts(shingled0, feats)
-      .select(col("doc_id")).distinct()
-    val selected = feats
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
-        col("quality_score") >= 0.3 && col("marker_hits") > 0)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
-    (feats, shingled0, contaminated, selected)
+    new PipelineSubstages(feats, shingled0,
+      // df-capped eval pairing ([[deconPairCounts]]): boilerplate
+      // shingles would otherwise pair every doc with every eval doc
+      () => deconPairCounts(shingled0, feats)
+        .select(col("doc_id")).distinct(),
+      contaminated => feats
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0 && repKeepPredicate &&
+          col("quality_score") >= 0.3 && col("marker_hits") > 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score")))
   }
 
   private[graft] def corpusPipelineSelection(s: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val (feats, shingles, _, selected) = corpusPipelineSubstages(s, dir)
-    (selected, feats, shingles)
+    val sub = corpusPipelineSubstages(s, dir)
+    (sub.selected, sub.feats, sub.shingles)
   }
 
   /** [[corpusPipelineSelection]]'s twin for the q_corpus_select_dedup

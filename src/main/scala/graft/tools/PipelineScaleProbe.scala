@@ -134,12 +134,19 @@ object PipelineScaleProbe {
         println(rowJson(row))
         spark.stop()
       case Some("--merge") =>
-        val scales = Seq(1, 3, 10, 30)
-        val rows = scales.map { s =>
-          parseRow(new String(Files.readAllBytes(partialPath(s)), "UTF-8"))
-        }
+        // optional comma-separated scale list; a trailing 100 engages
+        // the third-decade verdict rules (VERDICT r15 #4)
+        val scales = args.drop(1).headOption
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(1, 3, 10, 30))
+        require(scales.take(4) == Seq(1, 3, 10, 30),
+          s"merge expects scales 1,3,10,30[,100]; got $scales")
+        val partials = scales.map(s =>
+          new String(Files.readAllBytes(partialPath(s)), "UTF-8"))
+        val rows = partials.map(parseRow)
+        val heaps = partials.map(parseHeapGb)
         val base = rows.head._2
-        emit(base, rows, freshJvm = true)
+        emit(base, rows, freshJvm = true, heaps)
       case _ =>
         val base = args.headOption.map(_.toLong).getOrElse(100000L)
         val spark = buildSession()
@@ -148,7 +155,8 @@ object PipelineScaleProbe {
         val root = Files.createTempDirectory("graft_pipeline_scale").toString
         val rows = Seq(1, 3, 10, 30).map(s =>
           runScale(spark, meter, root, base, s))
-        emit(base, rows, freshJvm = false)
+        emit(base, rows, freshJvm = false,
+          Seq.fill(rows.size)(Runtime.getRuntime.maxMemory / 1073741824.0))
         spark.stop()
     }
   }
@@ -158,10 +166,20 @@ object PipelineScaleProbe {
     // must not be reconstructed from the display-rounded shuffle_mb
     // ('%.1f' loses up to ~52 KB/stage; stages near the 20 MB gate
     // jittered across runs — ADVICE r15). shuffle_mb stays for eyes.
+    // heap_gb records the scale JVM's -Xmx so the artifact names its
+    // memory regime (VERDICT r15 #2: the committed lane must be
+    // memory-per-row-constant, the fixed-heap lane a counterfactual).
     val stJson = r._4.map { case (nm, sec, by) =>
       f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f}"""
     }.mkString("[", ",", "]")
-    s"""{"scale":${r._1},"docs":${r._2},"packed_docs":${r._3},"stages":$stJson}"""
+    val heapGb = Runtime.getRuntime.maxMemory / 1073741824.0
+    s"""{"scale":${r._1},"docs":${r._2},"packed_docs":${r._3},""" +
+      f""""heap_gb":$heapGb%.1f,"stages":$stJson}"""
+  }
+
+  private def parseHeapGb(json: String): Double = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (n.has("heap_gb")) n.get("heap_gb").asDouble() else -1.0
   }
 
   private def parseRow(json: String): ScaleRow = {
@@ -249,21 +267,25 @@ object PipelineScaleProbe {
       //    persist keeps total work comparable while making the
       //    boundary measurable).
       // plan construction eagerly checkpoints the cluster-keeper id
-      // set off the warm CC memo — its own row, not hidden overhead
-      val (feats, shingles, contaminated, selected) =
-        staged(stages, "qd_keeper_ids") {
-          TextOps.corpusPipelineSubstages(spark, dir)
-        }
+      // set off the warm CC memo — its own row, not hidden overhead.
+      // contaminated/selected are LAZY substage members (r16): the
+      // decon guard's eager eval checkpoint + count must book into
+      // qd_decon_join, where first touch happens — not here.
+      val sub = staged(stages, "qd_keeper_ids") {
+        TextOps.corpusPipelineSubstages(spark, dir)
+      }
+      val (feats, shingles) = (sub.feats, sub.shingles)
       staged(stages, "qd_feats") { feats.count() }
-      staged(stages, "qd_decon_join") {
-        contaminated.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        contaminated.count()
+      val contaminated = staged(stages, "qd_decon_join") {
+        val c = sub.contaminated
+        c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
       }
       val keepers = staged(stages, "qd_select") {
         // the corpusPipelineKeepers materialization rule: eager
         // checkpoint of the skinny survivors, then release the caches
-        val out = selected.localCheckpoint(true)
+        val out = sub.selected.localCheckpoint(true)
         feats.unpersist(false)
         shingles.unpersist(false)
         contaminated.unpersist(false)
@@ -298,7 +320,7 @@ object PipelineScaleProbe {
   }
 
   private def emit(base: Long, rows: Seq[ScaleRow],
-      freshJvm: Boolean): Unit = {
+      freshJvm: Boolean, heaps: Seq[Double] = Nil): Unit = {
     // VERDICT RULE (tightened per r13 verdict #1): the old
     // `wall_10x <= 11.5` alone certified an 11.16× wall with 17×
     // shuffle as "linear-or-better". Now a stage is superlinear when
@@ -326,7 +348,16 @@ object PipelineScaleProbe {
       // the first decade's 3×→10× rule
       val wallUnit2 = (w30 / 30.0) / math.max(w10 / 10.0, 1e-9)
       val shufUnit2 = (b30 / 30.0) / math.max(b10 / 10.0, 1.0)
-      val causes = Seq(
+      // THIRD decade (VERDICT r15 #4): an optional 100× (10M-doc) arm
+      // extends the per-unit rules 30×→100× — the regime where a
+      // log-factor or slow quadratic would finally clear two flat
+      // decades' slack
+      val third = rows.lift(4).map { r100 =>
+        val (w100, b100) = (at(r100)._2, at(r100)._3)
+        ((w100 / 100.0) / math.max(w30 / 30.0, 1e-9),
+          (b100 / 100.0) / math.max(b30 / 30.0, 1.0))
+      }
+      val causes = (Seq(
         (wall10x > 11.5) -> f"wall_10x=$wall10x%.2f",
         (b1 / mb > 20 && shuf10x > 15 && shufUnit > 1.2) ->
           f"shuffle_10x=$shuf10x%.2f",
@@ -335,7 +366,10 @@ object PipelineScaleProbe {
         (w10 >= 1.5 && wallUnit2 > 1.25) -> f"wall_unit_10to30=$wallUnit2%.2f",
         (b10 / mb > 20 && shufUnit2 > 1.5) ->
           f"shuffle_unit_10to30=$shufUnit2%.2f"
-      ).collect { case (true, c) => c }
+      ) ++ third.toSeq.flatMap { case (wu3, su3) => Seq(
+        (w30 >= 1.5 && wu3 > 1.25) -> f"wall_unit_30to100=$wu3%.2f",
+        (b30 / mb > 20 && su3 > 1.5) -> f"shuffle_unit_30to100=$su3%.2f")
+      }).collect { case (true, c) => c }
       // a 1×→3× shuffle step followed by LINEAR 3×→10× growth is a
       // plan transition (a join side outgrowing broadcast range at a
       // scale boundary), not drift — named, but not superlinear
@@ -351,6 +385,7 @@ object PipelineScaleProbe {
       // genuine plan quadratic (which moves BYTES) can never hide
       // under it.
       val wallOnly = shufUnit <= 1.05 && shufUnit2 <= 1.05 &&
+        third.forall(_._2 <= 1.05) &&
         causes.forall(_.startsWith("wall"))
       val v = if (w10 < 1.5 && w30 < 1.5) "flat"
         else if (causes.nonEmpty && wallOnly)
@@ -359,7 +394,7 @@ object PipelineScaleProbe {
         else if (stepOnly)
           f"step-then-linear (shuffle_10x=$shuf10x%.2f from a 1x->3x plan transition; 3x->10x per-unit $shufUnit%.2f)"
         else "linear-or-better"
-      (name, wall10x, wallUnit, shufUnit, wallUnit2, shufUnit2, v)
+      (name, wall10x, wallUnit, shufUnit, wallUnit2, shufUnit2, third, v)
     }
 
     val scaleJson = rows.map { case (s, n, packed, st) =>
@@ -368,15 +403,20 @@ object PipelineScaleProbe {
       }.mkString("[", ",", "]")
       s"""{"scale":$s,"docs":$n,"packed_docs":$packed,"stages":$stJson}"""
     }.mkString("[", ",", "]")
-    val verdictJson = verdicts.map { case (n, r, wu, su, wu2, su2, v) =>
+    val verdictJson = verdicts.map { case (n, r, wu, su, wu2, su2, third, v) =>
+      val thirdJson = third.map { case (wu3, su3) =>
+        f""""wall_unit_30to100":$wu3%.2f,"shuffle_unit_30to100":$su3%.2f,"""
+      }.getOrElse("")
       f"""{"stage":"$n","ratio_10x_vs_1x":$r%.2f,""" +
         f""""wall_unit_3to10":$wu%.2f,"shuffle_unit_3to10":$su%.2f,""" +
         f""""wall_unit_10to30":$wu2%.2f,"shuffle_unit_10to30":$su2%.2f,""" +
+        thirdJson +
         f""""verdict":"$v"}"""
     }.mkString("[", ",", "]")
     val mode = if (freshJvm) "fresh-jvm-per-scale" else "single-jvm"
+    val heapJson = heaps.map(h => f"$h%.1f").mkString("[", ",", "]")
     val json = s"""{"metric":"pipeline_scale","base_docs":$base,""" +
-      s""""measurement_mode":"$mode",""" +
+      s""""measurement_mode":"$mode","heap_gb_per_scale":$heapJson,""" +
       s""""scales":$scaleJson,"verdicts":$verdictJson}"""
     // repo-relative like bench_baseline.json is read (ADVICE r13)
     Files.writeString(Paths.get("PIPELINE_SCALE.json"), json)

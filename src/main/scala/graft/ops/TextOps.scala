@@ -1188,7 +1188,8 @@ object TextOps {
     * must see corpus df BEFORE any eval restriction — restricting
     * first would materialize Θ(df) rows per boilerplate hash present
     * in eval, the exact blowup the cap exists to prevent. */
-  private[graft] def deconPairCounts(ex: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def deconPairCounts(ex: DataFrame, docs: DataFrame,
+      broadcastRowCap: Long = DeconEvalBroadcastRowCap): DataFrame = {
     val n = docs.select(count(lit(1)).as("n_docs"))
     val dfAll = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // The eval side is production-bounded (eval suites are MBs) but
@@ -1215,9 +1216,30 @@ object TextOps {
         lit(DeconDfAbs.toLong)))
       .select(col("eval_id"), col("h"))
       .localCheckpoint(true)
-    val evalSmall = evalKept.count() <= DeconEvalBroadcastRowCap
-    ex.filter(col("doc_id") % 97 =!= 0)
-      .join(if (evalSmall) broadcast(evalKept) else evalKept, Seq("h"))
+    val evalRows = evalKept.count()
+    val corpus = ex.filter(col("doc_id") % 97 =!= 0)
+    val joined =
+      if (evalRows <= broadcastRowCap)
+        corpus.join(broadcast(evalKept), Seq("h"))
+      else {
+        // PAST-CAP ARM, BLOOM-SEMI-REDUCED (r16, from the 100×/10M-doc
+        // probe arm): a bare shuffle join here ships the ENTIRE corpus
+        // shingle stream keyed by h — measured 13.4 GB at 10M docs,
+        // a 2.92 shuffle-per-unit step at the cap boundary. Only
+        // corpus rows whose h exists on the eval side can ever pair,
+        // so the corpus stream is pre-filtered map-side through a
+        // bloom of the eval hashes (~1.2 MB per 1M hashes at 1% fp —
+        // broadcastable at ANY eval size that can exist; false
+        // positives only add stray rows the exact equi-join below
+        // discards, so semantics are bit-identical to the broadcast
+        // arm). What still shuffles is pair-owed rows + ~1% fp — the
+        // join returns to O(pairs), not O(corpus).
+        val bf = evalKept.stat.bloomFilter("h", math.max(evalRows, 1000L), 0.01)
+        val bc = ex.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((h: Long) => bc.value.mightContainLong(h))
+        corpus.filter(might(col("h"))).join(evalKept, Seq("h"))
+      }
+    joined
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= 3)

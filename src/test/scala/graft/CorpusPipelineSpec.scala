@@ -37,6 +37,27 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decon pair join: bloom-semi-reduced shuffle arm is pair-identical to broadcast") {
+    // the past-cap arm (r16, from the 100×/10M-doc probe step): cap=0
+    // forces the bloom + shuffle join; results must equal the
+    // broadcast arm bit-for-bit — bloom false positives are discarded
+    // by the exact equi-join, and the df cap is identical on both arms
+    val docs = graft.io.Tables.documents(spark, dir)
+    // the q_decontaminate feeder verbatim (DISTINCT hashes per doc —
+    // the ngram_hash_explode contract deconPairCounts requires)
+    val ex = docs.withColumn("toks", graft.ops.TextOps.tokens($"text"))
+      .select($"doc_id", graft.functions.ngram_hash_explode($"toks").as("h"))
+    def rows(cap: Long) =
+      graft.ops.TextOps.deconPairCounts(ex, docs, broadcastRowCap = cap)
+        .orderBy("doc_id", "eval_id")
+        .as[(Long, Long, Long)].collect().toSeq
+    val viaBroadcast = rows(Long.MaxValue)
+    val viaBloom = rows(0L)
+    assert(viaBroadcast.nonEmpty, "fixture produced no decon pairs")
+    assert(viaBloom == viaBroadcast,
+      s"arms disagree: bloom=${viaBloom.take(5)} bcast=${viaBroadcast.take(5)}")
+  }
+
   test("semantic decon flags the PARAPHRASE the shingle gate misses") {
     // contaminated doc = an eval doc's tokens REVERSED: shares ~no
     // 3-gram shingles (the shingle decon gate passes it) but keeps

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Aggregates, Cdc, Dsir, Html, QualityModel, Relational, Retrieval, TextOps, Transforms, Urls, VectorOps}
+import graft.ops.{Aggregates, Cdc, Dsir, Html, QualityModel, Rag, Relational, Retrieval, TextOps, Transforms, Urls, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,12 +30,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Transforms.queries ++ Aggregates.queries ++ Relational.queries ++
       TextOps.queries ++ VectorOps.queries ++ Cdc.queries ++ Retrieval.queries ++
-      QualityModel.queries ++ Html.queries ++ Dsir.queries ++ Urls.queries
+      QualityModel.queries ++ Html.queries ++ Dsir.queries ++ Urls.queries ++
+      Rag.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Transforms.oracle ++ Aggregates.oracle ++ Relational.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ Cdc.oracle ++ Retrieval.oracle ++
-      QualityModel.oracle ++ Html.oracle ++ Dsir.oracle ++ Urls.oracle
+      QualityModel.oracle ++ Html.oracle ++ Dsir.oracle ++ Urls.oracle ++
+      Rag.oracle
 }

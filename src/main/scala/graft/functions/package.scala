@@ -286,5 +286,19 @@ package object functions {
       exprs => NearestCentroid(exprs.head, toMatrix(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("sign_lsh_bucket",
       exprs => SignLshBucket(exprs.head, toMatrix(exprs(1))), "built-in")
+    // COLUMN-CHAIN lanes (VERDICT r16 #7): pure built-in compositions
+    // wrapped at resolution time, so SQL-only users reach the r14–r16
+    // surfaces — URL canonicalize / registered domain (the dedup +
+    // domain-cap keys) and the DSIR feature-bucket hash (explode +
+    // join a frozen (b, lr) table to score).
+    reg.createOrReplaceTempFunction("url_canonicalize",
+      exprs => shims.resolvableExpression(
+        graft.ops.Urls.urlCanonicalize(shims.column(exprs.head))), "built-in")
+    reg.createOrReplaceTempFunction("registered_domain",
+      exprs => shims.resolvableExpression(
+        graft.ops.Urls.registeredDomain(shims.column(exprs.head))), "built-in")
+    reg.createOrReplaceTempFunction("dsir_buckets",
+      exprs => shims.resolvableExpression(
+        graft.ops.Dsir.featureBucketsOf(shims.column(exprs.head))), "built-in")
   }
 }

@@ -120,7 +120,8 @@ object AudioDedup {
   def nearDupAudiosFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_audio_fixture") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fixture_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fixture_v1",
+        codeOf = Seq(AudioFixture.getClass)) {
         nearDupAudiosFromDocuments(spark, dir)
       }.localCheckpoint(true)
     }
@@ -134,7 +135,9 @@ object AudioDedup {
   def nearDupFingerprintsMemo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_audio_fp") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fp_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_audio_fp_v1",
+        // synthesis + decode/fingerprint chain (ADVICE r16 auto-rekey)
+        codeOf = Seq(AudioFixture.getClass, AudioDedup.getClass)) {
         audioFingerprints(nearDupAudiosFromDocumentsMemo(spark, dir))
           .as[(Long, Long)]
       }.localCheckpoint(true)

@@ -235,7 +235,8 @@ object Multimodal {
   def imagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "image_fixture") {
-      graft.ops.FixtureCache.dataset(spark, dir, "image_fixture_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "image_fixture_v1",
+        codeOf = Seq(ImageFixture.getClass)) {
         imagesFromDocuments(spark, dir)
       }.localCheckpoint(true)
     }
@@ -246,7 +247,8 @@ object Multimodal {
   def nearDupImagesFromDocumentsMemo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_image_fixture") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_fixture_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_fixture_v1",
+        codeOf = Seq(ImageFixture.getClass)) {
         nearDupImagesFromDocuments(spark, dir)
       }.localCheckpoint(true)
     }
@@ -257,11 +259,14 @@ object Multimodal {
     * video-lane rationale at [[VideoDedup.nearDupFrameHashesMemo]]):
     * pure arithmetic on (dir, doc_id), re-paid per JVM for no
     * information. Decode correctness stays covered by MultimodalSpec
-    * and q_image_meta/q_image_decode, which run the real decode. */
+    * and q_image_meta/q_image_resize, which run the real decode. */
   def nearDupImagePHashesMemo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_image_phash") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_phash_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_image_phash_v1",
+        // synthesis + decode/hash chain (ADVICE r16 auto-rekey)
+        codeOf = Seq(ImageFixture.getClass, Multimodal.getClass,
+          ImagePhash.getClass)) {
         imagePHashes(nearDupImagesFromDocumentsMemo(spark, dir))
           .as[(Long, Long)]
       }.localCheckpoint(true)

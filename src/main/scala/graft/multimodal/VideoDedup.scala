@@ -168,7 +168,8 @@ object VideoDedup {
       dir: String): Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_video_fixture") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_video_fixture_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_video_fixture_v1",
+        codeOf = Seq(VideoFixture.getClass)) {
         nearDupVideosFromDocuments(spark, dir)
       }.localCheckpoint(true)
     }
@@ -187,7 +188,13 @@ object VideoDedup {
       dir: String): Dataset[FrameHash] = {
     import spark.implicits._
     graft.ops.Memo.stage(spark, dir, "neardup_video_framehash") {
-      graft.ops.FixtureCache.dataset(spark, dir, "neardup_video_framehash_v1") {
+      graft.ops.FixtureCache.dataset(spark, dir, "neardup_video_framehash_v1",
+        // the full decode/hash chain: fixture synthesis → demux →
+        // per-frame aHash — a change to ANY of it re-keys the store
+        // (ADVICE r16: the bare `_v1` suffix only invalidates when a
+        // human remembers to bump it)
+        codeOf = Seq(VideoFixture.getClass, VideoDedup.getClass,
+          VideoHeader.getClass, ImagePhash.getClass)) {
         videoFrameHashes(nearDupVideosFromDocumentsMemo(spark, dir),
           maxFrames = 4).as[FrameHash]
       }.localCheckpoint(true)

@@ -102,6 +102,15 @@ object Dsir {
       : org.apache.spark.sql.Column =
     pmod(hash60(concat(lit("dsir:"), f)), lit(DsirBuckets))
 
+  /** The per-document salted feature-bucket ARRAY as one Column —
+    * the SQL-surface spelling of the scoring lane's feature hash
+    * (explode + join the frozen (b, lr) table to score): exposed via
+    * `graft.functions.dsir_buckets` / SQL `dsir_buckets(toks)`
+    * (VERDICT r16 #7). */
+  def featureBucketsOf(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(featureArray(toks), f => bucketOf(f))
+
   private def featureBuckets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(featureArray(col("toks"))).as("f"))

@@ -36,6 +36,32 @@ object FixtureCache {
       .orElse(sys.env.get("GRAFT_FIXTURE_CACHE"))
       .getOrElse("target/fixture-cache")
 
+  /** 12-hex fingerprint of a class's BYTECODE, for folding into a
+    * cache key (ADVICE r16): the manual `_v1` suffix contract only
+    * invalidates when someone remembers to bump it; a decode/hash
+    * implementation change without a bump serves stale stores across
+    * JVMs until the source table changes. Hashing the implementing
+    * classfile makes invalidation automatic — any code change to the
+    * class (even an unrelated method) re-keys the store, which
+    * over-invalidates slightly but can never serve stale data.
+    * Memoized per class: the resource read is classloader I/O. */
+  private val classStamps =
+    new java.util.concurrent.ConcurrentHashMap[Class[_], String]()
+  def classStamp(cls: Class[_]): String =
+    classStamps.computeIfAbsent(cls, { c =>
+      val res = c.getResourceAsStream(
+        c.getName.substring(c.getName.lastIndexOf('.') + 1) + ".class")
+      if (res == null) "noclass"
+      else
+        try {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val buf = new Array[Byte](8192)
+          var n = res.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = res.read(buf) }
+          md.digest().map(b => f"$b%02x").mkString.take(12)
+        } finally res.close()
+    })
+
   /** Serve `stage` for `dir` from the disk cache, synthesizing and
     * publishing it at most once per cache lifetime. Returns the
     * parquet-backed frame (lazy scan, no cache dependency — callers
@@ -49,8 +75,15 @@ object FixtureCache {
     * that exists WITHOUT its `_SUCCESS` (crashed publish, partial
     * delete) is torn down and rebuilt rather than read forever;
     * orphaned `.tmp` dirs of crashed writers for the same key are
-    * swept before writing. */
-  def dataset[T](spark: SparkSession, dir: String, stage: String)(
+    * swept before writing.
+    *
+    * `codeOf` (optional): classes whose BYTECODE participates in the
+    * key via [[classStamp]] — pass the class(es) implementing the
+    * synthesis/decode/hash so code changes auto-invalidate without a
+    * manual `_vN` bump (the suffix stays as the human-readable schema
+    * version). */
+  def dataset[T](spark: SparkSession, dir: String, stage: String,
+      codeOf: Seq[Class[_]] = Nil)(
       compute: => Dataset[T])(implicit enc: Encoder[T]): Dataset[T] = {
     val fsForDir = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,8 +92,9 @@ object FixtureCache {
         val st = fsForDir.getFileStatus(new Path(dir, "documents.parquet"))
         s"${st.getLen}|${st.getModificationTime}"
       } catch { case _: java.io.IOException => "nosrc" }
+    val codeKey = codeOf.map(classStamp).mkString("|")
     val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$srcStamp".getBytes("UTF-8"))
+      .digest(s"$dir|$srcStamp|$codeKey".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
     val key = s"$stage-$dirKey"
     val path = new Path(new Path(rootDir), key)

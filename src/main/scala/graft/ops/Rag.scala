@@ -1,0 +1,430 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Util.{lpadKey, roundTo, roundToSql}
+import TextOps.{ChunkSize, ChunkStride, hash60, hash60Sql, tokens, tokensSql}
+import VectorOps.{cosineSql, distSqSql, dotSql}
+
+/** THE COMPOSED RAG-INGESTION CHAIN as one oracle-checked query
+  * (VERDICT r16 #4): every stage of a retrieval-augmented-generation
+  * corpus build — sliding-window chunking (q_chunk_docs geometry),
+  * per-chunk feature-hashed tf-idf embeddings (the q_hash_embed
+  * ladder), a BUILT IVF coarse quantizer over the chunk vectors
+  * (Ivf.fit — k-means, decimal-exact means), and hybrid serving of a
+  * query frame (IVF-routed cosine leg + chunk-level BM25 leg, fused
+  * by reciprocal rank) — run end-to-end and hash-replayed in DuckDB,
+  * the same "compose all stages, oracle the whole chain" treatment
+  * q_corpus_pipeline gave corpus selection.
+  *
+  * PLAN SHAPE (the 100 TB story):
+  *   - documents is tokenized ONCE: the chunk frame (doc_id,
+  *     chunk_idx, ctoks) is the session-memoized root every stage —
+  *     embeddings, index, BM25 postings, and even the QUERY FRAME
+  *     (chunk 0 covers token positions 1/5/9) — derives from
+  *     (RagSpec/PlanSpec pin: one documents scan under the whole
+  *     served plan).
+  *   - chunking and embedding are the audited q_chunk_docs /
+  *     q_hash_embed shapes: map-side explode, token-keyed aggregates,
+  *     text never shuffles past the tokenize.
+  *   - the index is a REAL fitted quantizer ([[Ivf.fit]]: one
+  *     map-side assignment pass + one K×64-row decimal aggregate per
+  *     iteration; vectors never shuffle) and cell assignment is the
+  *     codegen'd nearest_centroid — the layout [[Ivf.writeIndex]]
+  *     would persist cell-partitioned at production scale.
+  *   - serving is the audited q_ivf_batch + q_bm25_batch pair: the
+  *     query frame broadcasts (routed cells on the semantic leg,
+  *     query terms pre-filtering the posting explode on the lexical
+  *     leg), both legs rank through the BOUNDED-STATE topk_by_score
+  *     aggregate (K rows of state per query, no score-space sort),
+  *     and RRF fusion joins two ≤K-row lists per query — the final
+  *     window runs over ≤2K candidates, never the corpus.
+  *
+  * Determinism/oracle parity: the embed ladder is round6(w) →
+  * DECIMAL(28,6) sum → round4 (q_hash_embed's contract); dense
+  * vectors are those round4 values cast FLOAT (so the DuckDB twin is
+  * `CAST(val AS REAL)` — both IEEE round-to-nearest); k-means seeds
+  * are the first [[RagCells]] chunks in (doc_id, chunk_idx) order and
+  * means accumulate in DECIMAL(28,9) (order-free, the Ivf.fit
+  * contract); cosine is the sequential float→double fold rounded to 6
+  * (the q_ivf_batch rule); BM25 contributions round to 6 and sum as
+  * DECIMAL(18,6) → round4; RRF legs and the fused score round to 9
+  * (the q_hybrid_search rule). Zero-norm chunks/queries are excluded
+  * from the SEMANTIC leg only (cosine is undefined on them; they
+  * remain lexical candidates), spelled `dot(e,e) > 0` in both
+  * engines.
+  */
+object Rag {
+
+  /** IVF cells over the chunk corpus. Small by design: the oracle
+    * replays the fit, and the composition — not quantizer capacity —
+    * is this query's subject (q_ann_recall* gate recall). */
+  val RagCells = 4
+
+  /** Lloyd iterations (the oracle replays each mean update). */
+  val RagIters = 1
+
+  /** Probed cells per query. */
+  val RagProbe = 2
+
+  /** Per-leg candidate depth (the q_hybrid_search K). */
+  val RagK: Int = Retrieval.HybridK
+
+  /** Fused results per query. */
+  val RagFinal = 5
+
+  /** Sliding-window chunk frame (doc_id, chunk_idx, ctoks) — the
+    * q_chunk_docs geometry ([[TextOps.ChunkSize]]/[[TextOps.ChunkStride]])
+    * with the token SLICE kept (the retrieval unit needs content, not
+    * just the summary q_chunk_docs emits). Map-side: starts are
+    * generated inside the explode from the token count; an empty doc
+    * yields one empty chunk (dl 0 — it counts in the corpus stats,
+    * carries no postings, and never reaches the index). */
+  private[graft] def chunkFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("ctoks"))
+
+  /** (doc_id, chunk_idx, dl, token) posting explode. */
+  private def exOf(chunks: DataFrame): DataFrame =
+    chunks.select(col("doc_id"), col("chunk_idx"),
+      size(col("ctoks")).as("dl"), explode(col("ctoks")).as("token"))
+
+  /** 1-row (n_chunks, avgdl) corpus stats — broadcast everywhere. */
+  private def statsOf(chunks: DataFrame): DataFrame =
+    chunks.agg(count(lit(1)).as("n_chunks"),
+      (sum(size(col("ctoks"))).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Skinny (doc_id, chunk_idx, dim, val) hashed tf-idf chunk
+    * embeddings — the q_hash_embed ladder keyed by chunk. The df
+    * table is vocab-bounded (broadcast here; drop the hint and AQE
+    * shuffle-joins past broadcast range — the lmPerplexity note). */
+  private def chunkSkinny(chunks: DataFrame): DataFrame = {
+    val htf = exOf(chunks).filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("chunk_idx"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val hdf = htf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    htf.join(broadcast(hdf), Seq("token"))
+      .crossJoin(broadcast(statsOf(chunks)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (hash60(col("token")) % 64).as("dim"),
+        roundTo(col("tf") * log((col("n_chunks") + 1.0) / (col("df") + 1.0)), 6)
+          .as("w"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dim"))
+      .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+        .as("val"))
+  }
+
+  /** Densify a skinny (keys…, dim, val) frame to a 64-slot
+    * array<float> — zero-filled, elements in dim order. Only keys
+    * with ≥1 skinny row appear (both engines spell it that way). */
+  private def densify(skinny: DataFrame, keys: Seq[String],
+      out: String): DataFrame =
+    skinny.groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(
+        struct(col("dim").cast("int"), col("val")))).as("m"))
+      .select(keys.map(col) :+ transform(sequence(lit(0), lit(63)),
+        i => coalesce(element_at(col("m"), i), lit(0.0)).cast("float"))
+        .as(out): _*)
+
+  /** Dense NONZERO chunk vectors — the index corpus. Zero vectors
+    * (every token's idf rounds to 0) have no cosine and are dropped
+    * before the fit, spelled as the shared dot-fold in both engines. */
+  private[graft] def denseOf(chunks: DataFrame): DataFrame =
+    densify(chunkSkinny(chunks), Seq("doc_id", "chunk_idx"), "embedding")
+      .filter(VectorOps.dot(col("embedding"), col("embedding")) > 0)
+
+  // --- session memos: the chunk tokenize, the dense corpus, and the
+  // fitted quantizer are each paid once per (session, dir); the
+  // checkpoints make every later pass a block scan (the
+  // corpusPipeline memo discipline). ---
+  private def chunksMemo(s: SparkSession, dir: String): DataFrame =
+    Memo.stage(s, dir, "rag_chunks") {
+      chunkFrame(Tables.documents(s, dir)).localCheckpoint(true)
+    }
+
+  private def denseMemo(s: SparkSession, dir: String): DataFrame =
+    Memo.stage(s, dir, "rag_dense") {
+      denseOf(chunksMemo(s, dir)).localCheckpoint(true)
+    }
+
+  private def centersMemo(s: SparkSession, dir: String): Array[Array[Double]] =
+    Memo.stage(s, dir, "rag_centers") {
+      Ivf.fit(denseMemo(s, dir), col("embedding"),
+        Seq(col("doc_id"), col("chunk_idx")), k = RagCells, iters = RagIters)
+    }
+
+  /** Composite (doc_id, chunk_idx) topk/tie key: two zero-padded
+    * numeric fields, so lexicographic order == (doc_id, chunk_idx)
+    * numeric order — no packing bound on either field. */
+  private def chunkKey: Column =
+    concat(lpadKey(col("doc_id")), lit("|"),
+      lpad(col("chunk_idx").cast("string"), 10, "0"))
+
+  /** The served chain over explicit (chunks, dense, centers) — the
+    * testable core ([[ragServe]] passes the session memos; RagSpec's
+    * plan audit passes persisted frames so the one-text-scan property
+    * is visible in the lazy plan). `queryMod` sets the query-frame
+    * density (every doc_id ≡ 0 (mod queryMod) with ≥9 tokens; the
+    * declared query pins 100, RagScaleProbe raises it to hold the
+    * serving batch at a fixed query budget while the corpus scales —
+    * the production shape is "N queries against a corpus", not
+    * "corpus/100 queries"). */
+  private[graft] def serveOf(chunks: DataFrame, dense: DataFrame,
+      centers: Array[Array[Double]], queryMod: Long = 100): DataFrame = {
+    val stats = statsOf(chunks)
+    val ex = exOf(chunks)
+    // query frame: chunk 0 covers token positions 1/5/9 and
+    // len(ctoks)>=9 ⟺ doc length >= 9 (ChunkSize ≥ 9) — the
+    // q_bm25_batch query convention WITHOUT a second text scan
+    val qf = chunks.filter(col("chunk_idx") === 0 &&
+        col("doc_id") % queryMod === 0 && size(col("ctoks")) >= 9)
+      .select(col("doc_id").as("q_id"),
+        explode(array(element_at(col("ctoks"), 1),
+          element_at(col("ctoks"), 5),
+          element_at(col("ctoks"), 9))).as("token"))
+    val qTerms = qf.select(col("token")).distinct()
+
+    // --- semantic leg: embed the query like a chunk (query-term-
+    // restricted df — same VALUES as the full-vocab chunk df, a
+    // fraction of the cost), densify, route nProbe cells, cosine in
+    // routed cells only, bounded-state top-K ---
+    val qdf = ex.join(broadcast(qTerms), Seq("token"))
+      .select(col("doc_id"), col("chunk_idx"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qskinny = qf.groupBy(col("q_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(qdf), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), (hash60(col("token")) % 64).as("dim"),
+        roundTo(col("tf") * log((col("n_chunks") + 1.0) / (col("df") + 1.0)), 6)
+          .as("w"))
+      .groupBy(col("q_id"), col("dim"))
+      .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+        .as("val"))
+    val qvec = densify(qskinny, Seq("q_id"), "q_emb")
+      .filter(VectorOps.dot(col("q_emb"), col("q_emb")) > 0)
+    val index = Ivf.assign(dense, col("embedding"), centers)
+    val routed = qvec.select(col("q_id"), col("q_emb"),
+      explode(graft.functions.nearest_cells(col("q_emb"), centers, RagProbe))
+        .as("cell"))
+    val sem = index.join(broadcast(routed), Seq("cell"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"),
+        roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+          .as("cos_sim"),
+        chunkKey.as("key"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), RagK)
+        .as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("r_sem"),
+        col("col.key").as("key"))
+
+    // --- lexical leg: q_bm25_batch over chunks (query terms die
+    // map-side before the posting shuffle; repeated query terms
+    // weight double through the multiplicity join) ---
+    val fx = ex.join(broadcast(qTerms), Seq("token"))
+    val ltf = fx.groupBy(col("doc_id"), col("chunk_idx"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val ldf = ltf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val lex = ltf.join(broadcast(ldf), Seq("token"))
+      .join(broadcast(qf), Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", Retrieval.bmContrib(col("tf"), col("df"), col("dl"),
+        col("n_chunks"), col("avgdl")))
+      .groupBy(col("q_id"), col("doc_id"), col("chunk_idx"))
+      .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
+      .select(col("q_id"), roundTo(col("s0"), 4).as("score"),
+        chunkKey.as("key"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("score"), col("key"), RagK)
+        .as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("r_lex"),
+        col("col.key").as("key"))
+
+    // --- RRF fusion over ≤2K candidates per query ---
+    def leg(r: Column): Column =
+      roundTo(when(r.isNotNull,
+        lit(1.0) / (lit(Retrieval.RrfC) + r.cast("double")))
+        .otherwise(lit(0.0)), 9)
+    lex.join(sem, Seq("q_id", "key"), "full_outer")
+      .select(col("q_id"), col("key"), col("r_lex"), col("r_sem"),
+        roundTo(leg(col("r_lex")) + leg(col("r_sem")), 9).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("key").asc)).cast("long"))
+      .filter(col("rank") <= RagFinal)
+      .select(col("q_id"), col("rank"),
+        substring(col("key"), 1, 19).cast("long").as("doc_id"),
+        substring(col("key"), 21, 10).cast("int").as("chunk_idx"),
+        col("rrf"), col("r_lex"), col("r_sem"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The declared query: memoized chunk/dense/quantizer stages +
+    * [[serveOf]]. */
+  def ragServe(s: SparkSession, dir: String): DataFrame =
+    serveOf(chunksMemo(s, dir), denseMemo(s, dir), centersMemo(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rag_pipeline" -> ((s, dir) => ragServe(s, dir)))
+
+  // ----------------------------------------------------------------
+  // DuckDB oracle: the WHOLE chain replayed — chunking, per-chunk
+  // hashed tf-idf, densify, k-means fit (seeds + one decimal-exact
+  // mean update), index assignment, query embed, routing, routed
+  // cosine, chunk BM25, RRF fusion.
+  // ----------------------------------------------------------------
+
+  private def rrfLegSql(r: String) = roundToSql(
+    s"CASE WHEN $r IS NULL THEN 0.0 ELSE 1.0 / (${Retrieval.RrfC} + " +
+      s"CAST($r AS DOUBLE)) END", 9)
+
+  /** One Lloyd assignment of the dense chunk frame `src` against the
+    * centroid table `$cs(cell, c)` — squared-L2 sequential fold, ties
+    * to the lowest cell (the nearest_centroid contract). */
+  private def ragAssignSql(cs: String): String =
+    s"""SELECT doc_id, chunk_idx, emb, cell FROM (
+       |    SELECT e.doc_id, e.chunk_idx, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.doc_id, e.chunk_idx
+       |        ORDER BY ${distSqSql("e.emb", "c.c")} ASC, c.cell ASC) AS rn
+       |    FROM cvnz e CROSS JOIN $cs c) WHERE rn = 1""".stripMargin
+
+  private def ragOracleSql: String = {
+    val idfSql = roundToSql(
+      "tf * ln((s.n_chunks + 1.0) / (df + 1.0))", 6)
+    val dimSumSql = roundToSql(
+      "CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)
+    s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |ck AS (
+       |  SELECT doc_id, CAST(start // $ChunkStride AS INTEGER) AS chunk_idx,
+       |    toks[start + 1 : start + $ChunkSize] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(0, GREATEST(len(toks), 1), $ChunkStride)) AS start
+       |    FROM d)),
+       |stats AS (SELECT count(*) AS n_chunks,
+       |    CAST(SUM(len(ctoks)) AS DOUBLE) / count(*) AS avgdl FROM ck),
+       |ex AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl,
+       |       unnest(ctoks) AS token FROM ck),
+       |htf AS (SELECT doc_id, chunk_idx, token, count(*) AS tf FROM ex
+       |        WHERE token != '' GROUP BY 1, 2, 3),
+       |hdf AS (SELECT token, count(*) AS df FROM htf GROUP BY 1),
+       |hw AS (SELECT htf.doc_id, htf.chunk_idx,
+       |    ${hash60Sql("token")} % 64 AS dim, $idfSql AS w
+       |  FROM htf JOIN hdf USING (token) CROSS JOIN stats s),
+       |hvec AS (SELECT doc_id, chunk_idx, dim, $dimSumSql AS val
+       |         FROM hw GROUP BY 1, 2, 3),
+       |dims64 AS (SELECT unnest(range(0, 64)) AS dim),
+       |dims65 AS (SELECT unnest(range(1, 65)) AS i),
+       |cvec AS (
+       |  SELECT doc_id, chunk_idx, array_agg(x ORDER BY dim) AS emb FROM (
+       |    SELECT k.doc_id, k.chunk_idx, dm.dim,
+       |      CAST(COALESCE(v.val, 0.0) AS REAL) AS x
+       |    FROM (SELECT DISTINCT doc_id, chunk_idx FROM hvec) k
+       |    CROSS JOIN dims64 dm
+       |    LEFT JOIN hvec v ON v.doc_id = k.doc_id
+       |      AND v.chunk_idx = k.chunk_idx AND v.dim = dm.dim)
+       |  GROUP BY 1, 2),
+       |cvnz AS (SELECT * FROM cvec WHERE ${dotSql("emb", "emb")} > 0),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id, chunk_idx) - 1 AS cell,
+       |    list_transform(emb, v -> CAST(v AS DOUBLE)) AS c
+       |  FROM (SELECT * FROM cvnz ORDER BY doc_id, chunk_idx LIMIT $RagCells)),
+       |a1 AS (${ragAssignSql("seeds")}),
+       |m1d AS (SELECT cell, i AS dim,
+       |    CAST(SUM(CAST(CAST(emb[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+       |      / count(*) AS cd
+       |  FROM a1, dims65 GROUP BY cell, i),
+       |m1 AS (SELECT cell, array_agg(cd ORDER BY dim) AS c FROM m1d
+       |       GROUP BY cell),
+       |c1 AS (SELECT s.cell, COALESCE(m.c, s.c) AS c
+       |       FROM seeds s LEFT JOIN m1 m USING (cell)),
+       |af AS (${ragAssignSql("c1")}),
+       |qf AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest([ctoks[1], ctoks[5], ctoks[9]]) AS token
+       |  FROM ck WHERE chunk_idx = 0 AND doc_id % 100 = 0
+       |    AND len(ctoks) >= 9),
+       |qw AS (SELECT q.q_id, ${hash60Sql("token")} % 64 AS dim, $idfSql AS w
+       |  FROM (SELECT q_id, token, count(*) AS tf FROM qf GROUP BY 1, 2) q
+       |  JOIN hdf USING (token) CROSS JOIN stats s),
+       |qvec AS (SELECT q_id, dim, $dimSumSql AS val FROM qw GROUP BY 1, 2),
+       |qv AS (
+       |  SELECT q_id, array_agg(x ORDER BY dim) AS q_emb FROM (
+       |    SELECT k.q_id, dm.dim, CAST(COALESCE(v.val, 0.0) AS REAL) AS x
+       |    FROM (SELECT DISTINCT q_id FROM qvec) k CROSS JOIN dims64 dm
+       |    LEFT JOIN qvec v ON v.q_id = k.q_id AND v.dim = dm.dim)
+       |  GROUP BY 1),
+       |qvnz AS (SELECT * FROM qv WHERE ${dotSql("q_emb", "q_emb")} > 0),
+       |routed AS (SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+       |    FROM qvnz q CROSS JOIN c1 c) WHERE rn <= $RagProbe),
+       |sc AS (
+       |  SELECT q.q_id, e.doc_id, e.chunk_idx,
+       |    ${roundToSql(cosineSql("e.emb", "q.q_emb"), 6)} AS cos_sim
+       |  FROM af e JOIN routed r ON e.cell = r.cell
+       |  JOIN qvnz q ON q.q_id = r.q_id
+       |  WHERE e.doc_id <> q.q_id),
+       |semr AS (
+       |  SELECT q_id, doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, doc_id ASC, chunk_idx ASC) AS r_sem
+       |  FROM sc),
+       |fx AS (SELECT * FROM ex WHERE token IN (SELECT token FROM qf)),
+       |ltf AS (SELECT doc_id, chunk_idx, token, count(*) AS tf, max(dl) AS dl
+       |        FROM fx GROUP BY 1, 2, 3),
+       |ldf AS (SELECT token, count(*) AS df FROM ltf GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.q_id, ltf.doc_id, ltf.chunk_idx,
+       |    ${Retrieval.bmContribSql("ltf.tf", "ldf.df", "ltf.dl",
+             "s.n_chunks", "s.avgdl")} AS c
+       |  FROM ltf JOIN ldf USING (token) JOIN qf q USING (token)
+       |  CROSS JOIN stats s
+       |  WHERE ltf.doc_id <> q.q_id),
+       |lsc AS (
+       |  SELECT q_id, doc_id, chunk_idx, ${roundToSql(
+           "CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)", 4)} AS score
+       |  FROM contrib GROUP BY 1, 2, 3),
+       |lexr AS (
+       |  SELECT q_id, doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC, chunk_idx ASC) AS r_lex
+       |  FROM lsc),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, r.q_id) AS q_id,
+       |    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       |    COALESCE(l.chunk_idx, r.chunk_idx) AS chunk_idx,
+       |    l.r_lex, r.r_sem
+       |  FROM (SELECT * FROM lexr WHERE r_lex <= $RagK) l
+       |  FULL JOIN (SELECT * FROM semr WHERE r_sem <= $RagK) r
+       |    ON l.q_id = r.q_id AND l.doc_id = r.doc_id
+       |      AND l.chunk_idx = r.chunk_idx),
+       |frk AS (
+       |  SELECT q_id, doc_id, chunk_idx,
+       |    CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem,
+       |    ${roundToSql(rrfLegSql("r_lex") + " + " + rrfLegSql("r_sem"), 9)}
+       |      AS rrf,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${roundToSql(rrfLegSql("r_lex") + " + " + rrfLegSql("r_sem"), 9)}
+       |        DESC, doc_id ASC, chunk_idx ASC) AS rank
+       |  FROM fused)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_idx,
+       |  rrf, r_lex, r_sem
+       |FROM frk WHERE rank <= $RagFinal ORDER BY q_id, rank""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_rag_pipeline" -> ragOracleSql)
+}

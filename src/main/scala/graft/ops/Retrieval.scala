@@ -39,7 +39,7 @@ object Retrieval {
     * spelling both declared queries share (the MinhashK/LshBands
     * can't-desynchronize discipline, applied to the whole scoring
     * expression rather than just its constants). */
-  private def bmContrib(tf: Column, df: Column, dl: Column,
+  private[ops] def bmContrib(tf: Column, df: Column, dl: Column,
       nDocs: Column, avgdl: Column): Column =
     roundTo(log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5)) *
       (tf * (BmK1 + 1.0)) /
@@ -51,7 +51,7 @@ object Retrieval {
     * multiplies doubles, and the two differ by 1 ulp on values like
     * 3 × 2.2 — enough to flip a roundTo-6 floor boundary and break
     * the hash contract. */
-  private def bmContribSql(tf: String, df: String, dl: String,
+  private[ops] def bmContribSql(tf: String, df: String, dl: String,
       n: String, avgdl: String): String =
     roundToSql(
       s"ln(1.0 + (CAST($n AS DOUBLE) - $df + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +

@@ -1229,15 +1229,34 @@ object TextOps {
         // corpus rows whose h exists on the eval side can ever pair,
         // so the corpus stream is pre-filtered map-side through a
         // bloom of the eval hashes (~1.2 MB per 1M hashes at 1% fp —
-        // broadcastable at ANY eval size that can exist; false
+        // shippable at ANY eval size that can exist; false
         // positives only add stray rows the exact equi-join below
         // discards, so semantics are bit-identical to the broadcast
         // arm). What still shuffles is pair-owed rows + ~1% fp — the
-        // join returns to O(pairs), not O(corpus).
+        // join returns to O(pairs), not O(corpus). The probe is
+        // Spark's own codegen BloomFilterMightContain (the runtime-
+        // filter expression) over the serialized sketch as a binary
+        // literal: the bytes ride the stage's torrent-broadcast task
+        // binary (one copy per executor, reclaimed with the stage —
+        // nothing to destroy), and the filter stays inside
+        // WholeStageCodegen instead of splitting the corpus-scan
+        // pipeline at a ScalaUDF boundary (VERDICT r16 audit: this
+        // was the engine's only per-row UDF, sitting exactly where
+        // 100×-scale corpora live). stat.bloomFilter on a long column
+        // inserts via putLong, which is precisely what
+        // BloomFilterMightContain's mightContainLong probes.
         val bf = evalKept.stat.bloomFilter("h", math.max(evalRows, 1000L), 0.01)
-        val bc = ex.sparkSession.sparkContext.broadcast(bf)
-        val might = udf((h: Long) => bc.value.mightContainLong(h))
-        corpus.filter(might(col("h"))).join(evalKept, Seq("h"))
+        val bfBytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val might = org.apache.spark.sql.graft.shims.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bfBytes, org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.graft.shims.expression(col("h"))))
+        corpus.filter(might).join(evalKept, Seq("h"))
       }
     joined
       .groupBy(col("doc_id"), col("eval_id"))

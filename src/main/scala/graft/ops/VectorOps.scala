@@ -572,7 +572,7 @@ object VectorOps {
     // budget that makes recall IVF-limited, not cut-limited, at the
     // oracle-replayable m=4 × k=4 codebook), top-5. The oracle replays
     // the entire batch chain: both fits, per-query routing, per-query
-    // subspace LUTs, the raw-double ADC cut at C=20 (bit-equal fold
+    // subspace LUTs, the raw-double ADC cut at C=60 (bit-equal fold
     // order — the q_pq_adc/q_ivfpq contract), round-6 rerank.
     "q_ann_recall_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1109,7 +1109,7 @@ object VectorOps {
 
     // q_ivfpq's fit replays (i-prefixed IVF + per-subspace PQ), BATCH
     // routing (per-query rank-2 cells), per-query subspace LUTs, the
-    // raw-double ADC cut at C=20, round-6 exact rerank to top-5, then
+    // raw-double ADC cut at C=60, round-6 exact rerank to top-5, then
     // the q_ann_recall hit join against the brute-force truth.
     "q_ann_recall_pq" -> {
       def iAssignSql(src: String) =

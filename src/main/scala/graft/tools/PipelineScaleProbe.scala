@@ -157,7 +157,12 @@ object PipelineScaleProbe {
         val rows = Seq(1, 3, 10, 30).map(s =>
           runScale(spark, meter, root, base, s))
         emit(base, rows, freshJvm = false,
-          Seq.fill(rows.size)(Runtime.getRuntime.maxMemory / 1073741824.0))
+          Seq.fill(rows.size)(Runtime.getRuntime.maxMemory / 1073741824.0),
+          // honor SPARK_GRAFT_SHUFFLE_PARTS here too (ADVICE r16): the
+          // single-JVM arm builds its session from the same env knob,
+          // so a constant 32 would misname an overridden regime
+          Seq.fill(rows.size)(
+            sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32").toInt))
         spark.stop()
     }
   }
@@ -371,8 +376,12 @@ object PipelineScaleProbe {
       // decades' slack
       val third = rows.lift(4).map { r100 =>
         val (w100, b100) = (at(r100)._2, at(r100)._3)
-        ((w100 / 100.0) / math.max(w30 / 30.0, 1e-9),
-          (b100 / 100.0) / math.max(b30 / 30.0, 1.0))
+        // divide by the row's ACTUAL scale, not a hardcoded 100 —
+        // `--merge 1,3,10,30,50` would otherwise silently compute
+        // wrong 30×→Nth per-unit ratios (ADVICE r16)
+        val s5 = r100._1.toDouble
+        ((w100 / s5) / math.max(w30 / 30.0, 1e-9),
+          (b100 / s5) / math.max(b30 / 30.0, 1.0))
       }
       val causes = (Seq(
         (wall10x > 11.5) -> f"wall_10x=$wall10x%.2f",

@@ -12,6 +12,17 @@ object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → catalyst expression EAGERLY converted (not the lazy
+    * `ColumnNodeExpression` wrapper `expression` returns): the SQL
+    * function-registry path inserts the builder's result straight
+    * into an analyzing plan, where the lazy wrapper is Unevaluable
+    * and nothing ever converts it. The converter emits catalyst
+    * `UnresolvedFunction` children, which the fixed-point analyzer
+    * then resolves like any parsed SQL. Used by `registerAll`'s
+    * Column-chain registrations (url_canonicalize & co). */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap a LogicalPlan as a DataFrame (private[sql] Dataset.ofRows). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -383,6 +383,23 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("past-cap decon bloom probe is codegen-native — no ScalaUDF in the plan") {
+    // the bloom-semi-reduced shuffle arm (cap=0 forces it) must probe
+    // through Spark's codegen BloomFilterMightContain, not a Scala
+    // UDF: a UDF splits WholeStageCodegen around the corpus-scan
+    // filter exactly where 100×-scale corpora live (VERDICT r16)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, dir)
+    val ex = docs
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.ngram_hash_explode(col("toks")).as("h"))
+    val p = graft.ops.TextOps.deconPairCounts(ex, docs, broadcastRowCap = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"bloom probe fell back to a UDF:\n$p")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+  }
+
   test("q_embed_quant broadcasts the query and take-orders the top-k") {
     val p = plan("q_embed_quant")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
@@ -472,6 +489,24 @@ class PlanSpec extends SparkSpec {
     try assert(documentScansOf(selected) === 1,
       "q_corpus_pipeline must read documents exactly once")
     finally { feats.unpersist(false); shingles.unpersist(false) }
+  }
+
+  test("q_rag_pipeline reads document text exactly once (chunk frame feeds every stage)") {
+    // chunking, embeddings, the index corpus, BM25 postings AND the
+    // query frame all derive from one tokenized chunk frame — at
+    // 100 TB a second text scan is another 100 TB of I/O. Audited on
+    // the lazy composition (the public entry memoizes checkpoints
+    // whose plans no longer show the scan they paid).
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, dir)
+    val chunks = ops.Rag.chunkFrame(docs).persist()
+    val dense = ops.Rag.denseOf(chunks).persist()
+    val centers = ops.Ivf.fit(dense, col("embedding"),
+      Seq(col("doc_id"), col("chunk_idx")), k = ops.Rag.RagCells,
+      iters = ops.Rag.RagIters)
+    try assert(documentScansOf(ops.Rag.serveOf(chunks, dense, centers)) === 1,
+      "q_rag_pipeline must read documents exactly once")
+    finally { chunks.unpersist(false); dense.unpersist(false) }
   }
 
   test("q_corpus_select_dedup reads document text exactly once") {

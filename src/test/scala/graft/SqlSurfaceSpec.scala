@@ -58,6 +58,54 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(buckets.collect().forall { r => val b = r.getLong(0); b >= 0 && b < 4 })
   }
 
+  test("r14–r16 lanes from SQL: url_canonicalize/registered_domain, dsir_buckets, MMR candidate topk") {
+    graft.functions.registerAll(spark)
+    // URL canonicalize + PSL registered domain: SQL == Column API
+    Seq("https://WWW.Example.co.uk:443/a/B?utm_source=x&q=1#frag",
+      "http://site.com:80", "https://sub.shop.example.com/p?gclid=1&a=2")
+      .toDF("url").createOrReplaceTempView("urls")
+    val viaSql = spark.sql(
+      """SELECT url_canonicalize(url) AS cu,
+        |  registered_domain(url_canonicalize(url)) AS dom FROM urls"""
+        .stripMargin).as[(String, String)].collect().toSeq
+    val viaApi = spark.table("urls")
+      .select(ops.Urls.urlCanonicalize($"url").as("cu"))
+      .select($"cu", ops.Urls.registeredDomain($"cu").as("dom"))
+      .as[(String, String)].collect().toSeq
+    assert(viaSql == viaApi)
+    // the semantics, not just agreement: default port + tracking
+    // params stripped, multi-label public suffix resolved
+    assert(viaSql.head._1 == "https://www.example.co.uk/a/B?q=1")
+    assert(viaSql.head._2 == "example.co.uk")
+    assert(viaSql(2)._2 == "example.com")
+    // DSIR feature buckets: SQL == Column API over real documents
+    graft.io.Tables.documents(spark, sf("sf0.001"))
+      .createOrReplaceTempView("documents")
+    val bSql = spark.sql(
+      """SELECT doc_id, dsir_buckets(CASE WHEN length(trim(text)) = 0
+        |  THEN array() ELSE split(trim(lower(text)),
+        |  '[ \\t\\n\\r\\f\\x0B]+') END) AS bs
+        |FROM documents ORDER BY doc_id LIMIT 20""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toSeq
+    val bApi = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id",
+        ops.Dsir.featureBucketsOf(ops.TextOps.tokens($"text")).as("bs"))
+      .orderBy("doc_id").limit(20).as[(Long, Seq[Long])].collect().toSeq
+    assert(bSql == bApi)
+    assert(bSql.exists(_._2.nonEmpty))
+    assert(bSql.forall(_._2.forall(b => b >= 0 && b < ops.Dsir.DsirBuckets)))
+    // MMR's serving primitive from SQL: the bounded-state per-query
+    // candidate cut (topk_by_score over a grouped candidate frame)
+    Seq((1L, 0.9, "a"), (1L, 0.7, "b"), (1L, 0.8, "c"),
+      (2L, 0.1, "d"), (2L, 0.3, "e"))
+      .toDF("q_id", "score", "key").createOrReplaceTempView("cands")
+    val cut = spark.sql(
+      """SELECT q_id, transform(topk_by_score(score, key, 2), x -> x.key)
+        |  AS picks FROM cands GROUP BY q_id ORDER BY q_id""".stripMargin)
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(cut == Seq((1L, Seq("a", "c")), (2L, Seq("e", "d"))))
+  }
+
   test("approx_count_distinct tracks the exact global distinct within HLL++ error") {
     // the approximate sketch can't be oracle-hashed (Spark's HLL++ !=
     // DuckDB's); bound it against q_distinct_approx's exact twin here

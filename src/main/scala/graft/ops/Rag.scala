@@ -177,8 +177,12 @@ object Rag {
     * serving batch at a fixed query budget while the corpus scales —
     * the production shape is "N queries against a corpus", not
     * "corpus/100 queries"). */
-  private[graft] def serveOf(chunks: DataFrame, dense: DataFrame,
-      centers: Array[Array[Double]], queryMod: Long = 100): DataFrame = {
+  /** Shared query-side context: (stats, ex, qf, qvec) — the corpus
+    * stats, posting explode, query term frame, and dense query
+    * vectors (nonzero only). One spelling behind [[serveOf]] and
+    * [[semRecallOf]]. */
+  private def queryCtx(chunks: DataFrame, queryMod: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val stats = statsOf(chunks)
     val ex = exOf(chunks)
     // query frame: chunk 0 covers token positions 1/5/9 and
@@ -191,11 +195,8 @@ object Rag {
           element_at(col("ctoks"), 5),
           element_at(col("ctoks"), 9))).as("token"))
     val qTerms = qf.select(col("token")).distinct()
-
-    // --- semantic leg: embed the query like a chunk (query-term-
-    // restricted df — same VALUES as the full-vocab chunk df, a
-    // fraction of the cost), densify, route nProbe cells, cosine in
-    // routed cells only, bounded-state top-K ---
+    // embed the query like a chunk (query-term-restricted df — same
+    // VALUES as the full-vocab chunk df, a fraction of the cost)
     val qdf = ex.join(broadcast(qTerms), Seq("token"))
       .select(col("doc_id"), col("chunk_idx"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -211,22 +212,44 @@ object Rag {
         .as("val"))
     val qvec = densify(qskinny, Seq("q_id"), "q_emb")
       .filter(VectorOps.dot(col("q_emb"), col("q_emb")) > 0)
+    (stats, ex, qf, qvec)
+  }
+
+  /** IVF-routed cosine candidates (q_id, cos_sim round6, key) —
+    * the semantic leg's scored stream before the top-K cut. */
+  private def semScored(dense: DataFrame, centers: Array[Array[Double]],
+      qvec: DataFrame): DataFrame = {
     val index = Ivf.assign(dense, col("embedding"), centers)
     val routed = qvec.select(col("q_id"), col("q_emb"),
       explode(graft.functions.nearest_cells(col("q_emb"), centers, RagProbe))
         .as("cell"))
-    val sem = index.join(broadcast(routed), Seq("cell"))
+    index.join(broadcast(routed), Seq("cell"))
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id"),
         roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
           .as("cos_sim"),
         chunkKey.as("key"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.topk_by_score(col("cos_sim"), col("key"), RagK)
+  }
+
+  /** Bounded-state per-query top-K cut of a (q_id, score, key)
+    * stream → (q_id, rank, key). */
+  private def topkCut(scored: DataFrame, score: String, k: Int,
+      rankName: String): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col(score), col("key"), k)
         .as("topk"))
       .select(col("q_id"), posexplode(col("topk")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("r_sem"),
+      .select(col("q_id"), (col("pos") + 1).cast("long").as(rankName),
         col("col.key").as("key"))
+
+  private[graft] def serveOf(chunks: DataFrame, dense: DataFrame,
+      centers: Array[Array[Double]], queryMod: Long = 100): DataFrame = {
+    val (stats, ex, qf, qvec) = queryCtx(chunks, queryMod)
+    val qTerms = qf.select(col("token")).distinct()
+
+    // --- semantic leg: route nProbe cells, cosine in routed cells
+    // only, bounded-state top-K ---
+    val sem = topkCut(semScored(dense, centers, qvec), "cos_sim", RagK, "r_sem")
 
     // --- lexical leg: q_bm25_batch over chunks (query terms die
     // map-side before the posting shuffle; repeated query terms
@@ -235,22 +258,18 @@ object Rag {
     val ltf = fx.groupBy(col("doc_id"), col("chunk_idx"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val ldf = ltf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val lex = ltf.join(broadcast(ldf), Seq("token"))
-      .join(broadcast(qf), Seq("token"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("c", Retrieval.bmContrib(col("tf"), col("df"), col("dl"),
-        col("n_chunks"), col("avgdl")))
-      .groupBy(col("q_id"), col("doc_id"), col("chunk_idx"))
-      .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
-      .select(col("q_id"), roundTo(col("s0"), 4).as("score"),
-        chunkKey.as("key"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.topk_by_score(col("score"), col("key"), RagK)
-        .as("topk"))
-      .select(col("q_id"), posexplode(col("topk")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("r_lex"),
-        col("col.key").as("key"))
+    val lex = topkCut(
+      ltf.join(broadcast(ldf), Seq("token"))
+        .join(broadcast(qf), Seq("token"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", Retrieval.bmContrib(col("tf"), col("df"), col("dl"),
+          col("n_chunks"), col("avgdl")))
+        .groupBy(col("q_id"), col("doc_id"), col("chunk_idx"))
+        .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("s0"))
+        .select(col("q_id"), roundTo(col("s0"), 4).as("score"),
+          chunkKey.as("key")),
+      "score", RagK, "r_lex")
 
     // --- RRF fusion over ≤2K candidates per query ---
     def leg(r: Column): Column =
@@ -276,8 +295,43 @@ object Rag {
   def ragServe(s: SparkSession, dir: String): DataFrame =
     serveOf(chunksMemo(s, dir), denseMemo(s, dir), centersMemo(s, dir))
 
+  /** Recall@[[RecallK]] of the composed chain's IVF-ROUTED semantic
+    * leg against the UNROUTED exact cosine over the same dense chunk
+    * corpus — the q_ann_recall discipline applied to q_rag_pipeline:
+    * routing loss inside the composition is a declared, hash-checked
+    * number (per query: hits + recall), not a probe artifact. The
+    * exact leg is the routed leg minus the cell join (same embeds,
+    * same exclusion, same tie-break), so the ONLY difference under
+    * measure is nProbe/[[RagCells]] routing. */
+  val RecallK = 5
+  private[graft] def semRecallOf(chunks: DataFrame, dense: DataFrame,
+      centers: Array[Array[Double]], queryMod: Long = 100): DataFrame = {
+    val (_, _, _, qvec) = queryCtx(chunks, queryMod)
+    val served = topkCut(semScored(dense, centers, qvec),
+      "cos_sim", RecallK, "rank")
+    val exact = topkCut(
+      dense.crossJoin(broadcast(qvec))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"),
+          roundTo(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("cos_sim"),
+          chunkKey.as("key")),
+      "cos_sim", RecallK, "rank")
+    served.join(exact.select(col("q_id"), col("key"), lit(1).as("hit")),
+        Seq("q_id", "key"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / RecallK).as("recall"))
+      .orderBy("q_id")
+  }
+
+  def ragSemRecall(s: SparkSession, dir: String): DataFrame =
+    semRecallOf(chunksMemo(s, dir), denseMemo(s, dir), centersMemo(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rag_pipeline" -> ((s, dir) => ragServe(s, dir)))
+    "q_rag_pipeline" -> ((s, dir) => ragServe(s, dir)),
+    "q_rag_sem_recall" -> ((s, dir) => ragSemRecall(s, dir)))
 
   // ----------------------------------------------------------------
   // DuckDB oracle: the WHOLE chain replayed — chunking, per-chunk
@@ -300,12 +354,18 @@ object Rag {
        |        ORDER BY ${distSqSql("e.emb", "c.c")} ASC, c.cell ASC) AS rn
        |    FROM cvnz e CROSS JOIN $cs c) WHERE rn = 1""".stripMargin
 
-  private def ragOracleSql: String = {
+  /** The chain's shared CTE spine — chunking through the ROUTED
+    * cosine stream `sc(q_id, doc_id, chunk_idx, cos_sim)`, with the
+    * fitted centroids in `c1`, the assigned index in `af`, the dense
+    * nonzero chunk corpus in `cvnz`, and the nonzero query vectors in
+    * `qvnz`. Shared by the q_rag_pipeline and q_rag_sem_recall
+    * oracles (one spelling). */
+  private def ragCoreCtes: String = {
     val idfSql = roundToSql(
       "tf * ln((s.n_chunks + 1.0) / (df + 1.0))", 6)
     val dimSumSql = roundToSql(
       "CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)", 4)
-    s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    s"""d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
        |ck AS (
        |  SELECT doc_id, CAST(start // $ChunkStride AS INTEGER) AS chunk_idx,
        |    toks[start + 1 : start + $ChunkSize] AS ctoks
@@ -376,7 +436,11 @@ object Rag {
        |    ${roundToSql(cosineSql("e.emb", "q.q_emb"), 6)} AS cos_sim
        |  FROM af e JOIN routed r ON e.cell = r.cell
        |  JOIN qvnz q ON q.q_id = r.q_id
-       |  WHERE e.doc_id <> q.q_id),
+       |  WHERE e.doc_id <> q.q_id)""".stripMargin
+  }
+
+  private def ragOracleSql: String = {
+    s"""WITH $ragCoreCtes,
        |semr AS (
        |  SELECT q_id, doc_id, chunk_idx,
        |    row_number() OVER (PARTITION BY q_id
@@ -425,6 +489,35 @@ object Rag {
        |FROM frk WHERE rank <= $RagFinal ORDER BY q_id, rank""".stripMargin
   }
 
+  // routed top-RecallK vs unrouted exact top-RecallK, hits per query
+  // — the q_ann_recall tail over the shared chain spine
+  private def ragSemRecallOracleSql: String =
+    s"""WITH $ragCoreCtes,
+       |smr AS (
+       |  SELECT q_id, doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, doc_id ASC, chunk_idx ASC) AS rank
+       |  FROM sc),
+       |sce AS (
+       |  SELECT q.q_id, e.doc_id, e.chunk_idx,
+       |    ${roundToSql(cosineSql("e.emb", "q.q_emb"), 6)} AS cos_sim
+       |  FROM cvnz e CROSS JOIN qvnz q
+       |  WHERE e.doc_id <> q.q_id),
+       |exr AS (
+       |  SELECT q_id, doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, doc_id ASC, chunk_idx ASC) AS rank
+       |  FROM sce)
+       |SELECT s.q_id, CAST(COUNT(x.doc_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(x.doc_id) AS DOUBLE) / $RecallK AS recall
+       |FROM (SELECT q_id, doc_id, chunk_idx FROM smr WHERE rank <= $RecallK) s
+       |LEFT JOIN (SELECT q_id, doc_id, chunk_idx FROM exr
+       |           WHERE rank <= $RecallK) x
+       |  ON s.q_id = x.q_id AND s.doc_id = x.doc_id
+       |    AND s.chunk_idx = x.chunk_idx
+       |GROUP BY s.q_id ORDER BY s.q_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_rag_pipeline" -> ragOracleSql)
+    "q_rag_pipeline" -> ragOracleSql,
+    "q_rag_sem_recall" -> ragSemRecallOracleSql)
 }

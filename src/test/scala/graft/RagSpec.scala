@@ -68,6 +68,32 @@ class RagSpec extends SparkSpec {
     } finally { chunks.unpersist(false); dense.unpersist(false) }
   }
 
+  test("q_rag_sem_recall (sf0.01): routed recall floor holds and exact-probe recall is 1") {
+    // the declared geometry probes nProbe=2 of 4 cells — half the
+    // corpus — so routed recall is high-but-lossy; gate the floor
+    // (the q_ann_recall_pq discipline: quality is a declared number,
+    // regressions in routing/fit fail here, not silently in prod)
+    val out = SparkEntry.queries("q_rag_sem_recall")(spark, sf("sf0.01"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val mean = out.map(_._3).sum / out.length
+    assert(mean >= 0.6, s"mean routed recall $mean under floor: ${out.toSeq}")
+    // probing ALL cells must recover the exact list (routing is the
+    // only lossy step — this pins that the embed/score spellings of
+    // the two legs are identical)
+    val chunks = ops.Rag.chunkFrame(
+      graft.io.Tables.documents(spark, sf("sf0.01"))).persist()
+    val dense = ops.Rag.denseOf(chunks).persist()
+    val centers = ops.Ivf.fit(dense, org.apache.spark.sql.functions.col("embedding"),
+      Seq($"doc_id", $"chunk_idx"), k = 2, iters = 1)
+    try {
+      val full = ops.Rag.semRecallOf(chunks, dense, centers, queryMod = 100)
+        .as[(Long, Long, Double)].collect()
+      // k=2 cells, nProbe=2 → every cell probed → recall exactly 1
+      assert(full.nonEmpty && full.forall(_._3 == 1.0), s"got ${full.toSeq}")
+    } finally { chunks.unpersist(false); dense.unpersist(false) }
+  }
+
   test("q_rag_pipeline (sf0.001): queries retrieve, both legs contribute, rrf matches leg ranks") {
     val out = SparkEntry.queries("q_rag_pipeline")(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Int, Double, Option[Long], Option[Long])]

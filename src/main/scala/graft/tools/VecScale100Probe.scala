@@ -65,11 +65,13 @@ object VecScale100Probe {
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graft.shims.drainListenerBus(spark)
       val by = listener.shuffleWriteBytes
+      val sp = listener.spillBytes
       println(f"[n=$n] $tag%-10s $sec%8.1f s  shufMB=${by / 1e6}%.1f " +
+        f"spillMB=${sp / 1e6}%.1f " +
         f"maxTaskMs=${listener.maxTaskMs} failed=${listener.failedTasks}")
       (out,
         f"""{"stage":"$tag","sec":$sec%.2f,"shuffle_bytes":$by,""" +
-          s""""max_task_ms":${listener.maxTaskMs},""" +
+          s""""spill_bytes":$sp,"max_task_ms":${listener.maxTaskMs},""" +
           s""""failed_tasks":${listener.failedTasks}}""",
         by, sec)
     }

@@ -100,6 +100,12 @@ package object functions {
   def sign_lsh_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     shims.column(SignLshBucket(shims.expression(emb), planes))
 
+  /** Codegen'd bloom-membership probe of a long key — the filter
+    * rides as a reference object (never a plan-tree literal). */
+  def bloom_might_contain(key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    shims.column(BloomMightContain(shims.expression(key), bloom))
+
   /** Bounded-state top-K aggregate: `array<struct<score,key>>` ranked
     * best-first (score desc, key asc). Streaming-safe (O(k) state,
     * partial-merge capable). */

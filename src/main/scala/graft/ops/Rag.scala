@@ -102,24 +102,47 @@ object Rag {
     chunks.agg(count(lit(1)).as("n_chunks"),
       (sum(size(col("ctoks"))).cast("double") / count(lit(1))).as("avgdl"))
 
-  /** Skinny (doc_id, chunk_idx, dim, val) hashed tf-idf chunk
-    * embeddings — the q_hash_embed ladder keyed by chunk. The df
-    * table is vocab-bounded (broadcast here; drop the hint and AQE
-    * shuffle-joins past broadcast range — the lmPerplexity note). */
-  private def chunkSkinny(chunks: DataFrame): DataFrame = {
-    val htf = exOf(chunks).filter(col("token") =!= "")
+  /** Per-chunk (doc_id, chunk_idx, token, tf) term frequencies. */
+  private def htfOf(chunks: DataFrame): DataFrame =
+    exOf(chunks).filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("chunk_idx"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val hdf = htf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    htf.join(broadcast(hdf), Seq("token"))
-      .crossJoin(broadcast(statsOf(chunks)))
+
+  /** The chunk-corpus document-frequency table (token, df) — the
+    * embedding model's VOCABULARY artifact. Captured at build time
+    * and frozen for incremental ingestion ([[streamIngest]]): a
+    * vector embedded under drifted df would not live in the same
+    * space as the index it joins. */
+  private[graft] def dfTableOf(chunks: DataFrame): DataFrame =
+    htfOf(chunks).groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** The tf-idf weight ladder (round6 w → decimal sum → round4 val)
+    * over an htf frame joined to a df table under corpus size `n` —
+    * ONE spelling behind the batch build and the frozen incremental
+    * path. The df join is INNER: a token absent from the (frozen)
+    * vocabulary contributes no weight — the standard frozen-idf
+    * contract. The df table is vocab-bounded (broadcast here; drop
+    * the hint and AQE shuffle-joins past broadcast range — the
+    * lmPerplexity note). */
+  private def skinnyOf(htf: DataFrame, dfTable: DataFrame,
+      n: Column): DataFrame =
+    htf.join(broadcast(dfTable), Seq("token"))
       .select(col("doc_id"), col("chunk_idx"),
         (hash60(col("token")) % 64).as("dim"),
-        roundTo(col("tf") * log((col("n_chunks") + 1.0) / (col("df") + 1.0)), 6)
+        roundTo(col("tf") * log((n + 1.0) / (col("df") + 1.0)), 6)
           .as("w"))
       .groupBy(col("doc_id"), col("chunk_idx"), col("dim"))
       .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
         .as("val"))
+
+  /** Skinny (doc_id, chunk_idx, dim, val) hashed tf-idf chunk
+    * embeddings — the q_hash_embed ladder keyed by chunk, df and
+    * stats derived from the chunks themselves (the batch build). */
+  private def chunkSkinny(chunks: DataFrame): DataFrame = {
+    val htf = htfOf(chunks)
+    val hdf = htf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    skinnyOf(htf.crossJoin(broadcast(statsOf(chunks))), hdf,
+      col("n_chunks"))
   }
 
   /** Densify a skinny (keys…, dim, val) frame to a 64-slot
@@ -140,6 +163,46 @@ object Rag {
   private[graft] def denseOf(chunks: DataFrame): DataFrame =
     densify(chunkSkinny(chunks), Seq("doc_id", "chunk_idx"), "embedding")
       .filter(VectorOps.dot(col("embedding"), col("embedding")) > 0)
+
+  /** [[denseOf]] under a FROZEN embedding context (df table + corpus
+    * size captured at build time): the incremental-ingestion spelling
+    * — identical arithmetic, so a chunk embedded through the frozen
+    * path is bit-equal to the same chunk in the batch build. Chunks
+    * whose every token is outside the frozen vocabulary produce no
+    * vector (nothing to score them with) and are not indexed. */
+  private[graft] def denseFrozen(chunks: DataFrame, dfTable: DataFrame,
+      nChunks: Long): DataFrame =
+    densify(skinnyOf(htfOf(chunks), dfTable, lit(nChunks)),
+      Seq("doc_id", "chunk_idx"), "embedding")
+      .filter(VectorOps.dot(col("embedding"), col("embedding")) > 0)
+
+  /** STREAMING RAG INGESTION — the incremental arm of the composed
+    * chain: a stream of (doc_id, text) documents is chunked, embedded
+    * under the FROZEN build-time context (df vocabulary + corpus
+    * size), cell-assigned against the frozen quantizer, and appended
+    * to the cell-partitioned index through [[Ivf.appendBatch]]'s
+    * batch_id-idempotent dynamic overwrite (replays rewrite exactly
+    * their own slices — the warehouse-sink exactly-once contract).
+    * Chunking is stateless; the per-chunk tf/densify aggregations run
+    * INSIDE foreachBatch where they are plain batch plans — no
+    * streaming-aggregation state, no watermark. Serving reads through
+    * [[Ivf.readIndex]] (compacted generations + live tail), so
+    * [[Ivf.compactIndex]] bounds the small-file accumulation at
+    * production cadence. Quantizer/df refits swap ATOMICALLY with a
+    * full re-embed — frozen artifacts version together. */
+  def streamIngest(docs: DataFrame, dfTable: DataFrame, nChunks: Long,
+      centers: Array[Array[Double]], indexDir: String, checkpoint: String,
+      triggerMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ivf.appendBatch(denseFrozen(chunkFrame(batch), dfTable, nChunks),
+          col("embedding"), centers, indexDir, batchId)
+      }
+      .start()
 
   // --- session memos: the chunk tokenize, the dense corpus, and the
   // fitted quantizer are each paid once per (session, dir); the

@@ -1233,30 +1233,20 @@ object TextOps {
         // positives only add stray rows the exact equi-join below
         // discards, so semantics are bit-identical to the broadcast
         // arm). What still shuffles is pair-owed rows + ~1% fp — the
-        // join returns to O(pairs), not O(corpus). The probe is
-        // Spark's own codegen BloomFilterMightContain (the runtime-
-        // filter expression) over the serialized sketch as a binary
-        // literal: the bytes ride the stage's torrent-broadcast task
-        // binary (one copy per executor, reclaimed with the stage —
-        // nothing to destroy), and the filter stays inside
+        // join returns to O(pairs), not O(corpus). The probe is the
+        // codegen'd [[graft.functions.BloomMightContain]] with the
+        // sketch riding as a REFERENCE OBJECT (shipped once per
+        // executor in the task binary, reclaimed with the stage —
+        // nothing to destroy): the filter stays inside
         // WholeStageCodegen instead of splitting the corpus-scan
-        // pipeline at a ScalaUDF boundary (VERDICT r16 audit: this
-        // was the engine's only per-row UDF, sitting exactly where
-        // 100×-scale corpora live). stat.bloomFilter on a long column
-        // inserts via putLong, which is precisely what
-        // BloomFilterMightContain's mightContainLong probes.
+        // pipeline at a ScalaUDF boundary (VERDICT r16 audit: the
+        // UDF here was the engine's only per-row Scala function,
+        // sitting exactly where 100×-scale corpora live), and the
+        // plan tree never carries the multi-MB serialized bits a
+        // foldable-literal spelling would copy with every transform.
         val bf = evalKept.stat.bloomFilter("h", math.max(evalRows, 1000L), 0.01)
-        val bfBytes = {
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          bos.toByteArray
-        }
-        val might = org.apache.spark.sql.graft.shims.column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              bfBytes, org.apache.spark.sql.types.BinaryType),
-            org.apache.spark.sql.graft.shims.expression(col("h"))))
-        corpus.filter(might).join(evalKept, Seq("h"))
+        corpus.filter(graft.functions.bloom_might_contain(col("h"), bf))
+          .join(evalKept, Seq("h"))
       }
     joined
       .groupBy(col("doc_id"), col("eval_id"))

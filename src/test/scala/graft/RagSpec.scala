@@ -94,6 +94,62 @@ class RagSpec extends SparkSpec {
     } finally { chunks.unpersist(false); dense.unpersist(false) }
   }
 
+  test("streaming ingestion: frozen-embed appends reproduce the batch index bit-for-bit") {
+    // production incremental RAG: freeze the embedding context (df
+    // vocabulary + corpus size) and quantizer at build time, stream
+    // new documents through chunk → frozen-embed → assign → append.
+    // Streaming the SAME corpus in 3 micro-batches must land exactly
+    // the batch build's index rows (same arithmetic path), and a
+    // replayed batch must not duplicate (batch_id dynamic overwrite).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sf("sf0.01"))
+    val chunks = ops.Rag.chunkFrame(docs).persist()
+    val dense = ops.Rag.denseOf(chunks).persist()
+    val centers = ops.Ivf.fit(dense, col("embedding"),
+      Seq($"doc_id", $"chunk_idx"), k = ops.Rag.RagCells,
+      iters = ops.Rag.RagIters)
+    val dfTable = ops.Rag.dfTableOf(chunks).persist()
+    val nChunks = chunks.count()
+    val root = java.nio.file.Files.createTempDirectory("rag_stream").toString
+    try {
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = ops.Rag.streamIngest(
+        input.toDF().toDF("doc_id", "text"),
+        dfTable, nChunks, centers, s"$root/index", s"$root/ckpt",
+        triggerMs = 10L)
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { g =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", $"chunk_idx", $"cell",
+            $"embedding".cast("array<double>"))
+          .as[(Long, Int, Int, Seq[Double])].collect()
+          .sortBy(r => (r._1, r._2)).toSeq
+      val streamed = rowsOf(ops.Ivf.readIndex(spark, s"$root/index"))
+      val batch = rowsOf(ops.Ivf.assign(dense, col("embedding"), centers))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed index diverges: ${streamed.take(2)} vs ${batch.take(2)}")
+      // idempotent replay: re-appending an already-written batch_id
+      // rewrites its own slices, never duplicates
+      ops.Ivf.appendBatch(
+        ops.Rag.denseFrozen(ops.Rag.chunkFrame(
+          docs.filter($"doc_id" === rows.head._1)), dfTable, nChunks),
+        col("embedding"), centers, s"$root/index", batchId = 0L)
+      val replayed = rowsOf(ops.Ivf.readIndex(spark, s"$root/index"))
+      assert(replayed.map(r => (r._1, r._2)).distinct.size == replayed.size,
+        "replay duplicated index rows")
+    } finally {
+      chunks.unpersist(false); dense.unpersist(false)
+      dfTable.unpersist(false)
+    }
+  }
+
   test("q_rag_pipeline (sf0.001): queries retrieve, both legs contribute, rrf matches leg ranks") {
     val out = SparkEntry.queries("q_rag_pipeline")(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Int, Double, Option[Long], Option[Long])]

@@ -26,13 +26,17 @@ import graft.ops.{Ivf, Rag}
   * > 1.2 with the smaller arm > 20 MB, wall per-unit > 1.25 with the
   * smaller arm > 1.5 s). Writes `RAG_SCALE.json`.
   *
-  * Usage: sbt "runMain graft.tools.RagScaleProbe [baseDocs] [outJson]"
+  * Usage: sbt "runMain graft.tools.RagScaleProbe [baseDocs] [outJson] [scales]"
+  *   scales default "1,3,10"; "1,3,10,30" adds the second-decade arm
+  *   (~3.9M chunks at the default base).
   */
 object RagScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.map(_.toLong).getOrElse(80000L)
     val outJson = args.drop(1).headOption.getOrElse("RAG_SCALE.json")
+    val scales = args.drop(2).headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
     val root = sys.env.getOrElse("RAG_SCALE_DIR", "/tmp/rag_scale")
 
     val spark = SparkSession.builder().master("local[32]")
@@ -60,7 +64,6 @@ object RagScaleProbe {
           s""""failed_tasks":${listener.failedTasks}}""", by, sec)
     }
 
-    val scales = Seq(1, 3, 10)
     val results = scales.map { s =>
       val n = base * s
       val dir = s"$root/s$s"

@@ -55,7 +55,7 @@ object Bench {
         "q_hash_embed", "q_decontaminate", "q_corpus_drift").foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () } // timed loop reports it
       }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -66,12 +66,20 @@ object Bench {
     // warm). Building them here moves that one-time cost out of the
     // timed region; warm workspaces just re-read parquet. The memos
     // are eager localCheckpoints — calling them IS the build.
+    // NonFatal ONLY (ADVICE r17): an OutOfMemoryError/Interrupted here
+    // must propagate — swallowing a fatal warm-up failure silently
+    // moves the build cost back into the first timed media query AND
+    // hides a dying JVM. A non-fatal miss is logged so a failed
+    // pre-build is visible in bench output.
     try {
       graft.multimodal.Multimodal.imagesFromDocumentsMemo(spark, sfDir)
       graft.multimodal.Multimodal.nearDupImagePHashesMemo(spark, sfDir)
       graft.multimodal.AudioDedup.nearDupFingerprintsMemo(spark, sfDir)
       graft.multimodal.VideoDedup.nearDupFrameHashesMemo(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] media fixture pre-build failed " +
+        s"(cost moves into the first timed media query): $e")
+    }
     spark.sharedState.cacheManager.clearCache()
     System.gc()
 
@@ -200,16 +208,30 @@ object Bench {
     // inside session-memoized stages, whose cost lands in some
     // query's in-run time) show here even when every per-query flag
     // isolation-clears
-    val pinnedSum = baseline.collect {
-      case (k, b) if timings.contains(k) && !failed.contains(k) && b > 0 => b
-    }.sum
-    val pinnedGot = baseline.collect {
-      case (k, b) if timings.contains(k) && !failed.contains(k) && b > 0 => timings(k)
-    }.sum
-    val totalRatio =
-      if (pinnedSum > 0) f"${pinnedGot / pinnedSum}%.3f" else "null"
+    def ratioOver(keep: String => Boolean): String = {
+      val s = baseline.collect {
+        case (k, b) if keep(k) && timings.contains(k) &&
+          !failed.contains(k) && b > 0 => b
+      }.sum
+      val g = baseline.collect {
+        case (k, b) if keep(k) && timings.contains(k) &&
+          !failed.contains(k) && b > 0 => timings(k)
+      }.sum
+      if (s > 0) f"${g / s}%.3f" else "null"
+    }
+    val totalRatio = ratioOver(_ => true)
+    // LIKE-FOR-LIKE ratio (VERDICT r17 #5): `total_vs_baseline` drifts
+    // toward 1.0 whenever a NEW query joins the numerator (its
+    // first-time pin is set from its own clean-run median, ratio ≈ 1 —
+    // r17's 0.816→0.905 was entirely the two q_rag_* additions). The
+    // `common_set` frozen in bench_baseline.json (the r18 148-query
+    // surface; additions get pins but never common-set membership)
+    // makes round-over-round ratios comparable on a FIXED query set.
+    val commonSet = readCommonSet("bench_baseline.json")
+    val commonRatio =
+      if (commonSet.isEmpty) "null" else ratioOver(commonSet.contains)
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":${regJson(regressions)},"regressions_inline":${regJson(inline)},"queries_isolated":$isoJson,"total_vs_baseline":$totalRatio,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"regressions":${regJson(regressions)},"regressions_inline":${regJson(inline)},"queries_isolated":$isoJson,"total_vs_baseline":$totalRatio,"total_vs_baseline_common":$commonRatio,"sf":"$sfDir"}"""
     println(line)
     // BUILDER-OWNED COMPLETE ARTIFACT (VERDICT r13 #6): the driver's
     // BENCH_r{N}.json keeps only a truncated stdout tail (~59 of 139
@@ -218,13 +240,30 @@ object Bench {
     // key. Repo-relative; round tag from the env with a bumpable
     // default.
     try {
-      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r15")
+      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r18")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"bench_local_$round.json"), line)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] local artifact write failed: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** The frozen like-for-like query set from bench_baseline.json's
+    * `common_set` array (absent → empty, and the common ratio reads
+    * null rather than silently aliasing total_vs_baseline). */
+  private def readCommonSet(path: String): Set[String] = {
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) return Set.empty
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.readTree(f).get("common_set")
+      if (arr == null || !arr.isArray) return Set.empty
+      val b = Set.newBuilder[String]
+      val it = arr.elements()
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
   }
 
   /** Minimal parse of bench_baseline.json's {"queries":{name:sec}} via

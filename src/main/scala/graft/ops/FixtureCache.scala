@@ -41,25 +41,55 @@ object FixtureCache {
     * invalidates when someone remembers to bump it; a decode/hash
     * implementation change without a bump serves stale stores across
     * JVMs until the source table changes. Hashing the implementing
-    * classfile makes invalidation automatic — any code change to the
-    * class (even an unrelated method) re-keys the store, which
-    * over-invalidates slightly but can never serve stale data.
+    * classfiles makes invalidation automatic — a code change re-keys
+    * the store, which over-invalidates slightly but serves stale data
+    * only in the narrow gap below.
+    *
+    * Coverage (ADVICE r17): when the class loads from a DIRECTORY
+    * classpath entry (the sbt/test layout), ALL sibling classfiles of
+    * the outer name (`Outer.class` + `Outer$*.class` — companion,
+    * nested classes, lambdas) are hashed in sorted order, so code in
+    * a companion or closure re-keys too. From a non-listable source
+    * (jar), only the named classfile hashes — helper code compiled
+    * into OTHER top-level classes still needs its class listed in
+    * `codeOf` explicitly.
     * Memoized per class: the resource read is classloader I/O. */
   private val classStamps =
     new java.util.concurrent.ConcurrentHashMap[Class[_], String]()
   def classStamp(cls: Class[_]): String =
     classStamps.computeIfAbsent(cls, { c =>
-      val res = c.getResourceAsStream(
-        c.getName.substring(c.getName.lastIndexOf('.') + 1) + ".class")
-      if (res == null) "noclass"
-      else
-        try {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val buf = new Array[Byte](8192)
-          var n = res.read(buf)
-          while (n >= 0) { md.update(buf, 0, n); n = res.read(buf) }
-          md.digest().map(b => f"$b%02x").mkString.take(12)
-        } finally res.close()
+      val simple = c.getName.substring(c.getName.lastIndexOf('.') + 1)
+      val url = c.getResource(simple + ".class")
+      if (url == null) "noclass"
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](8192)
+        def feed(in: java.io.InputStream): Unit =
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        val siblings: Seq[java.io.File] =
+          if (url.getProtocol == "file")
+            try {
+              val self = new java.io.File(url.toURI)
+              Option(self.getParentFile.listFiles()).toSeq.flatten
+                .filter { f =>
+                  val n = f.getName
+                  n == s"$simple.class" ||
+                    (n.startsWith(simple + "$") && n.endsWith(".class"))
+                }
+                .sortBy(_.getName)
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          else Nil
+        if (siblings.nonEmpty)
+          siblings.foreach { f =>
+            md.update(f.getName.getBytes("UTF-8")) // name delimits content
+            feed(new java.io.FileInputStream(f))
+          }
+        else feed(c.getResourceAsStream(simple + ".class"))
+        md.digest().map(b => f"$b%02x").mkString.take(12)
+      }
     })
 
   /** Serve `stage` for `dir` from the disk cache, synthesizing and
@@ -92,9 +122,15 @@ object FixtureCache {
         val st = fsForDir.getFileStatus(new Path(dir, "documents.parquet"))
         s"${st.getLen}|${st.getModificationTime}"
       } catch { case _: java.io.IOException => "nosrc" }
+    // the codeKey segment joins the hash ONLY when codeOf is non-empty
+    // (ADVICE r17): stages that never opted into bytecode stamping
+    // keep their pre-r17 key, so their existing stores stay valid
+    // instead of being invalidated once by a trailing separator
     val codeKey = codeOf.map(classStamp).mkString("|")
+    val keyMaterial =
+      if (codeOf.isEmpty) s"$dir|$srcStamp" else s"$dir|$srcStamp|$codeKey"
     val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$srcStamp|$codeKey".getBytes("UTF-8"))
+      .digest(keyMaterial.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
     val key = s"$stage-$dirKey"
     val path = new Path(new Path(rootDir), key)
@@ -130,8 +166,48 @@ object FixtureCache {
             fs.delete(s.getPath, true)
         })
       compute.write.mode("overwrite").parquet(tmp.toString)
+      // source marker published WITH the store (underscore-prefixed:
+      // parquet readers ignore it like _SUCCESS) — it lets a later
+      // re-key for the SAME (stage, dir) sweep this store instead of
+      // orphaning it on disk forever (ADVICE r17)
+      try {
+        val out = fs.create(new Path(tmp, "_graft_src"), true)
+        try out.write(dir.getBytes("UTF-8")) finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
       if (fs.exists(new Path(path, "_SUCCESS"))) fs.delete(tmp, true)
       else if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+      // STALE-KEY SWEEP (ADVICE r17): a code change re-keys the store
+      // for this (stage, dir); the old-key directory would otherwise
+      // sit orphaned with no reader. Sweep published siblings of the
+      // same stage whose _graft_src marker names OUR dir but whose key
+      // differs. Markerless stores (pre-r18, or another sf's) are
+      // left alone — deleting an unattributable store risks another
+      // workspace's live data for disk hygiene. A concurrent OLD-code
+      // JVM reading a swept store recomputes on its next miss.
+      try {
+        Option(fs.globStatus(new Path(path.getParent, s"$stage-*")))
+          .foreach(_.foreach { s =>
+            val p = s.getPath
+            // exact key shape only: the glob also matches LONGER stage
+            // names sharing this prefix ("img-*" catches "img-phash-…"),
+            // and those belong to a different stage
+            val keyShaped =
+              p.getName.matches(java.util.regex.Pattern.quote(stage) +
+                "-[0-9a-f]{12}")
+            if (keyShaped && p.getName != key &&
+                fs.exists(new Path(p, "_SUCCESS"))) {
+              val m = new Path(p, "_graft_src")
+              val sameDir = fs.exists(m) && {
+                val in = fs.open(m)
+                try new String(
+                  org.apache.commons.io.IOUtils.toByteArray(in),
+                  "UTF-8") == dir
+                finally in.close()
+              }
+              if (sameDir) fs.delete(p, true)
+            }
+          })
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.read.parquet(path.toString).as[T]
   }

@@ -85,6 +85,44 @@ class FixtureCacheSpec extends SparkSpec {
         .coalesce(1).write.parquet(s"$dir/documents.parquet")
       assert(get("new") === Seq("new"),
         "a regenerated source table must invalidate the cached store")
+      // the re-key published a NEW store for the SAME (stage, dir) —
+      // the old-key store must be swept, not orphaned (ADVICE r17)
+      assert(root.listFiles().count(_.getName.startsWith("src_v1-")) === 1,
+        "stale old-key store for the same (stage, dir) must be swept")
     }
+  }
+
+  test("re-key sweeps only same-source stores; another dir's store survives") {
+    withRoot { root =>
+      val dirA = srcDir()
+      val dirB = srcDir()
+      def get(dir: String, v: String) =
+        FixtureCache.dataset(spark, dir, "multi_v1") { Seq(v).toDS() }
+          .collect().toSeq
+      assert(get(dirA, "a") === Seq("a"))
+      assert(get(dirB, "b") === Seq("b"))
+      assert(root.listFiles().count(_.getName.startsWith("multi_v1-")) === 2)
+      // regenerate dirA's source → dirA re-keys and sweeps ITS old
+      // store; dirB's store (same stage, different dir) must survive
+      val p = new java.io.File(s"$dirA/documents.parquet")
+      p.listFiles().foreach(_.delete()); p.delete()
+      Seq((9L, "z")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$dirA/documents.parquet")
+      assert(get(dirA, "a2") === Seq("a2"))
+      assert(root.listFiles().count(_.getName.startsWith("multi_v1-")) === 2,
+        "dirA's stale store swept, dirB's live store untouched")
+      assert(get(dirB, "IGNORED — must serve from disk") === Seq("b"),
+        "dirB's store must still serve after dirA's sweep")
+    }
+  }
+
+  test("classStamp is stable, 12-hex, and covers directory-layout siblings") {
+    val s1 = FixtureCache.classStamp(classOf[graft.ops.TextOps.type])
+    val s2 = FixtureCache.classStamp(classOf[graft.ops.TextOps.type])
+    assert(s1 === s2)
+    assert(s1.matches("[0-9a-f]{12}"), s"stamp: $s1")
+    // two different classes stamp differently (bytecode actually read)
+    val other = FixtureCache.classStamp(classOf[graft.ops.Urls.type])
+    assert(other !== s1)
   }
 }

@@ -901,22 +901,24 @@ object Ivf {
     * their round's answer — the fixed-nProbe recall contract is
     * unchanged for them; escalation only repairs the undershoot.
     *
-    * Driver-side state is Q-bounded (per-round result counts + the
-    * escalating q_id set — the routed-cells-collect discipline, an
-    * operator action on aggregates, not a data collect). Per-round
-    * results are persisted and owned by the returned union (session
-    * teardown / clearCache reclaims them); rounds are ≤ log₂(K). */
+    * Driver-side state is O(1) per round (VERDICT r17 #3): the
+    * undershoot set is derived DISTRIBUTEDLY — an anti-join of the
+    * round's remaining query ids against the ids that filled — and
+    * only its size comes back to the driver (one Long for loop
+    * control). No per-query candidate-count map ever materializes
+    * driver-side, so a million-query offline batch escalates without
+    * a driver-side loop. Per-round results and the shrinking id frame
+    * are persisted and owned by the returned union (session teardown /
+    * clearCache reclaims them); rounds are ≤ log₂(K). */
   private def escalatingSearch(spark: SparkSession, queries: DataFrame,
       nProbe0: Int, nCells: Int, topK: Int,
       run: (DataFrame, Int) => DataFrame): DataFrame = {
-    import spark.implicits._
     require(nProbe0 >= 1, s"nProbe=$nProbe0")
     require(topK >= 1, s"topK=$topK")
-    // fail fast on a non-long q_id: the escalation bookkeeping reads
-    // q_id as Long and rebuilds the retry set as a LongType join key —
-    // an Int-keyed query frame would ClassCastException only on the
-    // escalation path (i.e. in production, under a selective
-    // predicate), so reject it up front instead
+    // fail fast on a non-long q_id: the escalation bookkeeping joins
+    // on q_id as a LongType key — an Int-keyed query frame would
+    // ClassCastException only on the escalation path (i.e. in
+    // production, under a selective predicate), so reject it up front
     // named after THIS shared helper, not one public entry point: both
     // searchBatchAdaptive and searchPqBatchAdaptive route here, and a
     // caller-specific name would mislead on the other path (ADVICE r9)
@@ -928,12 +930,13 @@ object Ivf {
         "query frame's q_id to long")
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = queries
-    // the full query-id set collects ONCE; each round's undershoot set
-    // is derived from the previous round's (collecting `remaining`
-    // per round would re-run a distinct job over the query frame each
-    // escalation for ids we already hold)
+    // the round's query-id frame stays DISTRIBUTED; it is computed
+    // once here and then narrowed each round by the filled-set
+    // anti-join (never re-derived from the query frame, whose distinct
+    // would re-run every escalation for ids we already hold)
     var remainingIds = queries.select(col("q_id")).distinct()
-      .collect().map(_.getLong(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    remainingIds.count()
     var probe = math.min(nProbe0, nCells)
     var done = false
     while (!done) {
@@ -942,21 +945,30 @@ object Ivf {
       res.count()
       if (probe >= nCells) { parts += res; done = true }
       else {
-        val counts = res.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        // queries with ZERO candidates are absent from the result
-        // entirely — they undershoot too
-        val shortIds = remainingIds.filter(q => counts.getOrElse(q, 0L) < topK)
-        if (shortIds.isEmpty) { parts += res; done = true }
+        // ids that FILLED this round (served topK rows); queries with
+        // ZERO candidates are absent from the result entirely — the
+        // anti-join keeps them in the undershoot set too
+        val filled = res.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= topK).select(col("q_id"))
+        val shortDf = remainingIds.join(filled, Seq("q_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nShort = shortDf.count() // the ONLY driver-side scalar
+        if (nShort == 0) { shortDf.unpersist(blocking = false)
+          parts += res; done = true }
         else {
-          val shortDf = shortIds.toSeq.toDF("q_id")
+          // the undershoot frame is ≤ Q rows of one long — broadcast
+          // it against the candidate stream and the query frame (at a
+          // genuinely huge Q, AQE would demote these to shuffle joins;
+          // semantics are join-shape-independent)
           parts += res.join(broadcast(shortDf), Seq("q_id"), "left_anti")
           remaining = remaining.join(broadcast(shortDf), Seq("q_id"), "left_semi")
-          remainingIds = shortIds
+          remainingIds.unpersist(blocking = false)
+          remainingIds = shortDf
           probe = math.min(probe * 2, nCells)
         }
       }
     }
+    remainingIds.unpersist(blocking = false)
     parts.reduce(_.unionByName(_))
   }
 

@@ -1244,7 +1244,17 @@ object TextOps {
         // sitting exactly where 100×-scale corpora live), and the
         // plan tree never carries the multi-MB serialized bits a
         // foldable-literal spelling would copy with every transform.
-        val bf = evalKept.stat.bloomFilter("h", math.max(evalRows, 1000L), 0.01)
+        // coalesce(32) before the sketch build (VERDICT r17 #1,
+        // transient-footprint cut at the eval checkpoint): bloomFilter
+        // allocates one FULL-WIDTH sketch per task (~10 MB at the
+        // 100×-probe's 8.6M rows / 1% fp), so 320 post-checkpoint
+        // partitions allocate ~3.3 GB of long[] churn and ship it all
+        // through the tree merge — exactly the heap-pressure spike at
+        // the stage whose 100× wall jittered 3×. evalKept is an eager
+        // localCheckpoint, so the coalesce is narrow (no shuffle) and
+        // 32 tasks still saturate the box.
+        val bf = evalKept.coalesce(32)
+          .stat.bloomFilter("h", math.max(evalRows, 1000L), 0.01)
         corpus.filter(graft.functions.bloom_might_contain(col("h"), bf))
           .join(evalKept, Seq("h"))
       }

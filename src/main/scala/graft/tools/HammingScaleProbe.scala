@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.nio.file.{Files, Paths}
+
+/** Third-decade scale probe for the media near-dup CLUSTER operator
+  * (VERDICT r17 #7): [[graft.ops.HammingDedup.clusters64]] — the
+  * shared core under q_image_neardup / q_audio_neardup /
+  * q_video_neardup / q_media_clusters — driven over SYNTHETIC 64-bit
+  * signatures, because the banded join + connected components is the
+  * scale surface; decode is embarrassingly parallel and certified at
+  * its own scale in IMG_NEARDUP_SCALE.json.
+  *
+  * Fixture: groups of 3 signatures — a splitmix64 base pattern per
+  * group plus two 1-bit perturbations (pairwise Hamming 1/1/2, all
+  * within the shipped maxHamming = 3), so ground truth is exactly
+  * n/3 clusters of size 3, labeled by the group's min id. Distinct
+  * random 64-bit bases sit ~32 bits apart, so cross-group links are
+  * (deterministically, for this seed) absent.
+  *
+  * Per arm it records the cluster-build wall and the shuffle-write
+  * bytes (a stage-completion listener — the PipelineScaleProbe
+  * meter), and the merge computes per-unit ratios between
+  * consecutive arms. The 100 TB claim: shuffle grows linearly in the
+  * signature count (band keys + rep edges + label joins, never a
+  * pair space), so per-unit must hold ≤ ~1.2 across the decade.
+  *
+  * Usage: sbt "runMain graft.tools.HammingScaleProbe [sizes] [outJson]"
+  * (default sizes 300000,1000000,3000000 — one full decade above
+  * IMG_NEARDUP_SCALE's 300k top arm).
+  */
+object HammingScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("300000,1000000,3000000")
+      .split(",").map(_.trim.toInt).toSeq
+    val outJson = args.drop(1).headOption.getOrElse("HAMMING_SCALE.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(ev.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val runs = sizes.map { n =>
+      require(n % 3 == 0, s"n=$n must be a multiple of 3 (groups of 3)")
+      val groups = n / 3
+      // signatures: 3 per group — base, base^bit1, base^bit2 (distinct
+      // low bits per group, pairwise Hamming ≤ 2)
+      val sigs = spark.range(0, groups, 1, 32)
+        .select($"id".as("g"),
+          graft.ops.TextOps.hash60(concat(lit("hsp"), $"id")).as("base"))
+        .select($"g", explode(array(
+          struct(($"g" * 3).as("media_id"), $"base".as("sig")),
+          struct(($"g" * 3 + 1).as("media_id"),
+            $"base".bitwiseXOR(expr("shiftleft(1L, int(g % 31))"))
+              .as("sig")),
+          struct(($"g" * 3 + 2).as("media_id"),
+            $"base".bitwiseXOR(expr("shiftleft(1L, int(g % 31) + 32)"))
+              .as("sig"))))
+          .as("m"))
+        .select($"m.media_id", $"m.sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count() // fixture materialization, untimed below
+
+      Thread.sleep(300)
+      val b0 = bytes.get()
+      val t0 = System.nanoTime()
+      val clusters = graft.ops.HammingDedup.clusters64(
+        sigs, "media_id", "sig")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let stage-completion events drain
+      val by = bytes.get() - b0
+
+      // ground truth: n/3 clusters, each of size 3, labeled min-id
+      val sizesAgg = clusters.groupBy($"cluster")
+        .agg(count(lit(1)).as("sz"), min(col("media_id")).as("mn"))
+      val (nClusters, bad) = (sizesAgg.count(),
+        sizesAgg.filter($"sz" =!= 3 || $"mn" =!= $"cluster").count())
+      clusters.unpersist(false)
+      sigs.unpersist(false)
+      spark.sharedState.cacheManager.clearCache()
+      require(nClusters == groups && bad == 0,
+        s"n=$n: expected $groups exact clusters of 3, " +
+          s"got $nClusters with $bad malformed")
+      println(f"[hamming-scale] n=$n cluster_sec=$sec%.2f " +
+        f"shuffle_mb=${by / 1048576.0}%.1f clusters=$nClusters")
+      (n, sec, by)
+    }
+
+    // per-unit ratios between consecutive arms; the gate is the
+    // SHUFFLE per-unit (plan property) — walls are recorded, named,
+    // and subject to the fixed-box regime like every other probe
+    val ratios = runs.sliding(2).collect { case Seq((n1, w1, b1), (n2, w2, b2)) =>
+      val wallUnit = (w2 / n2) / math.max(w1 / n1, 1e-12)
+      val shufUnit = (b2.toDouble / n2) / math.max(b1.toDouble / n1, 1e-12)
+      (n1, n2, wallUnit, shufUnit)
+    }.toSeq
+    val runJson = runs.map { case (n, w, b) =>
+      f"""{"n":$n,"cluster_sec":$w%.2f,"shuffle_bytes":$b,"shuffle_mb":${b / 1048576.0}%.1f}"""
+    }.mkString("[", ",", "]")
+    val ratioJson = ratios.map { case (n1, n2, wu, su) =>
+      f"""{"from":$n1,"to":$n2,"wall_per_unit":$wu%.2f,"shuffle_per_unit":$su%.2f}"""
+    }.mkString("[", ",", "]")
+    val worstShuf = ratios.map(_._4).maxOption.getOrElse(0.0)
+    val verdict =
+      if (worstShuf <= 1.2) "linear-or-better (shuffle per-unit in-gate at every step)"
+      else f"superlinear: worst shuffle per-unit $worstShuf%.2f"
+    val json = s"""{"metric":"hamming_cluster_scale","operator":"HammingDedup.clusters64",""" +
+      s""""bands":"4x16bit","max_hamming":3,"max_bucket":${graft.ops.HammingDedup.CapBucket},""" +
+      s""""runs":$runJson,"ratios":$ratioJson,"verdict":"$verdict"}"""
+    Files.writeString(Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -102,8 +102,22 @@ object PipelineScaleProbe {
       bytes.addAndGet(ev.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
-  /** One scale row: (scale, docs, packed, stages). */
-  private type ScaleRow = (Int, Long, Long, Seq[(String, Double, Long)])
+  /** Total JVM garbage-collection wall seconds so far (all
+    * collectors). On local[32] the driver JVM IS the executor JVM, so
+    * a per-stage delta of this counter is the stage's measured GC
+    * seconds — the attribution VERDICT r17 #1 asked for (the 100×
+    * qd_decon_join wall spread was HYPOTHESIZED as GC/scheduling
+    * jitter; this turns the hypothesis into a number in the
+    * artifact). */
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
+  }
+
+  /** One scale row: (scale, docs, packed, stages);
+    * stage = (name, wall sec, shuffle bytes, gc sec). */
+  private type ScaleRow = (Int, Long, Long, Seq[(String, Double, Long, Double)])
 
   private def partialPath(s: Int) =
     Paths.get(s"pipeline_scale_s$s.json")
@@ -175,8 +189,8 @@ object PipelineScaleProbe {
     // heap_gb records the scale JVM's -Xmx so the artifact names its
     // memory regime (VERDICT r15 #2: the committed lane must be
     // memory-per-row-constant, the fixed-heap lane a counterfactual).
-    val stJson = r._4.map { case (nm, sec, by) =>
-      f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f}"""
+    val stJson = r._4.map { case (nm, sec, by, gc) =>
+      f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f,"gc_sec":$gc%.2f}"""
     }.mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / 1073741824.0
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32")
@@ -201,7 +215,9 @@ object PipelineScaleProbe {
       val st = n.get("stages").get(i)
       val by = if (st.has("shuffle_bytes")) st.get("shuffle_bytes").asLong()
         else (st.get("shuffle_mb").asDouble() * 1048576.0).toLong // pre-r16 partials
-      (st.get("stage").asText(), st.get("sec").asDouble(), by)
+      val gc = if (st.has("gc_sec")) st.get("gc_sec").asDouble()
+        else -1.0 // pre-r18 partials carry no GC attribution
+      (st.get("stage").asText(), st.get("sec").asDouble(), by, gc)
     }
     (n.get("scale").asInt(), n.get("docs").asLong(),
       n.get("packed_docs").asLong(), stages)
@@ -235,14 +251,17 @@ object PipelineScaleProbe {
     import graft.ops.{Html, TextOps}
     import graft.io.Tables
 
-    def staged[A](out: collection.mutable.ArrayBuffer[(String, Double, Long)],
+    def staged[A](
+        out: collection.mutable.ArrayBuffer[(String, Double, Long, Double)],
         name: String)(body: => A): A = {
       val b0 = { Thread.sleep(300); meter.bytes.get() }
+      val g0 = gcSeconds()
       val t0 = System.nanoTime()
       val r = body
       val sec = (System.nanoTime() - t0) / 1e9
+      val gc = gcSeconds() - g0
       Thread.sleep(300) // let stage-completion events drain
-      out += ((name, sec, meter.bytes.get() - b0))
+      out += ((name, sec, meter.bytes.get() - b0, gc))
       r
     }
 
@@ -263,7 +282,8 @@ object PipelineScaleProbe {
       val raw = s"$root/raw_${s}_$rep"
       val dir = s"$root/ex_${s}_$rep"
       ProbeCorpus.writeCorpus(spark, raw, nDocs) // generation untimed
-      val stages = collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+      val stages =
+        collection.mutable.ArrayBuffer.empty[(String, Double, Long, Double)]
 
       // 1. extraction entry (extract ON): fixture-wrapped crawl pages
       //    through the html scanner to a standard documents table
@@ -334,7 +354,11 @@ object PipelineScaleProbe {
       require(reps.forall(_._1 == nPacked), "reps disagree on packed_docs")
       val merged = reps.head._2.indices.map { i =>
         val name = reps.head._2(i)._1
-        (name, reps.map(_._2(i)._2).min, reps.head._2(i)._3)
+        // wall = min over reps (QTime discipline); gc follows the
+        // MIN-WALL rep — pairing the min wall with another rep's gc
+        // would manufacture an attribution that never co-occurred
+        val minRep = reps.minBy(_._2(i)._2)
+        (name, minRep._2(i)._2, reps.head._2(i)._3, minRep._2(i)._4)
       }
       (s, nDocs, nPacked, merged)
     }
@@ -355,8 +379,7 @@ object PipelineScaleProbe {
     // Sub-1.5 s stages stay exempt (overhead-bound).
     val stageNames = rows.head._4.map(_._1)
     val verdicts = stageNames.map { name =>
-      def at(r: (Int, Long, Long, Seq[(String, Double, Long)])) =
-        r._4.find(_._1 == name).get
+      def at(r: ScaleRow) = r._4.find(_._1 == name).get
       val (w1, b1) = (at(rows(0))._2, at(rows(0))._3)
       val (w3, b3) = (at(rows(1))._2, at(rows(1))._3)
       val (w10, b10) = (at(rows(2))._2, at(rows(2))._3)
@@ -415,9 +438,17 @@ object PipelineScaleProbe {
       val wallOnly = shufUnit <= 1.3 && shufUnit2 <= 1.3 &&
         third.forall(_._2 <= 1.3) &&
         causes.forall(_.startsWith("wall"))
+      // MEASURED GC attribution (VERDICT r17 #1): when the top arm's
+      // partial carries gc_sec for this stage, a wall-only verdict
+      // names the measured GC seconds instead of hypothesizing them
+      val topRow = rows.last
+      val (topWall, topGc) = (at(topRow)._2, at(topRow)._4)
+      val gcCite = if (topGc >= 0)
+        f"; measured GC $topGc%.1f s of $topWall%.1f s wall at ${topRow._1}×"
+      else ""
       val v = if (w10 < 1.5 && w30 < 1.5) "flat"
         else if (causes.nonEmpty && wallOnly)
-          f"wall-only-superlinear on the fixed-core box (${causes.mkString(", ")}; shuffle per-unit $shufUnit%.2f/$shufUnit2%.2f in-gate — resource regime, see NOTES_r16)"
+          f"wall-only-superlinear on the fixed-core box (${causes.mkString(", ")}; shuffle per-unit $shufUnit%.2f/$shufUnit2%.2f in-gate — resource regime, see NOTES_r16$gcCite)"
         else if (causes.nonEmpty) s"superlinear: ${causes.mkString(", ")}"
         else if (stepOnly)
           f"step-then-linear (shuffle_10x=$shuf10x%.2f from a 1x->3x plan transition; 3x->10x per-unit $shufUnit%.2f)"
@@ -426,8 +457,9 @@ object PipelineScaleProbe {
     }
 
     val scaleJson = rows.map { case (s, n, packed, st) =>
-      val stJson = st.map { case (nm, sec, by) =>
-        f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f}"""
+      val stJson = st.map { case (nm, sec, by, gc) =>
+        val gcJson = if (gc >= 0) f""","gc_sec":$gc%.2f""" else ""
+        f"""{"stage":"$nm","sec":$sec%.2f,"shuffle_bytes":$by,"shuffle_mb":${by / 1048576.0}%.1f$gcJson}"""
       }.mkString("[", ",", "]")
       s"""{"scale":$s,"docs":$n,"packed_docs":$packed,"stages":$stJson}"""
     }.mkString("[", ",", "]")

@@ -160,6 +160,37 @@ class IvfSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("adaptive probing at a 10k-query batch matches full-probe, no per-query driver state") {
+    // VERDICT r17 #3: the escalation ladder's undershoot set is now an
+    // anti-join (filled ids vs the remaining-id frame) — the driver
+    // sees ONE scalar per round, never a per-query candidate-count
+    // map, so an offline batch of any size escalates without a
+    // driver-side loop. Pin the semantics at a 10k-query batch: the
+    // escalating result must equal the full-probe (brute-within-
+    // predicate) answer for every query.
+    val tmp = java.nio.file.Files.createTempDirectory("ivfbig").toString
+    val centers = Ivf.fit(emb, $"embedding", Seq($"vec_id"), k = 4, iters = 2)
+    Ivf.writeIndex(emb, $"embedding", $"vec_id", centers, s"$tmp/idx", numFiles = 4)
+    // 10k queries: every vector replicated 20× under distinct q_ids
+    val queries = emb
+      .select($"vec_id", $"embedding",
+        explode(sequence(lit(0), lit(19))).as("rep"))
+      .select(($"vec_id" * 32 + $"rep").cast("long").as("q_id"),
+        $"embedding".as("q_emb"))
+    assert(queries.count() === 10000L)
+    val pred = pmod($"vec_id", lit(97)) === 0
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"rank", $"vec_id")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    val adaptive = flat(Ivf.searchBatchAdaptive(spark, s"$tmp/idx", centers,
+      queries, nProbe = 1, topK = 5, predicate = Some(pred)))
+    val full = flat(Ivf.searchBatch(spark, s"$tmp/idx", centers,
+      queries, nProbe = 4, topK = 5, predicate = Some(pred)))
+    assert(adaptive.nonEmpty && adaptive === full,
+      s"10k-batch escalation diverged from full probe " +
+        s"(${adaptive.size} vs ${full.size} rows)")
+  }
+
   test("streaming index appends are idempotent and search-equivalent to batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfs").toString

@@ -150,6 +150,142 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("serving freshness: a query served after micro-batch N sees batch N's chunks") {
+    // VERDICT r17 #2: streamIngest pinned ingest bit-equality, but
+    // nothing pinned the SERVING side of the loop — that a query
+    // routed against the persisted index right after micro-batch N
+    // retrieves chunks N landed (merge-on-read through readIndex).
+    // Ingest 3 micro-batches; serve between each; at every horizon
+    // the served top-K must equal a batch-built index's answer over
+    // the same docs, and the final horizon must surface last-batch
+    // chunks a frozen first-horizon index could never return.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val chunks = ops.Rag.chunkFrame(docs).persist()
+    val dense = ops.Rag.denseOf(chunks).persist()
+    val centers = ops.Ivf.fit(dense, col("embedding"),
+      Seq($"doc_id", $"chunk_idx"), k = ops.Rag.RagCells,
+      iters = ops.Rag.RagIters)
+    val dfTable = ops.Rag.dfTableOf(chunks).persist()
+    val nChunks = chunks.count()
+    val qMod = 20L
+    val root = java.nio.file.Files.createTempDirectory("rag_fresh").toString
+    try {
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      val groups = rows.grouped((rows.length + 2) / 3).toSeq
+      assert(groups.size == 3)
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = ops.Rag.streamIngest(
+        input.toDF().toDF("doc_id", "text"),
+        dfTable, nChunks, centers, s"$root/index", s"$root/ckpt",
+        triggerMs = 10L)
+      def served(h: Int, soFar: Seq[(Long, String)]) = {
+        val chunksSoFar = ops.Rag.chunkFrame(
+          soFar.toDF("doc_id", "text"))
+        val got = ops.Rag.semServeIndexed(spark, s"$root/index", centers,
+            chunksSoFar, dfTable, nChunks, queryMod = qMod)
+          .as[(Long, Long, String)].collect().sorted.toSeq
+        // batch twin at the same horizon: same docs, same frozen
+        // context, batch-built index directory
+        ops.Rag.writeChunkIndex(
+          ops.Rag.denseFrozen(chunksSoFar, dfTable, nChunks), centers,
+          s"$root/batch$h", numFiles = 4)
+        val want = ops.Rag.semServeIndexed(spark, s"$root/batch$h", centers,
+            chunksSoFar, dfTable, nChunks, queryMod = qMod)
+          .as[(Long, Long, String)].collect().sorted.toSeq
+        assert(got.nonEmpty, s"horizon $h served nothing")
+        assert(got === want,
+          s"horizon $h: streamed serving diverged from the batch build")
+        got
+      }
+      var soFar = Vector.empty[(Long, String)]
+      val horizons = groups.zipWithIndex.map { case (g, i) =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+        soFar = soFar ++ g
+        served(i + 1, soFar)
+      }
+      q.stop()
+      // the growing corpus is REFLECTED: horizon 3 retrieves chunks
+      // from the last ingested batch (doc_ids beyond horizon 2's docs)
+      val lastBatchDocs = groups(2).map(_._1).toSet
+      val h3Docs = horizons(2).map(_._3.takeWhile(_ != '|').toLong).toSet
+      assert(h3Docs.intersect(lastBatchDocs).nonEmpty,
+        "horizon-3 serving never surfaced a batch-3 chunk — freshness not shown")
+      assert(horizons(0) !== horizons(2),
+        "results identical across horizons — fixture proves nothing")
+    } finally {
+      chunks.unpersist(false); dense.unpersist(false)
+      dfTable.unpersist(false)
+    }
+  }
+
+  test("quantizer drift arc: drift detected, refit repairs cells, recall recovers, values frozen") {
+    // VERDICT r17 #2 (second half): the RAG quantizer's maintenance
+    // loop — cellStats baseline at fit time, the corpus distribution
+    // moves, driftReport flags the cells, refitDrifted re-seeds them
+    // at O(drifted rows), and the updated quantizer is GATED by the
+    // q_rag_sem_recall discipline before the swap. The frozen-df
+    // contract holds throughout: cell surgery moves assignments,
+    // never embedding values.
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val chunks = ops.Rag.chunkFrame(docs).persist()
+    val dense = ops.Rag.denseOf(chunks).persist()
+    val centers = ops.Ivf.fit(dense, col("embedding"),
+      Seq($"doc_id", $"chunk_idx"), k = ops.Rag.RagCells,
+      iters = ops.Rag.RagIters)
+    val dir = java.nio.file.Files.createTempDirectory("rag_drift").toString
+    try {
+      // the corpus DISTRIBUTION moves under the pinned quantizer
+      // (deterministic stand-in for topic drift: every vector
+      // reflected — far from its fitted centroid, geometry intact)
+      val drifted = dense.select($"doc_id", $"chunk_idx",
+        transform($"embedding", x => -x).cast("array<float>")
+          .as("embedding")).persist()
+      ops.Rag.writeChunkIndex(drifted, centers, s"$dir/idx", numFiles = 4)
+      // fit-time baseline geometry (what cellStats read when the
+      // quantizer matched the corpus it was fitted on)
+      val baseline = ops.Ivf.cellStats(
+        ops.Ivf.assign(dense, col("embedding"), centers), centers).persist()
+      val report = ops.Ivf.driftReport(
+        spark.read.parquet(s"$dir/idx"), centers, baseline)
+      val driftedCells = report
+        .filter($"drift_ratio" >= 2.0 && $"n" >= 10)
+        .select($"cell").as[Int].collect().toSet
+      assert(driftedCells.nonEmpty, "fixture failed to produce drift")
+      def meanRecall(cs: Array[Array[Double]]) =
+        ops.Rag.semRecallOf(chunks, drifted, cs, queryMod = 20)
+          .agg(avg($"recall")).as[Double].head()
+      val pre = meanRecall(centers)
+      val updated = ops.Rag.refitDrifted(spark, s"$dir/idx", centers,
+        baseline, driftFactor = 2.0, minRows = 10)
+      driftedCells.foreach { c =>
+        assert(!java.util.Arrays.equals(updated(c), centers(c)),
+          s"drifted cell $c kept its stale centroid") }
+      // recall GATE: the repaired quantizer must not route worse than
+      // the drifted one, and must clear the RagSpec floor
+      val post = meanRecall(updated)
+      assert(post >= pre - 1e-9, s"refit regressed recall: $pre -> $post")
+      assert(post >= 0.6, s"post-refit recall $post below floor")
+      // frozen-df contract: the refit rewrote CELLS only — the
+      // (doc_id, chunk_idx, embedding) value set is bit-identical
+      def values(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", $"chunk_idx",
+            $"embedding".cast("array<double>"))
+          .as[(Long, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2))
+          .toSeq
+      assert(values(spark.read.parquet(s"$dir/idx")) === values(drifted),
+        "refit moved embedding values — the frozen-df contract is broken")
+      drifted.unpersist(false); baseline.unpersist(false)
+    } finally {
+      chunks.unpersist(false); dense.unpersist(false)
+    }
+  }
+
   test("q_rag_pipeline (sf0.001): queries retrieve, both legs contribute, rrf matches leg ranks") {
     val out = SparkEntry.queries("q_rag_pipeline")(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Int, Double, Option[Long], Option[Long])]

@@ -106,6 +106,66 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cut == Seq((1L, Seq("a", "c")), (2L, Seq("e", "d"))))
   }
 
+  test("every registerAll function resolves and executes via spark.sql") {
+    // VERDICT r17 #6: enumerate the REGISTRY, not a hand-picked lane
+    // list — the registered-name set is diffed against this smoke
+    // table both ways, so a future function registered without a
+    // smoke here (or a smoke for a function that was dropped) fails
+    // the suite instead of silently shipping Column-API-only.
+    // diff the SESSION registry against Spark's static builtin one:
+    // registerAll may already have run in this session (other tests
+    // share it), so a before/after snapshot would read empty
+    graft.functions.registerAll(spark)
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.listFunction().map(_.funcName).toSet
+    val registered = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).toSet.diff(builtin)
+    // one smoke per registered function: runs through spark.sql,
+    // returns ≥1 row with a non-null function output
+    val fvec = "CAST(array(1.0, 0.0, 2.0) AS array<float>)"
+    val smoke: Map[String, String] = Map(
+      "simhash64" -> "SELECT simhash64(array('a','b','c')) AS v",
+      "simhash60_md5" -> "SELECT simhash60_md5(array('a','b','c')) AS v",
+      "cosine_sim" -> s"SELECT cosine_sim($fvec, $fvec) AS v",
+      "dot_product" -> s"SELECT dot_product($fvec, $fvec) AS v",
+      "drop_chrome" ->
+        "SELECT drop_chrome('<html><nav>x</nav><p>body text</p></html>') AS v",
+      "topk_by_score" ->
+        ("SELECT topk_by_score(s, k, 2) AS v FROM " +
+          "VALUES (1.0D, 'a'), (2.0D, 'b'), (3.0D, 'c') AS t(s, k)"),
+      "kmv_min_hashes" ->
+        ("SELECT kmv_min_hashes(h, 2) AS v FROM " +
+          "VALUES (1L), (2L), (3L) AS t(h)"),
+      "cms_sketch" ->
+        "SELECT cms_sketch(h, 2, 16) AS v FROM VALUES (1L), (2L) AS t(h)",
+      "hdr_sketch" ->
+        "SELECT hdr_sketch(h) AS v FROM VALUES (8L), (16L) AS t(h)",
+      "ngram_hash_explode" ->
+        "SELECT ngram_hash_explode(array('a','b','c','d')) AS v",
+      "ngram_hashes" ->
+        "SELECT ngram_hashes(array('a','b','c','d'), 3) AS v",
+      "nearest_centroid" ->
+        (s"SELECT nearest_centroid($fvec, " +
+          "array(array(1.0D, 0.0D, 2.0D), array(-1.0D, 0.0D, -2.0D))) AS v"),
+      "sign_lsh_bucket" ->
+        (s"SELECT sign_lsh_bucket($fvec, " +
+          "array(array(1.0D, 0.0D, 2.0D), array(-1.0D, 0.5D, -2.0D))) AS v"),
+      "url_canonicalize" ->
+        "SELECT url_canonicalize('https://WWW.Example.com:443/a?utm_source=x&q=1') AS v",
+      "registered_domain" ->
+        "SELECT registered_domain('https://sub.example.co.uk/p') AS v",
+      "dsir_buckets" ->
+        "SELECT dsir_buckets(array('alpha','beta','gamma')) AS v")
+    assert(registered === smoke.keySet,
+      s"registry/smoke drift — missing smokes: ${registered.diff(smoke.keySet)}, " +
+        s"stale smokes: ${smoke.keySet.diff(registered)}")
+    smoke.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val rows = spark.sql(sql).collect()
+      assert(rows.nonEmpty, s"$name: smoke returned no rows")
+      assert(rows.forall(r => !r.isNullAt(0)), s"$name: smoke output is NULL")
+    }
+  }
+
   test("approx_count_distinct tracks the exact global distinct within HLL++ error") {
     // the approximate sketch can't be oracle-hashed (Spark's HLL++ !=
     // DuckDB's); bound it against q_distinct_approx's exact twin here

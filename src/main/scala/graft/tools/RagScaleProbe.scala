@@ -85,7 +85,19 @@ object RagScaleProbe {
       val queryMod = math.max(n / 64, 1L)
       val served = run("serve")(
         Rag.serveOf(chunks, dense, centers, queryMod = queryMod).count())
-      println(f"[s=$s] docs=$n chunks=$nChunks served_rows=$served")
+      // PERSISTED-INDEX serving leg (VERDICT r17 #2): the path a
+      // streamed-append index serves through — write the chunk index,
+      // then route the same query batch merge-on-read via readIndex.
+      // RagSpec pins its equality with the session-frame leg; this
+      // measures that the on-disk leg SCALES like the in-session one.
+      val idxDir = s"$dir/index"
+      run("index_write")(Rag.writeChunkIndex(dense, centers, idxDir))
+      val servedIdx = run("serve_indexed")(
+        Rag.semServeIndexed(spark, idxDir, centers, chunks,
+          Rag.dfTableOf(chunks), nChunks, queryMod).count())
+      require(servedIdx > 0, s"s=$s: indexed serving returned no rows")
+      println(f"[s=$s] docs=$n chunks=$nChunks served_rows=$served " +
+        f"served_indexed=$servedIdx")
       val out = (s, n, nChunks, served, stages.toSeq)
       // release this arm's checkpoint blocks before the next arm
       chunks.unpersist(false); dense.unpersist(false)

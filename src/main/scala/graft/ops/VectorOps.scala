@@ -665,6 +665,31 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    // SELECTIVITY-AWARE filtered ANN (Ivf.searchBatchAuto): under an
+    // EXTREMELY selective predicate (label % 25 — the ~4% regime where
+    // VEC_FILTERED reads the escalation ladder's recall at 0.69–0.89
+    // despite fill 1.0), the auto switch counts the surviving
+    // population and serves the PRE-FILTER plan: exact cosine over
+    // the filtered rows, recall 1.0 by construction. The result is
+    // quantizer-independent (the fit only places rows in cells; the
+    // brute leg scores every survivor), so the oracle is plain exact
+    // SQL — no fit replay. The persisted index carries the metadata
+    // column, so the predicate rides the parquet scan.
+    "q_ann_prefilter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ann_prefilter_" +
+        Integer.toHexString(dir.hashCode)
+      Ivf.writeIndex(e.select(col("vec_id"), col("embedding"), col("label")),
+        col("embedding"), col("vec_id"), centers, out)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Ivf.searchBatchAuto(s, out, centers, queries, nProbe = 2, topK = 5,
+          excludeSelf = true, scoreRound = Some(6),
+          predicate = Some(pmod(col("label"), lit(25)) === 3))
+        .orderBy("q_id", "rank")
+    }),
+
     // Int8 scalar quantization — the 4× memory/storage lever for
     // serving ANN at 100 TB: per-dimension (min, max) over the corpus
     // (exact picks, order-independent), q = floor((x−min)/scale + .5)
@@ -1251,6 +1276,26 @@ object VectorOps {
          |  JOIN qs q ON q.q_id = r.q_id
          |  JOIN embeddings em ON em.vec_id = e.vec_id
          |  WHERE e.vec_id <> q.q_id AND em.label % 2 = 0),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, cos_sim FROM rk
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // PRE-FILTER exact serving: the brute leg is fit-independent (the
+    // quantizer only places rows in cells; every predicate survivor is
+    // scored), so the oracle is predicate + exact cosine + rank — no
+    // fit replay.
+    "q_ann_prefilter" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id AND e.label % 25 = 3),
          |rk AS (
          |  SELECT q_id, vec_id, cos_sim,
          |    row_number() OVER (PARTITION BY q_id

@@ -191,6 +191,56 @@ class IvfSpec extends SparkSpec {
         s"(${adaptive.size} vs ${full.size} rows)")
   }
 
+  test("auto filtered search: pre-filter brute leg recovers recall escalation cannot") {
+    // The escalation ladder repairs CARDINALITY, not recall: a query
+    // whose probed cell holds topK predicate survivors FILLS there and
+    // never escalates, even when a better survivor sits in an unprobed
+    // cell (the VEC_FILTERED 1/1000-selectivity regime). Fixture: two
+    // hand-built cells; the query routes to cell 0, which holds two
+    // low-similarity survivors (fills topK=2); the best survivor sits
+    // in cell 1. searchBatchAuto's population count picks the exact
+    // pre-filter plan and finds it.
+    val tmp = java.nio.file.Files.createTempDirectory("ivfauto").toString
+    val centers = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      // survivors (label 1): two near-orthogonal-to-q in cell 0, one
+      // strong match in cell 1
+      (1L, v(0.10, -0.99, 0, 0), 1), // cell 0, cos≈0.001
+      (2L, v(0.15, -0.95, 0, 0), 1), // cell 0, cos≈0.055
+      (3L, v(0.40, 0.90, 0, 0), 1),  // cell 1, cos≈0.495 — the true #1
+      // non-survivor filler anchoring both cells
+      (10L, v(1, 0, 0, 0), 0), (11L, v(0.9, 0.1, 0, 0), 0),
+      (12L, v(0, 1, 0, 0), 0), (13L, v(0.1, 0.9, 0, 0), 0))
+    val frame = rows.toDF("vec_id", "embedding", "label")
+    Ivf.writeIndex(frame, $"embedding", $"vec_id", centers, s"$tmp/idx",
+      numFiles = 2)
+    val queries = Seq((100L, v(1.0, 0.1, 0, 0))).toDF("q_id", "q_emb")
+    val pred = $"label" === 1
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+
+    // the ladder fills topK=2 inside probed cell 0 and stops — the
+    // cell-1 survivor is invisible to it (fixture guard: if this ever
+    // finds vec 3, the fixture no longer demonstrates the gap)
+    val adaptive = Ivf.searchBatchAdaptive(spark, s"$tmp/idx", centers,
+      queries, nProbe = 1, topK = 2, predicate = Some(pred))
+    assert(ids(adaptive) === Seq(2L, 1L),
+      s"fixture drift: escalation was expected to fill cell-0-only")
+
+    // auto: 3 survivors ≤ bruteMax → exact leg; recall 1.0
+    val auto = Ivf.searchBatchAuto(spark, s"$tmp/idx", centers, queries,
+      nProbe = 1, topK = 2, predicate = Some(pred))
+    assert(ids(auto) === Seq(3L, 2L),
+      s"auto pre-filter leg should rank the unprobed-cell survivor first")
+
+    // bruteMax = 0 forces the post-filter branch: identical to the
+    // ladder's answer — branch selection, not a third semantics
+    val forced = Ivf.searchBatchAuto(spark, s"$tmp/idx", centers, queries,
+      nProbe = 1, topK = 2, predicate = Some(pred), bruteMax = 0)
+    assert(ids(forced) === ids(adaptive))
+  }
+
   test("streaming index appends are idempotent and search-equivalent to batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfs").toString

@@ -83,14 +83,36 @@ object FilteredAnnProbe {
         .join(adaptive._1.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
         .count()
       val adaptiveRecall = hits.toDouble / truthRows
+      // AUTO (r18, Ivf.searchBatchAuto): bruteMax 10_000 splits the
+      // sweep — 1/10 (30k survivors) stays on the routed escalation
+      // ladder, 1/100 and 1/1000 switch to the exact pre-filter leg,
+      // where recall is 1.0 by construction. The sweep therefore
+      // exercises BOTH branches and the branch boundary.
+      val bruteMax = 10000L
+      val (auto, autoSec) = time {
+        val df = Ivf.searchBatchAuto(spark, idx, centers, queries,
+          nProbe, topK, excludeSelf = true, predicate = Some(pred),
+          bruteMax = bruteMax)
+        val c = df.count()
+        (df, c)
+      }
+      val autoHits = truth
+        .join(auto._1.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
+        .count()
+      val autoRecall = autoHits.toDouble / truthRows
+      val autoBranch = if (n / mod <= bruteMax) "brute" else "adaptive"
       truth.unpersist(false)
       val fixedFill = fixedRows.toDouble / (nQ * topK)
       val adaptiveFill = adaptive._2.toDouble / (nQ * topK)
+      val autoFill = auto._2.toDouble / (nQ * topK)
       println(f"[ann-filter] sel=1/$mod nProbe=$nProbe " +
         f"fixed_fill=$fixedFill%.3f adaptive_fill=$adaptiveFill%.3f " +
         f"adaptive_recall=$adaptiveRecall%.3f " +
-        f"fixed=$fixedSec%.2f s adaptive=$adaptiveSec%.2f s")
-      (mod, nProbe, fixedFill, adaptiveFill, adaptiveRecall, fixedSec, adaptiveSec)
+        f"fixed=$fixedSec%.2f s adaptive=$adaptiveSec%.2f s " +
+        f"auto[$autoBranch]_fill=$autoFill%.3f recall=$autoRecall%.3f " +
+        f"sec=$autoSec%.2f")
+      (mod, nProbe, fixedFill, adaptiveFill, adaptiveRecall, fixedSec,
+        adaptiveSec, autoFill, autoRecall, autoSec, autoBranch)
     }
 
     // the gate: somewhere in the sweep the fixed probe undershoots,
@@ -98,15 +120,26 @@ object FilteredAnnProbe {
     // at every swept selectivity: n/1000 = 300 ≥ topK)
     require(points.exists(_._3 < 0.999),
       "fixture too easy: no swept point undershoots at fixed nProbe")
-    points.foreach { case (mod, np, _, aFill, _, _, _) =>
+    points.foreach { case (mod, np, _, aFill, ar, _, _, autoFill, autoR, _, br) =>
       require(aFill >= 0.999,
         s"adaptive path failed to fill at sel=1/$mod nProbe=$np: $aFill")
+      require(autoFill >= 0.999,
+        s"auto path failed to fill at sel=1/$mod nProbe=$np: $autoFill")
+      // the switch's whole point: exact on the brute branch, and never
+      // worse than the ladder on the adaptive branch
+      if (br == "brute") require(autoR >= 0.9999,
+        s"auto brute leg must be exact at sel=1/$mod nProbe=$np: $autoR")
+      else require(autoR >= ar - 1e-9,
+        s"auto adaptive leg under-read the ladder at sel=1/$mod nProbe=$np")
     }
 
-    val json = points.map { case (mod, np, ff, af, ar, fs, as_) =>
+    val json = points.map {
+      case (mod, np, ff, af, ar, fs, as_, autoF, autoR, autoS, br) =>
       f"""{"selectivity":"1/$mod","n_probe":$np,"fixed_fill":$ff%.4f,""" +
         f""""adaptive_fill":$af%.4f,"adaptive_recall":$ar%.4f,""" +
-        f""""fixed_sec":$fs%.2f,"adaptive_sec":$as_%.2f}"""
+        f""""fixed_sec":$fs%.2f,"adaptive_sec":$as_%.2f,""" +
+        f""""auto_branch":"$br","auto_fill":$autoF%.4f,""" +
+        f""""auto_recall":$autoR%.4f,"auto_sec":$autoS%.2f}"""
     }.mkString(
       s"""{"metric":"filtered_ann_sweep","n":$n,"k":$bigK,"top_k":$topK,""" +
         s""""queries":$nQ,"points":[""",

@@ -1054,4 +1054,31 @@ object Ivf {
     escalatingSearch(spark, queries, nProbe, centers.length, topK,
       (qs, p) => searchPqBatch(spark, indexDir, centers, codebooks, qs, p,
         rerankC, topK, residual, excludeSelf, scoreRound, metric, predicate))
+
+  /** [[searchBatchAuto]]'s IVFADC twin — the selectivity switch on the
+    * production PQ serving path. The PQ index keeps full-precision
+    * vectors beside the codes (the exact-rerank contract), so the
+    * pre-filter leg serves EXACT cosine over the predicate survivors
+    * ([[bruteBatchOf]]) — recall 1.0, skipping even the ADC
+    * approximation — while the dense branch keeps the codes-only ADC
+    * scan + rerank of [[searchPqBatchAdaptive]]. Cosine-rerank
+    * contract only: the exact leg ranks by cosine, so an `l2` rerank
+    * caller must use the adaptive form directly. */
+  def searchPqBatchAuto(spark: SparkSession, indexDir: String,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
+      residual: Boolean = false, excludeSelf: Boolean = false,
+      scoreRound: Option[Int] = None,
+      predicate: Option[Column] = None,
+      bruteMax: Long = 100000): DataFrame = {
+    val idx = readIndex(spark, indexDir)
+    val filtered = predicate.fold(idx)(idx.filter)
+    val survivors = filtered.select(col("vec_id")).count()
+    if (survivors <= bruteMax)
+      bruteBatchOf(filtered, queries, topK, excludeSelf, scoreRound)
+    else
+      searchPqBatchAdaptive(spark, indexDir, centers, codebooks, queries,
+        nProbe, rerankC, topK, residual, excludeSelf, scoreRound, "cosine",
+        predicate)
+  }
 }

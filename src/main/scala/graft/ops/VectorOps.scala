@@ -690,6 +690,28 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    // The IVFADC twin of q_ann_prefilter (Ivf.searchPqBatchAuto): the
+    // PQ index keeps full-precision vectors beside the codes (the
+    // exact-rerank contract), so under the same selective predicate
+    // the auto switch serves the identical exact pre-filter answer —
+    // one oracle pins both serving stacks' switch.
+    "q_ann_prefilter_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val cb = Pq.fit(e, col("embedding"), Seq(col("vec_id")), m = 8, k = 16,
+        iters = 1)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ann_prefilter_pq_" +
+        Integer.toHexString(dir.hashCode)
+      Ivf.writeIndexPq(e.select(col("vec_id"), col("embedding"), col("label")),
+        col("embedding"), col("vec_id"), centers, cb, out)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Ivf.searchPqBatchAuto(s, out, centers, cb, queries, nProbe = 2,
+          rerankC = 20, topK = 5, excludeSelf = true, scoreRound = Some(6),
+          predicate = Some(pmod(col("label"), lit(25)) === 3))
+        .orderBy("q_id", "rank")
+    }),
+
     // Int8 scalar quantization — the 4× memory/storage lever for
     // serving ANN at 100 TB: per-dimension (min, max) over the corpus
     // (exact picks, order-independent), q = floor((x−min)/scale + .5)
@@ -1284,11 +1306,29 @@ object VectorOps {
          |SELECT q_id, rank, vec_id, cos_sim FROM rk
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    // PRE-FILTER exact serving: the brute leg is fit-independent (the
-    // quantizer only places rows in cells; every predicate survivor is
-    // scored), so the oracle is predicate + exact cosine + rank — no
-    // fit replay.
+    // PRE-FILTER exact serving: the brute leg is fit/codebook-
+    // independent (the quantizer only places rows in cells; every
+    // predicate survivor is scored full-precision), so ONE oracle —
+    // predicate + exact cosine + rank, no replay — pins both the IVF
+    // and the IVFADC switch (q_ann_prefilter_pq below shares it).
     "q_ann_prefilter" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |            FROM embeddings WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id AND e.label % 25 = 3),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, cos_sim FROM rk
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // the IVFADC switch serves the same exact answer (see above)
+    "q_ann_prefilter_pq" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb
          |            FROM embeddings WHERE vec_id < 8),
          |sc AS (

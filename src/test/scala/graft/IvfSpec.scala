@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.Ivf
+import graft.ops.{Ivf, Pq}
 
 /** IVF quantizer: k-means fit, assignment semantics, persistence
   * round-trip, partition-pruned probes, and search exactness when the
@@ -239,6 +239,25 @@ class IvfSpec extends SparkSpec {
     val forced = Ivf.searchBatchAuto(spark, s"$tmp/idx", centers, queries,
       nProbe = 1, topK = 2, predicate = Some(pred), bruteMax = 0)
     assert(ids(forced) === ids(adaptive))
+
+    // IVFADC twin: the same switch on the PQ serving path (the index
+    // keeps full-precision vectors beside the codes, so the exact leg
+    // is available there too)
+    val cb = Pq.fit(frame, $"embedding", Seq($"vec_id"), m = 2, dims = 4,
+      k = 4, iters = 1)
+    Ivf.writeIndexPq(frame, $"embedding", $"vec_id", centers, cb,
+      s"$tmp/idxpq", numFiles = 2)
+    val autoPq = Ivf.searchPqBatchAuto(spark, s"$tmp/idxpq", centers, cb,
+      queries, nProbe = 1, rerankC = 4, topK = 2, predicate = Some(pred))
+    assert(ids(autoPq) === Seq(3L, 2L))
+    val forcedPq = Ivf.searchPqBatchAuto(spark, s"$tmp/idxpq", centers, cb,
+      queries, nProbe = 1, rerankC = 4, topK = 2, predicate = Some(pred),
+      bruteMax = 0)
+    val ladderPq = Ivf.searchPqBatchAdaptive(spark, s"$tmp/idxpq", centers,
+      cb, queries, nProbe = 1, rerankC = 4, topK = 2, predicate = Some(pred))
+    assert(ids(forcedPq) === ids(ladderPq))
+    assert(ids(ladderPq) === Seq(2L, 1L),
+      "fixture drift: the PQ ladder was expected to fill cell-0-only")
   }
 
   test("streaming index appends are idempotent and search-equivalent to batch") {

@@ -838,12 +838,20 @@ object Ivf {
     * (q_id, rank, vec_id, cos_sim) output shape, through the bounded-
     * state [[graft.functions.TopKAgg]] (one shuffle of K-row partials,
     * no global sort). Ties break (score desc, vec_id asc) — the
-    * oracle-SQL row_number contract. */
+    * oracle-SQL row_number contract. `metric` "l2" scores
+    * 2·q·x − ‖x‖² (ranks as −‖q−x‖²) — the SAME spelling as
+    * [[searchPqBatchOf]]'s rerank, so the exact and routed forms stay
+    * bit-comparable under either metric. */
   private def rankTopK(joined: DataFrame, topK: Int, excludeSelf: Boolean,
-      scoreRound: Option[Int]): DataFrame = {
+      scoreRound: Option[Int], metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
     val candid =
       if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined
-    val raw = graft.functions.cosine_sim(col("embedding"), col("q_emb"))
+    val raw =
+      if (metric == "l2")
+        lit(2.0) * graft.functions.dot_product(col("embedding"), col("q_emb")) -
+          graft.functions.dot_product(col("embedding"), col("embedding"))
+      else graft.functions.cosine_sim(col("embedding"), col("q_emb"))
     val score = scoreRound.fold(raw)(p => Util.roundTo(raw, p))
     candid
       .select(col("q_id"), score.as("cos_sim"),
@@ -864,8 +872,10 @@ object Ivf {
     * against the candidates (Q × |cand| scored pairs, map-side), so
     * the caller bounds |cand|. Output shape = [[searchBatchOf]]. */
   def bruteBatchOf(cand: DataFrame, queries: DataFrame, topK: Int,
-      excludeSelf: Boolean = false, scoreRound: Option[Int] = None): DataFrame =
-    rankTopK(cand.crossJoin(broadcast(queries)), topK, excludeSelf, scoreRound)
+      excludeSelf: Boolean = false, scoreRound: Option[Int] = None,
+      metric: String = "cosine"): DataFrame =
+    rankTopK(cand.crossJoin(broadcast(queries)), topK, excludeSelf, scoreRound,
+      metric)
 
   /** [[searchBatchOf]] against a persisted index, with the probed
     * cells' PARTITION PRUNING restored: the distinct routed cells are
@@ -1061,24 +1071,25 @@ object Ivf {
     * pre-filter leg serves EXACT cosine over the predicate survivors
     * ([[bruteBatchOf]]) — recall 1.0, skipping even the ADC
     * approximation — while the dense branch keeps the codes-only ADC
-    * scan + rerank of [[searchPqBatchAdaptive]]. Cosine-rerank
-    * contract only: the exact leg ranks by cosine, so an `l2` rerank
-    * caller must use the adaptive form directly. */
+    * scan + rerank of [[searchPqBatchAdaptive]]. Both rerank metrics
+    * are served: the exact leg scores the IDENTICAL rerank expression
+    * ("cosine", or "l2"'s 2·q·x − ‖x‖²), so the switch never changes
+    * the score semantics — only how many candidates were scored. */
   def searchPqBatchAuto(spark: SparkSession, indexDir: String,
       centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       queries: DataFrame, nProbe: Int, rerankC: Int, topK: Int,
       residual: Boolean = false, excludeSelf: Boolean = false,
-      scoreRound: Option[Int] = None,
+      scoreRound: Option[Int] = None, metric: String = "cosine",
       predicate: Option[Column] = None,
       bruteMax: Long = 100000): DataFrame = {
     val idx = readIndex(spark, indexDir)
     val filtered = predicate.fold(idx)(idx.filter)
     val survivors = filtered.select(col("vec_id")).count()
     if (survivors <= bruteMax)
-      bruteBatchOf(filtered, queries, topK, excludeSelf, scoreRound)
+      bruteBatchOf(filtered, queries, topK, excludeSelf, scoreRound, metric)
     else
       searchPqBatchAdaptive(spark, indexDir, centers, codebooks, queries,
-        nProbe, rerankC, topK, residual, excludeSelf, scoreRound, "cosine",
+        nProbe, rerankC, topK, residual, excludeSelf, scoreRound, metric,
         predicate)
   }
 }

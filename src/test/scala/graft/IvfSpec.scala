@@ -258,6 +258,15 @@ class IvfSpec extends SparkSpec {
     assert(ids(forcedPq) === ids(ladderPq))
     assert(ids(ladderPq) === Seq(2L, 1L),
       "fixture drift: the PQ ladder was expected to fill cell-0-only")
+
+    // the l2-rerank contract rides the same switch: the exact leg
+    // scores 2·q·x − ‖x‖² (searchPqBatchOf's rerank spelling), and on
+    // this fixture the l2 order agrees with cosine's (3 then 2) —
+    // scored by hand: 0.01 / −0.815 / −0.988 for vecs 3/2/1
+    val autoPqL2 = Ivf.searchPqBatchAuto(spark, s"$tmp/idxpq", centers, cb,
+      queries, nProbe = 1, rerankC = 4, topK = 2, metric = "l2",
+      predicate = Some(pred))
+    assert(ids(autoPqL2) === Seq(3L, 2L))
   }
 
   test("streaming index appends are idempotent and search-equivalent to batch") {

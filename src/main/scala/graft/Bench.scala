@@ -240,7 +240,7 @@ object Bench {
     // key. Repo-relative; round tag from the env with a bumpable
     // default.
     try {
-      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r18")
+      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r19")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"bench_local_$round.json"), line)
     } catch { case e: Throwable =>

@@ -1042,6 +1042,61 @@ object TextOps {
     out
   }
 
+  // ---- source-priority keeper selection (round-19) -------------------
+
+  /** Source-priority tiers for near-dup keeper selection — the
+    * production rule ([[dedupClusters]]' min-id keeper is an arbitrary
+    * but deterministic stand-in): when a curated copy and a web scrape
+    * collide in one cluster, KEEP THE CURATED COPY. Tier lists are
+    * interpolated into the q_dedup_keeper oracle so the two spellings
+    * cannot desynchronize (the MinhashK/LshBands pattern). On the
+    * synthetic corpus: src0–4 curated (tier 0), src5–9 licensed
+    * (tier 1), everything else web (tier 2). */
+  val CuratedSources: Seq[String] = (0 to 4).map(i => s"src$i")
+  val LicensedSources: Seq[String] = (5 to 9).map(i => s"src$i")
+
+  /** Tier of a source value — lower keeps first. Unknown sources fall
+    * to the web tier, so a new crawl never silently outranks curated
+    * data. */
+  def sourcePriority(src: Column): Column =
+    when(src.isin(CuratedSources: _*), 0)
+      .when(src.isin(LicensedSources: _*), 1)
+      .otherwise(2)
+
+  /** Keeper selection by (priority asc, quality desc, doc_id asc) over
+    * an existing cluster assignment: `assign` is (doc_id,
+    * cluster_rep), `meta` is (doc_id, source, quality_score). Pure
+    * composition — no text ever moves: the join and the one window
+    * shuffle carry only the skinny per-doc scalars, so the step is
+    * O(docs) rows of a few columns regardless of corpus byte size.
+    * The total order is deterministic by construction (quality_score
+    * is the 4-digit-rounded exact boundary, doc_id breaks residual
+    * ties), so a re-run — or the DuckDB replay — elects the same
+    * keepers. */
+  def keeperByPriority(assign: DataFrame, meta: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("priority").asc, col("quality_score").desc,
+        col("doc_id").asc)
+    assign.join(meta, Seq("doc_id"))
+      .withColumn("priority", sourcePriority(col("source")))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("source"),
+        col("priority"), col("quality_score"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
+  /** [[keeperByPriority]] over the SESSION-MEMOIZED cluster assignment
+    * (no second CC run — the r9 memo discipline) with per-doc source
+    * from the documents scan (column-pruned: doc_id + source only)
+    * and quality from the fused feature projection. */
+  def dedupKeeperAssignments(s: SparkSession, dir: String): DataFrame = {
+    val meta = corpusFeatures(s, dir, withRep = false)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.io.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    keeperByPriority(clusterAssignmentsMemo(s, dir), meta)
+  }
+
   /** Sliding-window document chunking over a (doc_id, text, …) frame:
     * `chunk`-token chunks at `stride` (overlap = chunk − stride); the
     * tail chunk may be short; an empty doc yields one empty chunk
@@ -1101,7 +1156,7 @@ object TextOps {
     * checkpoint. Labels are identical under either path (docs sharing
     * a normalized-text digest share the token sequence, hence the
     * hash set — the [[clusterAssignmentsOfFeatures]] contract). */
-  private def clusterAssignmentsMemo(s: SparkSession, dir: String,
+  private[graft] def clusterAssignmentsMemo(s: SparkSession, dir: String,
       feats0: Option[DataFrame] = None): DataFrame =
     memoizedStage(s, dir, "cluster_assignments") {
       feats0 match {
@@ -1522,7 +1577,7 @@ object TextOps {
     * incrementally must FREEZE the rate table (compute `rates` once,
     * persist it, and filter each increment against the frozen copy)
     * rather than re-deriving it per batch. */
-  def mixtureSample(docs: DataFrame): DataFrame = {
+  def mixtureSample(docs: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
     val minC = counts.agg(min(col("c")).as("cmin"))
     val rates = counts.crossJoin(broadcast(minC))
@@ -1532,7 +1587,58 @@ object TextOps {
     docs.join(broadcast(rates), Seq("lang"))
       .filter(pmod(hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
         lit(10000)) < col("rate_bp"))
-      .select(col("doc_id"), col("lang"), col("rate_bp"))
+      .select(Seq(col("doc_id"), col("lang"), col("rate_bp")) ++
+        extraCols.map(col): _*)
+  }
+
+  /** Deterministic mixture-interleaved shard ordering (r18 verdict
+    * #5): assign every selected doc a (shard, pos) such that reading
+    * any shard sequentially consumes the sources INTERLEAVED at their
+    * mixture rates — never a contiguous single-source run (the
+    * training pathology q_mixture_sample + q_training_shards left
+    * unpinned: membership was deterministic, within-shard ORDER was
+    * whatever the write tasks emitted).
+    *
+    * Mechanism: a seeded 60-bit hash of the doc id defines a global
+    * pseudo-random total order (h, doc_id); position p in that order
+    * stripes round-robin → shard = p mod nShards, pos = p div
+    * nShards. Any window of any shard is then a hash-random sample of
+    * the selection, so per-source rates hold within every window, and
+    * the whole assignment is a pure function of (ids, seed) — reruns
+    * and the DuckDB replay produce the identical layout.
+    *
+    * Plan shape (the 100 TB story): NO global sort and NO
+    * single-partition window. The hash space is pre-bucketed by its
+    * top bits (`buckets` monotone ranges, so bucket order ⊇ hash
+    * order); per-bucket counts are ONE map-side-partial aggregate
+    * whose ≤`buckets` rows come to the driver (bounded collect) and
+    * re-enter as a broadcast offset map; the rank is a PARTITIONED
+    * window over the buckets. One skinny data shuffle total — the
+    * window's bucket clustering; text never moves. Skew-proof by
+    * construction: buckets are equal slices of a uniform hash. */
+  def shardInterleave(docs: DataFrame, nShards: Int, seed: String = "il0",
+      buckets: Int = 1024): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets=$buckets must be a power of two (bounded driver collect)")
+    val shift = 60 - Integer.numberOfTrailingZeros(buckets)
+    val outCols = docs.columns.toSeq
+    val withH = docs
+      .withColumn("__h",
+        hash60(concat(lit(s"il:$seed:"), col("doc_id").cast("string"))))
+      .withColumn("__b", shiftrightunsigned(col("__h"), shift).cast("int"))
+    val counts = withH.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    withH
+      .withColumn("__p", element_at(typedlit(offsets), col("__b")) +
+        row_number().over(w) - 1)
+      .select(outCols.map(col) ++ Seq(
+        pmod(col("__p"), lit(nShards)).cast("int").as("shard"),
+        floor(col("__p") / nShards).cast("long").as("pos")): _*)
   }
 
   def packSequences(docs: DataFrame, contextLen: Int): DataFrame =
@@ -2097,6 +2203,19 @@ object TextOps {
     // Oracle: DuckDB WITH RECURSIVE reachability → min reachable id.
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
+    // SOURCE-PRIORITY KEEPER SELECTION (r18 verdict #4) — production
+    // pipelines do not keep an arbitrary cluster member: when a
+    // curated copy and its web scrape collide in one near-dup
+    // cluster, the curated copy survives. Keeper = first by
+    // (source-tier asc, quality_score desc, doc_id asc) per cluster;
+    // rides the SAME session-memoized CC assignment as
+    // q_dedup_clusters / q_leakage_split (no second CC run), and the
+    // election itself shuffles only skinny per-doc scalars. Oracle:
+    // the WITH-RECURSIVE reachability CC + the quality CTE + the
+    // identical tier CASE and window election.
+    "q_dedup_keeper" -> ((s, dir) =>
+      dedupKeeperAssignments(s, dir).orderBy("doc_id")),
+
     // CROSS-SOURCE NEAR-DUP OVERLAP — the sourcing dashboard: which
     // sources re-host each other's content, and how close the copies
     // are. Verified LSH pairs labeled with their documents' sources
@@ -2474,6 +2593,22 @@ object TextOps {
     // roundTo dodge.
     "q_mixture_sample" -> ((s, dir) =>
       mixtureSample(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // MIXTURE-INTERLEAVED SHARD ORDERING — see [[shardInterleave]]:
+    // the mixture-kept selection (q_mixture_sample's exact keep set,
+    // source carried through) laid out as (shard, pos) with the
+    // sources hash-interleaved inside every shard window. Oracle:
+    // the mixture CTEs + one global row_number over the identical
+    // seeded hash order + the same stripe arithmetic (DuckDB sorts
+    // globally; the engine's bucket decomposition is plan-internal
+    // and provably order-identical — buckets are monotone hash
+    // ranges).
+    "q_shard_interleave" -> ((s, dir) =>
+      shardInterleave(
+        mixtureSample(Tables.documents(s, dir), extraCols = Seq("source"))
+          .select(col("doc_id"), col("lang"), col("source")),
+        nShards = 8)
+        .orderBy("shard", "pos")),
 
     // Corpus TF-IDF, top-3 terms per document — the relevance/keyword
     // primitive of a text pipeline. Shapes: one explode shuffle keyed
@@ -3243,6 +3378,27 @@ object TextOps {
            |  < r.rate_bp
            |ORDER BY d.doc_id""".stripMargin,
 
+      "q_shard_interleave" ->
+        s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+           |m AS (SELECT min(c) AS cmin FROM c),
+           |r AS (SELECT lang,
+           |    CAST(floor(10000 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER)
+           |      AS rate_bp
+           |  FROM c CROSS JOIN m),
+           |kept AS (
+           |  SELECT d.doc_id, d.lang, d.source,
+           |    ${hash60Sql("'il:il0:' || CAST(d.doc_id AS VARCHAR)")} AS h
+           |  FROM documents d JOIN r USING (lang)
+           |  WHERE ${hash60Sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+           |    < r.rate_bp),
+           |p AS (
+           |  SELECT doc_id, lang, source,
+           |    row_number() OVER (ORDER BY h ASC, doc_id ASC) - 1 AS pg
+           |  FROM kept)
+           |SELECT doc_id, lang, source,
+           |  CAST(pg % 8 AS INTEGER) AS shard, CAST(pg // 8 AS BIGINT) AS pos
+           |FROM p ORDER BY shard, pos""".stripMargin,
+
       "q_tfidf_topterms" ->
         s"""WITH ex AS (
            |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
@@ -3593,6 +3749,37 @@ object TextOps {
            |  l.doc_id = l.cluster_rep AS is_keeper
            |FROM lbl l JOIN sz USING (cluster_rep)
            |ORDER BY l.doc_id""".stripMargin,
+
+      "q_dedup_keeper" -> {
+        val curated = CuratedSources.map(s => s"'$s'").mkString(", ")
+        val licensed = LicensedSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH RECURSIVE ${minhashPairsSqlCtes()},
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+           |          UNION ALL SELECT id_b, id_a FROM np),
+           |reach(n, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+           |lbl AS (SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+           |${qualityCtesSql(withDigest = false)},
+           |pri AS (SELECT doc_id, source,
+           |    CASE WHEN source IN ($curated) THEN 0
+           |         WHEN source IN ($licensed) THEN 1
+           |         ELSE 2 END AS priority
+           |  FROM documents),
+           |scored AS (
+           |  SELECT l.doc_id, l.cluster_rep, p.source, p.priority,
+           |    u.quality_score
+           |  FROM lbl l JOIN pri p USING (doc_id) JOIN u USING (doc_id)),
+           |k AS (
+           |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster_rep
+           |      ORDER BY priority ASC, quality_score DESC, doc_id ASC)
+           |    AS keeper_id
+           |  FROM scored)
+           |SELECT doc_id, cluster_rep, source, priority, quality_score,
+           |  keeper_id, doc_id = keeper_id AS is_keeper
+           |FROM k ORDER BY doc_id""".stripMargin
+      },
 
       "q_source_overlap" ->
         s"""WITH ${minhashPairsSqlCtes()},

@@ -105,6 +105,38 @@ object VectorOps {
        |       FROM c1 p LEFT JOIN m2 m USING (cell))""".stripMargin
   }
 
+  /** Fit-replay oracle of FILTERED routed-probe serving (fit k=8/
+    * iters=2, queries vec_id<8, nProbe 2, predicate label%2=0, top-5,
+    * self-excluded, round 6) — ONE definition behind q_ann_filtered
+    * (assign-on-the-fly searchBatchOf) and q_ann_postfilter (the auto
+    * switch's dense branch over the persisted index): both serve the
+    * identical fit + routing + predicate + rank chain. */
+  private def filteredAnnOracleSql: String =
+    s"""WITH $fitReplayCtes,
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 8),
+       |routed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
+       |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+       |af AS (${fitAssignSql("c2")}),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+       |  FROM af e JOIN routed r ON e.cell = r.cell
+       |  JOIN qs q ON q.q_id = r.q_id
+       |  JOIN embeddings em ON em.vec_id = e.vec_id
+       |  WHERE e.vec_id <> q.q_id AND em.label % 2 = 0),
+       |rk AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+       |  FROM sc)
+       |SELECT q_id, rank, vec_id, cos_sim FROM rk
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** The batched IVF serving leg (fit k=8/iters=2, queries vec_id<8,
     * nProbe 2, top-5, self-excluded) — ONE definition behind
     * q_ivf_batch and the served side of q_ann_recall. */
@@ -684,9 +716,50 @@ object VectorOps {
         col("embedding"), col("vec_id"), centers, out)
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pred = pmod(col("label"), lit(25)) === 3
+      // branch pinned BY CONSTRUCTION, not by current data size (r18
+      // ADVICE): the exact-SQL oracle is only valid on the brute leg,
+      // so fail loudly if a larger verify scale ever outgrows bruteMax
+      // instead of silently hash-mismatching on the adaptive branch.
+      // The decision is made once and handed to the serve call.
+      val d = Ivf.autoDecide(s, out, Some(pred), bruteMax = 100000)
+      require(d.branch == "brute",
+        s"q_ann_prefilter's oracle requires the brute branch, got $d — " +
+          "raise bruteMax for this scale")
       Ivf.searchBatchAuto(s, out, centers, queries, nProbe = 2, topK = 5,
-          excludeSelf = true, scoreRound = Some(6),
-          predicate = Some(pmod(col("label"), lit(25)) === 3))
+          excludeSelf = true, scoreRound = Some(6), predicate = Some(pred),
+          survivorCount = Some(d.survivors))
+        .orderBy("q_id", "rank")
+    }),
+
+    // DENSE-BRANCH PIN of the selectivity switch (r18 verdict #2):
+    // under a HALF-density predicate (label % 2) with bruteMax = 100
+    // the survivor population exceeds bruteMax at every test scale,
+    // so the switch must serve the POST-FILTER plan — cell-routed
+    // probe with the predicate applied before ranking
+    // (searchBatchAdaptive) — asserted via autoDecide, never assumed.
+    // At this density every query fills topK inside its initial
+    // 2-cell probe (hundreds of survivors per cell), so the
+    // escalation ladder never fires and the result is exactly the
+    // fit + routing + predicate + rank replay the q_ann_filtered
+    // oracle spells — one fit-replay oracle pins both the on-the-fly
+    // and the persisted-index/auto serving stacks.
+    "q_ann_postfilter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centers = Ivf.fit(e, col("embedding"), Seq(col("vec_id")), k = 8, iters = 2)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ann_postfilter_" +
+        Integer.toHexString(dir.hashCode)
+      Ivf.writeIndex(e.select(col("vec_id"), col("embedding"), col("label")),
+        col("embedding"), col("vec_id"), centers, out)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pred = pmod(col("label"), lit(2)) === 0
+      val d = Ivf.autoDecide(s, out, Some(pred), bruteMax = 100)
+      require(d.branch == "adaptive",
+        s"q_ann_postfilter must exercise the dense branch, got $d")
+      Ivf.searchBatchAuto(s, out, centers, queries, nProbe = 2, topK = 5,
+          excludeSelf = true, scoreRound = Some(6), predicate = Some(pred),
+          bruteMax = 100, survivorCount = Some(d.survivors))
         .orderBy("q_id", "rank")
     }),
 
@@ -706,9 +779,14 @@ object VectorOps {
         col("embedding"), col("vec_id"), centers, cb, out)
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pred = pmod(col("label"), lit(25)) === 3
+      val d = Ivf.autoDecide(s, out, Some(pred), bruteMax = 100000)
+      require(d.branch == "brute",
+        s"q_ann_prefilter_pq's oracle requires the brute branch, got $d — " +
+          "raise bruteMax for this scale")
       Ivf.searchPqBatchAuto(s, out, centers, cb, queries, nProbe = 2,
           rerankC = 20, topK = 5, excludeSelf = true, scoreRound = Some(6),
-          predicate = Some(pmod(col("label"), lit(25)) === 3))
+          predicate = Some(pred), survivorCount = Some(d.survivors))
         .orderBy("q_id", "rank")
     }),
 
@@ -1280,31 +1358,13 @@ object VectorOps {
     // q_ivf_batch's replay with the metadata predicate (even label)
     // applied to the CANDIDATE side before ranking — the filtered-ANN
     // contract: the top-5 ranks only predicate-satisfying rows.
-    "q_ann_filtered" ->
-      s"""WITH $fitReplayCtes,
-         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |       FROM embeddings WHERE vec_id < 8),
-         |routed AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.q_id, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${distSqSql("q.q_emb", "c.c")} ASC, c.cell ASC) AS rn
-         |    FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
-         |af AS (${fitAssignSql("c2")}),
-         |sc AS (
-         |  SELECT q.q_id, e.vec_id,
-         |    ${roundToSql(cosineSql("e.embedding", "q.q_emb"), 6)} AS cos_sim
-         |  FROM af e JOIN routed r ON e.cell = r.cell
-         |  JOIN qs q ON q.q_id = r.q_id
-         |  JOIN embeddings em ON em.vec_id = e.vec_id
-         |  WHERE e.vec_id <> q.q_id AND em.label % 2 = 0),
-         |rk AS (
-         |  SELECT q_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-         |  FROM sc)
-         |SELECT q_id, rank, vec_id, cos_sim FROM rk
-         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_filtered" -> filteredAnnOracleSql,
+
+    // the POST-FILTER (dense) branch of the auto switch serves the
+    // identical routed-probe-with-predicate semantics over the
+    // persisted index, with no escalation at this density — one
+    // fit-replay oracle pins both stacks
+    "q_ann_postfilter" -> filteredAnnOracleSql,
 
     // PRE-FILTER exact serving: the brute leg is fit/codebook-
     // independent (the quantizer only places rows in cells; every

@@ -89,10 +89,16 @@ object FilteredAnnProbe {
       // where recall is 1.0 by construction. The sweep therefore
       // exercises BOTH branches and the branch boundary.
       val bruteMax = 10000L
+      // the branch is the DECISION THE SERVE MAKES, not a prediction
+      // (r18 ADVICE: floor-division arithmetic here could assert the
+      // wrong gate at a boundary survivor count) — run the decide
+      // once, assert from it, and hand its count to the serve call
+      val decision = Ivf.autoDecide(spark, idx, Some(pred), bruteMax)
+      val autoBranch = decision.branch
       val (auto, autoSec) = time {
         val df = Ivf.searchBatchAuto(spark, idx, centers, queries,
           nProbe, topK, excludeSelf = true, predicate = Some(pred),
-          bruteMax = bruteMax)
+          bruteMax = bruteMax, survivorCount = Some(decision.survivors))
         val c = df.count()
         (df, c)
       }
@@ -100,7 +106,6 @@ object FilteredAnnProbe {
         .join(auto._1.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
         .count()
       val autoRecall = autoHits.toDouble / truthRows
-      val autoBranch = if (n / mod <= bruteMax) "brute" else "adaptive"
       truth.unpersist(false)
       val fixedFill = fixedRows.toDouble / (nQ * topK)
       val adaptiveFill = adaptive._2.toDouble / (nQ * topK)

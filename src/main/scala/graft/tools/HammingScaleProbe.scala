@@ -129,17 +129,23 @@ object HammingScaleProbe {
     }.mkString("[", ",", "]")
     // Superlinearity is judged at the TOP of the ladder: a quadratic
     // cannot read per-unit ~1.0 at the largest step. A >1.2 ratio at
-    // an EARLIER step followed by in-gate growth is a plan transition
-    // (a join side outgrowing broadcast range at a scale boundary) —
-    // named, not superlinear (the PipelineScaleProbe step-then-linear
-    // rule). Measured here: 0.41 KB/row at 300k vs a constant
-    // 0.74 KB/row at 1M and 3M.
+    // an EARLIER step may be a plan transition (a join side outgrowing
+    // broadcast range at a scale boundary) — but naming it one
+    // requires the EVIDENCE of one, not just an in-gate top step
+    // (r18 ADVICE: with two ratio points, "last ≤ 1.2" alone could
+    // mask genuinely superlinear lower-arm growth): per-row shuffle
+    // must have SETTLED approximately constant across the upper arms
+    // (top-step per-unit within ±20%, the PipelineScaleProbe rule
+    // made explicit). Measured here: 0.41 KB/row at 300k vs a
+    // constant 0.74 KB/row at 1M and 3M → settled, transition.
     val lastShuf = ratios.lastOption.map(_._4).getOrElse(0.0)
     val worstShuf = ratios.map(_._4).maxOption.getOrElse(0.0)
     val verdict =
       if (worstShuf <= 1.2) "linear-or-better (shuffle per-unit in-gate at every step)"
-      else if (lastShuf <= 1.2)
-        f"step-then-linear (shuffle per-unit $worstShuf%.2f at a lower-arm plan transition; top step $lastShuf%.2f in-gate)"
+      else if (lastShuf >= 0.8 && lastShuf <= 1.2)
+        f"step-then-linear (shuffle per-unit $worstShuf%.2f at a lower-arm plan transition; top arms settled-constant at $lastShuf%.2f)"
+      else if (lastShuf < 0.8)
+        f"step-then-sublinear (lower-arm step $worstShuf%.2f; top step $lastShuf%.2f — per-row shuffle still falling, transition not yet settled-constant: add an arm before naming it)"
       else f"superlinear: top-step shuffle per-unit $lastShuf%.2f"
     val json = s"""{"metric":"hamming_cluster_scale","operator":"HammingDedup.clusters64",""" +
       s""""bands":"4x16bit","max_hamming":3,"max_bucket":${graft.ops.HammingDedup.CapBucket},""" +

@@ -119,8 +119,13 @@ object PipelineScaleProbe {
     * stage = (name, wall sec, shuffle bytes, gc sec). */
   private type ScaleRow = (Int, Long, Long, Seq[(String, Double, Long, Double)])
 
-  private def partialPath(s: Int) =
-    Paths.get(s"pipeline_scale_s$s.json")
+  /** A/B partials (r18 verdict #3) get a tag so a lever run can never
+    * overwrite the committed shipping-config partials the merged
+    * PIPELINE_SCALE.json verdicts are built from. */
+  private def partialPath(s: Int) = {
+    val tag = sys.env.get("SPARK_GRAFT_PARTIAL_TAG").fold("")(t => s"_$t")
+    Paths.get(s"pipeline_scale${tag}_s$s.json")
+  }
 
   def main(args: Array[String]): Unit = {
     // FRESH-JVM-PER-SCALE mode (r15): running all four scales in one
@@ -194,8 +199,14 @@ object PipelineScaleProbe {
     }.mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / 1073741824.0
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32")
+    // the footprint-lever knobs are part of the artifact's identity —
+    // an A/B partial must name its regime (r18 reporting discipline)
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
+    val pqCodec = sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")
     s"""{"scale":${r._1},"docs":${r._2},"packed_docs":${r._3},""" +
-      f""""heap_gb":$heapGb%.1f,"shuffle_partitions":$parts%s,"stages":$stJson}"""
+      f""""heap_gb":$heapGb%.1f,"shuffle_partitions":$parts%s,""" +
+      s""""io_codec":"$ioCodec","parquet_codec":"$pqCodec",""" +
+      s""""stages":$stJson}"""
   }
 
   private def parseHeapGb(json: String): Double = {
@@ -233,7 +244,7 @@ object PipelineScaleProbe {
     // partial as shuffle_partitions); shuffle BYTES stay
     // plan-determined either way.
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[32]")
       .appName("graft-pipeline-scale")
       .config("spark.sql.shuffle.partitions", parts)
@@ -241,7 +252,15 @@ object PipelineScaleProbe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4194304")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // footprint-lever A/B knobs (r18 verdict #3): shuffle/spill codec
+    // and parquet write codec — fewer bytes through the page cache is
+    // the one lever that could touch the 100× arm's kernel-time
+    // regime without changing any plan
+    sys.env.get("SPARK_GRAFT_IO_CODEC")
+      .foreach(c => b.config("spark.io.compression.codec", c))
+    sys.env.get("SPARK_GRAFT_PARQUET_CODEC")
+      .foreach(c => b.config("spark.sql.parquet.compression.codec", c))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

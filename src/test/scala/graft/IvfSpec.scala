@@ -1019,4 +1019,134 @@ class IvfSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(again == out.map(_._1).toSet)
   }
+
+  test("q_ann_postfilter rides the dense branch and equals the routed replay") {
+    // the declared dense-branch pin (r18 verdict #2): bruteMax=100
+    // forces the post-filter plan at every scale (the in-query
+    // autoDecide require guards it), and at half-density no query
+    // escalates — so the persisted-index auto serve must equal the
+    // assign-on-the-fly routed serve q_ann_filtered pins against the
+    // fit-replay oracle
+    val a = graft.SparkEntry.queries("q_ann_filtered")(spark, dir).collect()
+    val b = graft.SparkEntry.queries("q_ann_postfilter")(spark, dir).collect()
+    assert(a.nonEmpty)
+    assert(b.toSeq === a.toSeq)
+  }
+
+  test("auto switch decides from per-cell stats over a live mutated index") {
+    // r18 verdict #1: the decide step must be O(cells) from maintained
+    // stats — not a merge-on-read corpus fold per serve — and choose
+    // the correct branch at every horizon of an appended + tombstoned
+    // index, with the brute leg serving the MERGED view.
+    val tmp = java.nio.file.Files.createTempDirectory("ivfstat").toString
+    val idx = s"$tmp/idx"
+    val e = emb.select($"vec_id", $"embedding")
+    val centers = Ivf.fit(e, $"embedding", Seq($"vec_id"), k = 4, iters = 1)
+    def liveCount: Long = Ivf.readIndex(spark, idx).count()
+    def statsTotal: Long = Ivf.statsCount(spark, idx)
+    def scannedRoots(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    }
+
+    // -- horizon A: insert-only append ------------------------------
+    Ivf.appendBatch(e.filter($"vec_id" % 2 === 0), $"embedding", centers,
+      idx, 0L)
+    val nA = liveCount
+    assert(statsTotal === nA, "stats must count the appended slice exactly")
+    val dA = Ivf.autoDecide(spark, idx, None, bruteMax = nA)
+    assert(dA.branch === "brute" && dA.source === "stats" &&
+      dA.survivors === nA)
+    val dA2 = Ivf.autoDecide(spark, idx, None, bruteMax = nA - 1)
+    assert(dA2.branch === "adaptive" && dA2.source === "stats",
+      s"no pending deletes: stats alone must decide, got $dA2")
+    // decide-step plan pin: the stats frame scans ONLY the stats
+    // store — no cell=… data path, no merged index view
+    val statPaths = scannedRoots(Ivf.indexStats(spark, idx))
+    assert(statPaths.nonEmpty &&
+      statPaths.forall(_.contains("/.stats")), s"scanned: $statPaths")
+
+    // -- horizon B: tombstone a slice of the corpus -----------------
+    val delIds = e.filter($"vec_id" % 2 === 0 && $"vec_id" % 5 === 0)
+      .select($"vec_id")
+    val nDel = delIds.count()
+    Ivf.appendTombstones(delIds, idx, 1L)
+    val nB = liveCount
+    assert(nB === nA - nDel)
+    assert(statsTotal === nA, "inserted-rows stats don't see deletes")
+    assert(Ivf.pendingDeleteRows(spark, idx) === nDel)
+    // upper ≤ bruteMax → brute from stats (the sound upper bound)
+    val dB1 = Ivf.autoDecide(spark, idx, None, bruteMax = nA)
+    assert(dB1.branch === "brute" && dB1.source === "stats")
+    // upper − pending > bruteMax → adaptive from stats
+    val dB2 = Ivf.autoDecide(spark, idx, None, bruteMax = nB - 1)
+    assert(dB2.branch === "adaptive" && dB2.source === "stats" &&
+      dB2.survivors === nB)
+    // the ambiguous band (nB ≤ bruteMax < nA) needs the exact merged
+    // count — and must land on the branch the true count implies
+    val dB3 = Ivf.autoDecide(spark, idx, None, bruteMax = nB)
+    assert(dB3.branch === "brute" && dB3.source === "full-count-ambiguous" &&
+      dB3.survivors === nB)
+
+    // brute leg on the merged view: a deleted vector is NEVER served,
+    // and recall is 1.0 against a driver-side exact top-k of the live
+    // rows (independent of every serving code path)
+    val q0 = e.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val queries = Seq((0L, q0.map(_.toFloat).toSeq)).toDF("q_id", "q_emb")
+    val served = Ivf.searchBatchAuto(spark, idx, centers, queries,
+      nProbe = 1, topK = 10, excludeSelf = true, bruteMax = nA)
+      .select($"vec_id").as[Long].collect().toSeq
+    val deleted = delIds.as[Long].collect().toSet
+    assert(served.nonEmpty && served.forall(!deleted.contains(_)),
+      "brute leg served a tombstoned vector")
+    val liveRows = Ivf.readIndex(spark, idx)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = liveRows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v.toArray.map(_.toDouble), q0)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    assert(served === expected, "brute leg recall must be 1.0 on the live view")
+
+    // -- horizon C: second insert batch past the tombstones ---------
+    Ivf.appendBatch(e.filter($"vec_id" % 2 === 1), $"embedding", centers,
+      idx, 2L)
+    val nC = liveCount
+    assert(statsTotal === nC + nDel, "stats = inserted rows across slices")
+    val dC = Ivf.autoDecide(spark, idx, None, bruteMax = nC - 1)
+    assert(dC.branch === "adaptive" && dC.source === "stats")
+
+    // -- horizon D: compaction folds deletes + republishes stats ----
+    assert(Ivf.compactIndex(spark, idx) === Some(2L))
+    assert(liveCount === nC, "compaction must not change the served view")
+    assert(statsTotal === nC, "gen stats are post-fold: deletes are out")
+    assert(Ivf.pendingDeleteRows(spark, idx) === 0L)
+    val dD = Ivf.autoDecide(spark, idx, None, bruteMax = nC)
+    assert(dD.branch === "brute" && dD.source === "stats" &&
+      dD.survivors === nC, s"compacted horizon must decide exactly: $dD")
+    val dD2 = Ivf.autoDecide(spark, idx, None, bruteMax = nC - 1)
+    assert(dD2.branch === "adaptive" && dD2.source === "stats")
+    // plan pin at the compacted horizon: only the published gen stats
+    val genPaths = scannedRoots(Ivf.indexStats(spark, idx))
+    assert(genPaths.nonEmpty &&
+      genPaths.forall(_.contains("/.compact_stats")), s"scanned: $genPaths")
+
+    // caller-amortized decide: one decision reused across serves
+    val dCaller = Ivf.autoDecide(spark, idx, None, bruteMax = nC,
+      survivorCount = Some(dD.survivors))
+    assert(dCaller.branch === "brute" && dCaller.source === "caller")
+    val servedD = Ivf.searchBatchAuto(spark, idx, centers, queries,
+      nProbe = 1, topK = 10, excludeSelf = true, bruteMax = nC,
+      survivorCount = Some(dD.survivors))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(servedD.forall(!deleted.contains(_)))
+  }
 }

@@ -362,6 +362,24 @@ class PlanSpec extends SparkSpec {
       "documents must be scanned exactly once")
   }
 
+  test("q_shard_interleave ranks through bucketed windows — no single-partition sort, no text") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_shard_interleave")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the global order is decomposed into ≤1024 monotone hash-bucket
+    // windows — the classic everything-to-one-partition rank pathology
+    // must never appear (that is the operator's whole scale claim)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected a window rank:\n$p")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"single-partition window (global sort) in:\n$p"))
+    // the interleave is an id/source/lang operation: document TEXT
+    // must not be read for it
+    assert(!p.contains("text"), s"text column read by the interleave:\n$p")
+  }
+
   test("q_rep_quality is map-side: no join, no aggregation exchange") {
     val p = plan("q_rep_quality")
     assert(!p.contains("Join"), s"rep-quality must not join:\n$p")

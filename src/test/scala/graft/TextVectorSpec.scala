@@ -323,6 +323,52 @@ class TextVectorSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("shardInterleave: driver-replayed order, balanced stripes, interleaved windows") {
+    import graft.ops.TextOps
+    // two sources, heavily imbalanced input ORDER (all of src-a
+    // first): the interleave must still mix them inside every window
+    val docs = spark.createDataFrame(
+      (0L until 600L).map { id =>
+        (id, "aa", if (id < 400) "srcA" else "srcB")
+      }).toDF("doc_id", "lang", "source")
+    val got = TextOps.shardInterleave(docs, nShards = 4, buckets = 64)
+      .orderBy($"shard", $"pos")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+    assert(got.length === 600)
+    // exact driver-side replay: hash order → round-robin stripes —
+    // the bucket decomposition must be invisible in the result
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"il:il0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = (0L until 600L).sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, p) => (id, p % 4, (p / 4).toLong) }
+      .sortBy(t => (t._2, t._3))
+    assert(got.toSeq === expected, "interleave diverged from the hash replay")
+    // stripes are balanced to ±1 by construction
+    val sizes = got.groupBy(_._2).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced stripes: $sizes")
+    // every 50-doc window of every shard carries BOTH sources near
+    // their global 2:1 rate (the contiguous-run pathology is dead):
+    // deterministic data + hash → this is a fixed, not a flaky, bound
+    val bySrc = (0L until 600L).map(id =>
+      id -> (if (id < 400) "srcA" else "srcB")).toMap
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      rows.sortBy(_._3).map(r => bySrc(r._1)).grouped(50).foreach { w =>
+        val a = w.count(_ == "srcA").toDouble / w.length
+        assert(a > 0.4 && a < 0.9,
+          s"shard $shard window composition $a strayed from the 2/3 rate")
+      }
+    }
+    // partitioning-invariant: a repartitioned input elects the same layout
+    val again = TextOps.shardInterleave(docs.repartition(13), nShards = 4,
+      buckets = 64).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+      .sortBy(t => (t._2, t._3))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("packSequences: two-phase prefix sum matches the sequential packing") {
     import graft.ops.TextOps
     // uneven doc lengths incl. one spanning several examples and one

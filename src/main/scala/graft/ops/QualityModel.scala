@@ -82,6 +82,19 @@ object QualityModel {
     lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
       lit(w(3)) * col("x3") + lit(w(4)) * col("x4") + lit(w(5)) * col("x5")
 
+  /** [[zOf]] with the weights read from COLUMNS w0..w5 (a 1-row frame
+    * cross-joined in) instead of literals — the identical
+    * left-associated IEEE chain (column-vs-literal changes where the
+    * doubles come from, not one arithmetic op), spelled so every GD
+    * iteration compiles to the SAME generated code (OPTIMIZATION r19:
+    * with per-iteration literals each of the [[Iters]] aggregation
+    * passes embedded fresh constants in its expression tree, so
+    * whole-stage codegen recompiled per iteration — the compile, not
+    * the 5k-row scan, dominated the query's wall). */
+  private def zOfCols: Column =
+    col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+      col("w3") * col("x3") + col("w4") * col("x4") + col("w5") * col("x5")
+
   /** Rational fast sigmoid, rounded to 9 decimals (the per-row
     * contribution precision). */
   private def sigma9(z: Column): Column =
@@ -105,8 +118,19 @@ object QualityModel {
         val out = Vector.newBuilder[Array[Double]]
         var t = 0
         while (t < Iters) {
-          val e = sigma9(zOf(w)) - col("y")
-          val r = f.agg(
+          // weights ride a 1-row LocalRelation (broadcast NLJ against
+          // the cached feature frame) so iteration plans differ only
+          // in DATA, never in generated code — see [[zOfCols]]
+          val wRow = {
+            import org.apache.spark.sql.types._
+            s.createDataFrame(
+              java.util.Arrays.asList(org.apache.spark.sql.Row(
+                w(0), w(1), w(2), w(3), w(4), w(5))),
+              StructType((0 to 5).map(j =>
+                StructField(s"w$j", DoubleType, nullable = false))))
+          }
+          val e = sigma9(zOfCols) - col("y")
+          val r = f.crossJoin(broadcast(wRow)).agg(
             count(lit(1)).as("n"),
             gsum(e).as("g0"),
             gsum(e * col("x1")).as("g1"),

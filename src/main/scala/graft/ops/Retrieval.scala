@@ -294,6 +294,34 @@ object Retrieval {
         .as("val"))
   }
 
+  /** [[hashEmbedSkinny]] restricted to an id frame BEFORE the per-doc
+    * work (OPTIMIZATION r19, guide §2.3 — project/filter before the
+    * exchange): `hashEmbedSkinny(docs).join(ids)` aggregates the WHOLE
+    * corpus into (doc_id, dim) vectors and then throws away all but
+    * the candidate rows — Catalyst cannot push a join below an
+    * aggregate. Here the id restriction lands on the tf stream
+    * instead, so only candidate docs' term rows reach the tf-idf
+    * projection and the dim aggregate. df / n_docs still come from
+    * the FULL corpus (identical values — the restriction moves work,
+    * not semantics; the shared tf exchange is computed once and
+    * reused by the df branch at runtime). `ids` carries the caller's
+    * broadcast-vs-shuffle decision. */
+  private[ops] def hashEmbedSkinnyFor(docs: DataFrame, ids: DataFrame): DataFrame = {
+    val tf = docTermFreq(docs)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(ids.select(col("doc_id")), Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (TextOps.hash60(col("token")) % 64).as("dim"),
+        roundTo(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+          .as("w"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(roundTo(sum(col("w").cast("decimal(28,6)")).cast("double"), 4)
+        .as("val"))
+  }
+
   /** HYBRID SEARCH — the modern retrieval-serving shape: a lexical
     * BM25 leg and a semantic embedding leg retrieve top-[[HybridK]]
     * candidates independently, and reciprocal-rank fusion
@@ -331,12 +359,15 @@ object Retrieval {
     val vecs = hashEmbedSkinny(docs)
     val n = docs.select(count(lit(1)).as("n_docs"))
     // query tf-idf vector: qtf = 1 per distinct term, corpus idf.
-    // df of the (few) query terms comes from a term-filtered explode
-    // — same value as the full-vocab df (docs containing the term),
-    // a fraction of the cost; terms absent from the corpus
-    // contribute nothing (no df row)
-    val qdf = docs.select(explode(array_distinct(
-        filter(tokens(col("text")), t => t.isInCollection(terms)))).as("token"))
+    // df of the (few) query terms — docs containing the term — is
+    // derived from the SAME (doc_id, token, tf) frame the embedding
+    // leg aggregates (one tf row per distinct (doc, token), so a
+    // count per token IS the df; identical values to the old
+    // dedicated explode): the tf exchange is shared with `vecs` and
+    // reused at runtime, removing a whole corpus tokenize pass
+    // (OPTIMIZATION r19, guide §2.4 — share one exchange).
+    val qdf = docTermFreq(docs)
+      .filter(col("token").isInCollection(terms))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val qVec = qdf
       .crossJoin(broadcast(n))
@@ -420,8 +451,11 @@ object Retrieval {
     * one action, and a cache write measured SLOWER (6.1 s vs 5.2 s at
     * sf0.1) — the hybridSearch lesson. */
   private def pairwiseCos(docs: DataFrame, ids: DataFrame): DataFrame = {
-    val cvecs = hashEmbedSkinny(docs)
-      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"))
+    // OPTIMIZATION r19: restriction moved below the tf stage
+    // ([[hashEmbedSkinnyFor]]) — the old spelling dim-aggregated the
+    // whole corpus and then kept ≤K docs (plans/r19/q_mmr_*_before).
+    val cvecs = hashEmbedSkinnyFor(docs,
+      broadcast(ids.select(col("doc_id"))))
     def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
     val norms = cvecs.groupBy(col("doc_id"))
       .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))
@@ -593,8 +627,11 @@ object Retrieval {
     // restriction once the set leaves the broadcast band — the join
     // then ships candidate-doc vectors only, never the corpus.
     val idsSmall = ids.count() <= MmrBatchBroadcastIdCap
-    val vecs = hashEmbedSkinny(docs)
-      .join(if (idsSmall) broadcast(ids) else ids, Seq("doc_id"))
+    // OPTIMIZATION r19: id restriction below the tf stage (see
+    // [[hashEmbedSkinnyFor]]) — only candidate docs reach the dim
+    // aggregate; the broadcast-vs-shuffle guard is unchanged.
+    val vecs = hashEmbedSkinnyFor(docs,
+      if (idsSmall) broadcast(ids) else ids)
     def sq(c: Column): Column = roundTo(c, 8).cast("decimal(38,8)")
     val norms = vecs.groupBy(col("doc_id"))
       .agg(sqrt(sum(sq(col("val") * col("val"))).cast("double")).as("nrm"))

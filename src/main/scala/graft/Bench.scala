@@ -76,6 +76,13 @@ object Bench {
       graft.multimodal.Multimodal.nearDupImagePHashesMemo(spark, sfDir)
       graft.multimodal.AudioDedup.nearDupFingerprintsMemo(spark, sfDir)
       graft.multimodal.VideoDedup.nearDupFrameHashesMemo(spark, sfDir)
+      // q_cdc_store's fixture store (r19, same rationale as the media
+      // memos above): the store is a deterministic INPUT fixture (6
+      // log batches + 2 compactions written once per JVM); paying its
+      // synthesis in the first timed shot measured the fixture write,
+      // not the declared merge-on-read read path. Old numbers kept in
+      // OPTIMIZATION_r19.md.
+      graft.ops.Cdc.prebuildStore(spark, sfDir)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] media fixture pre-build failed " +
         s"(cost moves into the first timed media query): $e")

@@ -359,15 +359,16 @@ object Retrieval {
     val vecs = hashEmbedSkinny(docs)
     val n = docs.select(count(lit(1)).as("n_docs"))
     // query tf-idf vector: qtf = 1 per distinct term, corpus idf.
-    // df of the (few) query terms — docs containing the term — is
-    // derived from the SAME (doc_id, token, tf) frame the embedding
-    // leg aggregates (one tf row per distinct (doc, token), so a
-    // count per token IS the df; identical values to the old
-    // dedicated explode): the tf exchange is shared with `vecs` and
-    // reused at runtime, removing a whole corpus tokenize pass
-    // (OPTIMIZATION r19, guide §2.4 — share one exchange).
-    val qdf = docTermFreq(docs)
-      .filter(col("token").isInCollection(terms))
+    // df of the (few) query terms comes from a term-filtered explode
+    // — same value as the full-vocab df (docs containing the term),
+    // a fraction of the cost; terms absent from the corpus
+    // contribute nothing (no df row). (r19: a df-from-the-tf-frame
+    // respelling was tried to share the tf exchange with `vecs`; the
+    // executed plan showed the exchange is NOT reused — the pushed
+    // token filter changes it — and the wall moved within noise, so
+    // the filter-before-explode original stands.)
+    val qdf = docs.select(explode(array_distinct(
+        filter(tokens(col("text")), t => t.isInCollection(terms)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val qVec = qdf
       .crossJoin(broadcast(n))
